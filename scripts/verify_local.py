@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped library is pure Scala/Spark; this script just lets us catch
+oracle mismatches before the driver does).
+
+Usage: python3 scripts/verify_local.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, sorts columns by name, and compares row-by-row hashes.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def frame_rows(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = n_noracle = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_cols, spark_rows = frame_rows(con, f"SELECT * FROM '{d}/*.parquet'")
+        if name not in oracles:
+            print(f"  ~ {name}: no oracle ({len(spark_rows)} rows, rows-only check)")
+            n_noracle += 1
+            continue
+        try:
+            o_cols, o_rows = frame_rows(con, oracles[name])
+        except Exception as e:
+            print(f"  ✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in spark_cols] != [c.lower() for c in o_cols]:
+            print(f"  ✗ {name}: column mismatch spark={spark_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        if len(spark_rows) != len(o_rows):
+            print(f"  ✗ {name}: row count spark={len(spark_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(spark_rows, o_rows)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"  ✗ {name}: {len(bad)}/{len(o_rows)} rows differ; first at {i}:")
+            print(f"      spark : {spark_rows[i]}")
+            print(f"      oracle: {o_rows[i]}")
+            n_fail += 1
+        else:
+            print(f"  ✓ {name}: {len(o_rows)} rows match")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
