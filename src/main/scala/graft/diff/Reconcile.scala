@@ -36,7 +36,10 @@ object Reconcile {
     */
   def extractVersion(resource: Column): (Column, Column) = (
     get_json_object(resource, "$.id"),
-    get_json_object(resource, "$.meta.versionId").cast("long")
+    // try_cast, not cast: Spark 4 runs ANSI mode, and a malformed
+    // versionId must become null (the reference skips the row,
+    // `src/main.rs:39-45`), not kill the job.
+    get_json_object(resource, "$.meta.versionId").try_cast("long")
   )
 
   /** Validity filter: rows missing id or versionId are invisible to sync

@@ -37,16 +37,25 @@ object ParityData {
       floor(col("l_quantity")).as("v"))
       .groupBy("resource_id").agg(max(col("v")).as("version_id"))
 
-  /** Source with the raw-JSON resource column (for O1/O2/O3 queries). */
-  def sourceResources(spark: SparkSession, dir: String): DataFrame =
+  /** Source with the raw-JSON resource column (for O1/O2/O3 queries).
+    * Mimics the reference's wire corpus including its dirt: rows where
+    * `l_orderkey % 97 = 0` lack `id`, rows where `l_orderkey % 89 = 0`
+    * carry a non-numeric versionId — both invisible to sync in the
+    * reference (`src/main.rs:37-46`, skip at `src/main.rs:210-225`).
+    */
+  def sourceResources(spark: SparkSession, dir: String): DataFrame = {
+    val idStr = concat(col("l_orderkey"), lit("-"), col("l_linenumber"))
+    val verStr = when(col("l_orderkey") % 89 === 0, lit("x"))
+      .otherwise(floor(col("l_quantity")).cast("string"))
+    val idPart = when(col("l_orderkey") % 97 === 0, lit(""))
+      .otherwise(concat(lit(""""id":""""), idStr, lit("""",""")))
     Tables.lineitem(spark, dir).select(
       concat(
-        lit("""{"resourceType":"Observation","id":""""),
-        col("l_orderkey"), lit("-"), col("l_linenumber"),
-        lit("""","meta":{"versionId":""""),
-        floor(col("l_quantity")).cast("string"),
+        lit("""{"resourceType":"Observation","""), idPart,
+        lit(""""meta":{"versionId":""""), verStr,
         lit(""""},"status":""""), col("l_linestatus"), lit(""""}""")
       ).as("resource"))
+  }
 
   /** Mirror of the reference's PG-side snapshot (`pk_id`, id, version). */
   def target(spark: SparkSession, dir: String): DataFrame = {
@@ -91,10 +100,12 @@ object ParityData {
 
   val resourcesSql: String =
     """res AS (
-      |  SELECT concat('{"resourceType":"Observation","id":"',
-      |                l_orderkey,'-',l_linenumber,
-      |                '","meta":{"versionId":"',
-      |                CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
-      |                '"},"status":"', l_linestatus, '"}') AS resource
+      |  SELECT concat('{"resourceType":"Observation",',
+      |    CASE WHEN l_orderkey%97=0 THEN ''
+      |         ELSE concat('"id":"', l_orderkey, '-', l_linenumber, '",') END,
+      |    '"meta":{"versionId":"',
+      |    CASE WHEN l_orderkey%89=0 THEN 'x'
+      |         ELSE CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) END,
+      |    '"},"status":"', l_linestatus, '"}') AS resource
       |  FROM lineitem)""".stripMargin
 }

@@ -6,21 +6,90 @@ import graft.diff.Reconcile
 
 /** Parity query suite (SURVEY.md §2.1, q01–q11): the reference's dataflow
   * semantics as declared Spark plans, each with a DuckDB oracle twin.
+  *
+  * Determinism rules shared by every query here:
+  *  - total-order `ORDER BY` on both sides;
+  *  - `NULLS FIRST` pinned in oracle SQL (DuckDB defaults NULLS LAST on
+  *    ASC; Spark defaults nulls-first);
+  *  - `try_cast` on both sides (Spark 4 runs ANSI mode: a plain cast of a
+  *    malformed versionId would throw, where the reference skips the row).
   */
 object ParityQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** q05 — the full-reconciliation diff (O5): full-outer join + 3-way
-    * classification. Reference `src/main.rs:159-175,227-248,278-282`.
+  import ParityData.{srcSql, tgtSql, resourcesSql}
+
+  /** q01 — paginated source scan (O1, reference `src/main.rs:150-157,
+    * 199-270`): the flattened resource stream, as raw JSON text.
+    */
+  private val q01: Q = (s, dir) =>
+    ParityData.sourceResources(s, dir).orderBy("resource")
+
+  private val q01Sql =
+    s"""WITH $resourcesSql
+       |SELECT resource FROM res ORDER BY resource""".stripMargin
+
+  /** q02 — JSON field extraction (O2, reference `src/main.rs:37-46`):
+    * `$.id` as string, `$.meta.versionId` string→long, null when absent
+    * or malformed (the reference's `Option::None`).
+    */
+  private val q02: Q = (s, dir) => {
+    val (id, ver) = Reconcile.extractVersion(col("resource"))
+    ParityData.sourceResources(s, dir)
+      .select(id.as("resource_id"), ver.as("version_id"))
+      .orderBy(col("resource_id"), col("version_id"))
+  }
+
+  private val q02Sql =
+    s"""WITH $resourcesSql
+       |SELECT json_extract_string(resource, '$$.id') AS resource_id,
+       |       TRY_CAST(json_extract_string(resource, '$$.meta.versionId') AS BIGINT) AS version_id
+       |FROM res
+       |ORDER BY resource_id NULLS FIRST, version_id NULLS FIRST""".stripMargin
+
+  /** q03 — validity filter (O3, reference `src/main.rs:210-225`): rows
+    * missing id or versionId are invisible to sync.
+    */
+  private val q03: Q = (s, dir) => {
+    val (id, ver) = Reconcile.extractVersion(col("resource"))
+    Reconcile.validOnly(
+      ParityData.sourceResources(s, dir)
+        .select(id.as("resource_id"), ver.as("version_id")))
+      .orderBy(col("resource_id"), col("version_id"))
+  }
+
+  private val q03Sql =
+    s"""WITH $resourcesSql, x AS (
+       |  SELECT json_extract_string(resource, '$$.id') AS resource_id,
+       |         TRY_CAST(json_extract_string(resource, '$$.meta.versionId') AS BIGINT) AS version_id
+       |  FROM res)
+       |SELECT * FROM x
+       |WHERE resource_id IS NOT NULL AND version_id IS NOT NULL
+       |ORDER BY resource_id, version_id""".stripMargin
+
+  /** q04 — target snapshot scan (O4, reference `src/main.rs:49-75`):
+    * `(pk_id, resource_id, version_id)` projection of the mirror table.
+    * The reference reads the FULL JSONB text into a driver BTreeMap; here
+    * only the three key columns flow, distributed.
+    */
+  private val q04: Q = (s, dir) =>
+    ParityData.target(s, dir).orderBy("resource_id")
+
+  private val q04Sql =
+    s"""WITH $tgtSql
+       |SELECT pk_id, resource_id, version_id FROM tgt ORDER BY resource_id""".stripMargin
+
+  /** q05 — full-reconciliation diff (O5, reference `src/main.rs:159-175,
+    * 227-248, 278-282`): full-outer join + 3-way classification.
     */
   private val q05: Q = (s, dir) =>
     Reconcile.classify(ParityData.source(s, dir), ParityData.target(s, dir))
       .orderBy("resource_id")
 
-  private val q05Sql: String =
-    s"""WITH ${ParityData.srcSql},
-       |${ParityData.tgtSql}
+  private val q05Sql =
+    s"""WITH $srcSql,
+       |$tgtSql
        |SELECT coalesce(s.resource_id, t.resource_id) AS resource_id,
        |       s.version_id AS src_version,
        |       t.version_id AS tgt_version,
@@ -31,11 +100,177 @@ object ParityQueries {
        |FROM src s FULL OUTER JOIN tgt t ON s.resource_id = t.resource_id
        |ORDER BY resource_id""".stripMargin
 
+  /** q05a — insert set as a left-anti join (cheaper than materializing the
+    * full outer join when only one class is consumed).
+    */
+  private val q05a: Q = (s, dir) =>
+    Reconcile.inserts(ParityData.source(s, dir), ParityData.target(s, dir))
+      .select("resource_id", "version_id").orderBy("resource_id")
+
+  private val q05aSql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT s.resource_id, s.version_id FROM src s
+       |WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.resource_id = s.resource_id)
+       |ORDER BY resource_id""".stripMargin
+
+  /** q05b — update set: inner join + `!=` version predicate (any mismatch
+    * updates, not only newer — reference `src/main.rs:229-231`).
+    */
+  private val q05b: Q = (s, dir) =>
+    Reconcile.updates(ParityData.source(s, dir), ParityData.target(s, dir))
+      .select(col("resource_id"), col("version_id").as("src_version"),
+        col("tgt_version"))
+      .orderBy("resource_id")
+
+  private val q05bSql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT s.resource_id, s.version_id AS src_version, t.version_id AS tgt_version
+       |FROM src s JOIN tgt t ON s.resource_id = t.resource_id
+       |WHERE s.version_id <> t.version_id
+       |ORDER BY s.resource_id""".stripMargin
+
+  /** q05c — delete set: target anti source (the reference's "survivors of
+    * the map" sweep, `src/main.rs:278-282`).
+    */
+  private val q05c: Q = (s, dir) =>
+    Reconcile.deletes(ParityData.source(s, dir), ParityData.target(s, dir))
+      .select("pk_id", "resource_id", "version_id").orderBy("resource_id")
+
+  private val q05cSql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT t.pk_id, t.resource_id, t.version_id FROM tgt t
+       |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.resource_id = t.resource_id)
+       |ORDER BY resource_id""".stripMargin
+
+  /** q07 — join-UPDATE applied (O7, reference `src/main.rs:78-97`): the
+    * post-update target state — `UPDATE … FROM (VALUES …) WHERE id match`
+    * is a left join with conditional version replacement.
+    */
+  private val q07: Q = (s, dir) => {
+    val t = ParityData.target(s, dir)
+    val src = ParityData.source(s, dir)
+      .withColumnRenamed("version_id", "src_version")
+    t.join(src, Seq("resource_id"), "left")
+      .select(col("pk_id"), col("resource_id"),
+        when(col("src_version").isNotNull && col("src_version") =!= col("version_id"),
+          col("src_version")).otherwise(col("version_id")).as("version_id"))
+      .orderBy("resource_id")
+  }
+
+  private val q07Sql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT t.pk_id, t.resource_id,
+       |       CASE WHEN s.version_id IS NOT NULL AND s.version_id <> t.version_id
+       |            THEN s.version_id ELSE t.version_id END AS version_id
+       |FROM tgt t LEFT JOIN src s ON s.resource_id = t.resource_id
+       |ORDER BY t.resource_id""".stripMargin
+
+  /** q08 — batch INSERT applied (O8, reference `src/main.rs:100-117`): the
+    * post-insert target state; new rows have no surrogate key yet (SERIAL
+    * is DB-assigned) → null pk_id.
+    */
+  private val q08: Q = (s, dir) => {
+    val t = ParityData.target(s, dir)
+    val ins = Reconcile.inserts(ParityData.source(s, dir), t)
+      .select(lit(null).cast("long").as("pk_id"), col("resource_id"), col("version_id"))
+    t.select("pk_id", "resource_id", "version_id").unionAll(ins)
+      .orderBy("resource_id")
+  }
+
+  private val q08Sql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT pk_id, resource_id, version_id FROM tgt
+       |UNION ALL
+       |SELECT CAST(NULL AS BIGINT), s.resource_id, s.version_id FROM src s
+       |WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.resource_id = s.resource_id)
+       |ORDER BY resource_id""".stripMargin
+
+  /** q09 — semi-join DELETE applied (O9, reference `src/main.rs:120-138`):
+    * post-delete target = target ⋉ source.
+    */
+  private val q09: Q = (s, dir) =>
+    ParityData.target(s, dir)
+      .join(ParityData.source(s, dir).select("resource_id"), Seq("resource_id"), "left_semi")
+      .select("pk_id", "resource_id", "version_id").orderBy("resource_id")
+
+  private val q09Sql =
+    s"""WITH $srcSql,
+       |$tgtSql
+       |SELECT t.pk_id, t.resource_id, t.version_id FROM tgt t
+       |WHERE EXISTS (SELECT 1 FROM src s WHERE s.resource_id = t.resource_id)
+       |ORDER BY resource_id""".stripMargin
+
+  /** q10 — COUNT(*) aggregate (O10, reference `src/main.rs:141-148`). */
+  private val q10: Q = (s, dir) =>
+    ParityData.source(s, dir).agg(count(lit(1)).as("n_rows"))
+
+  private val q10Sql =
+    s"""WITH $srcSql
+       |SELECT count(*) AS n_rows FROM src""".stripMargin
+
+  /** q11 — count reconciliation (O11+O12, reference `src/main.rs:288-297`):
+    * source total vs post-sync target total. The sync is
+    * delete ∘ update ∘ insert, so post-sync target keys = source keys.
+    */
+  private val q11: Q = (s, dir) => {
+    val src = ParityData.source(s, dir)
+    val tgt = ParityData.target(s, dir)
+    val postSync = tgt.join(src.select("resource_id"), Seq("resource_id"), "left_semi")
+      .select("resource_id")
+      .unionAll(Reconcile.inserts(src, tgt).select("resource_id"))
+    val a = src.agg(count(lit(1)).as("blaze_total"))
+    val b = postSync.agg(count(lit(1)).as("pg_total"))
+    a.crossJoin(b).select(col("blaze_total"), col("pg_total"),
+      (col("blaze_total") === col("pg_total")).as("matched"))
+  }
+
+  private val q11Sql =
+    s"""WITH $srcSql,
+       |$tgtSql,
+       |post AS (
+       |  SELECT t.resource_id FROM tgt t
+       |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.resource_id = t.resource_id)
+       |  UNION ALL
+       |  SELECT s.resource_id FROM src s
+       |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.resource_id = s.resource_id))
+       |SELECT (SELECT count(*) FROM src) AS blaze_total,
+       |       (SELECT count(*) FROM post) AS pg_total,
+       |       (SELECT count(*) FROM src) = (SELECT count(*) FROM post) AS matched""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q05_diff_fullouter" -> q05
+    "q01_scan" -> q01,
+    "q02_project_extract" -> q02,
+    "q03_filter_valid" -> q03,
+    "q04_snapshot" -> q04,
+    "q05_diff_fullouter" -> q05,
+    "q05a_inserts" -> q05a,
+    "q05b_updates" -> q05b,
+    "q05c_deletes" -> q05c,
+    "q07_update_join" -> q07,
+    "q08_insert" -> q08,
+    "q09_delete_semi" -> q09,
+    "q10_count" -> q10,
+    "q11_reconcile" -> q11
   )
 
   val oracle: Map[String, String] = Map(
-    "q05_diff_fullouter" -> q05Sql
+    "q01_scan" -> q01Sql,
+    "q02_project_extract" -> q02Sql,
+    "q03_filter_valid" -> q03Sql,
+    "q04_snapshot" -> q04Sql,
+    "q05_diff_fullouter" -> q05Sql,
+    "q05a_inserts" -> q05aSql,
+    "q05b_updates" -> q05bSql,
+    "q05c_deletes" -> q05cSql,
+    "q07_update_join" -> q07Sql,
+    "q08_insert" -> q08Sql,
+    "q09_delete_semi" -> q09Sql,
+    "q10_count" -> q10Sql,
+    "q11_reconcile" -> q11Sql
   )
 }
