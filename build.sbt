@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage-codegen methods routinely exceed HotSpot's 8000-byte
+  // JIT limit; without this flag they run INTERPRETED (50-100x slower,
+  // non-deterministically as inlining flips). Standard Spark deployment flag.
+  "-XX:-DontCompileHugeMethods",
 )

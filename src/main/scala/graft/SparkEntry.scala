@@ -24,9 +24,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parity.ParityQueries.all
+    parity.ParityQueries.all ++ ops.Relational.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
-    parity.ParityQueries.oracle
+    parity.ParityQueries.oracle ++ ops.Relational.oracle
 }

@@ -34,13 +34,23 @@ object Reconcile {
     * string, `$.meta.versionId` string→long; either missing ⇒ null (the
     * reference's `None`/skip).
     */
-  def extractVersion(resource: Column): (Column, Column) = (
-    get_json_object(resource, "$.id"),
-    // try_cast, not cast: Spark 4 runs ANSI mode, and a malformed
-    // versionId must become null (the reference skips the row,
-    // `src/main.rs:39-45`), not kill the job.
-    get_json_object(resource, "$.meta.versionId").try_cast("long")
-  )
+  def extractVersion(resource: Column): (Column, Column) = {
+    // One from_json parse yields both fields; the two returned Columns share
+    // the parse via codegen subexpression elimination (vs. get_json_object
+    // per field = one full JSON scan per call per predicate/projection copy).
+    // PERMISSIVE mode nulls the struct on malformed JSON — same visibility
+    // rule as the reference's serde failure skip (`src/main.rs:210-216`).
+    val parsed = from_json(resource,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id STRING, meta STRUCT<versionId: STRING>"))
+    (
+      parsed.getField("id"),
+      // try_cast, not cast: Spark 4 runs ANSI mode, and a malformed
+      // versionId must become null (the reference skips the row,
+      // `src/main.rs:39-45`), not kill the job.
+      parsed.getField("meta").getField("versionId").try_cast("long")
+    )
+  }
 
   /** Validity filter: rows missing id or versionId are invisible to sync
     * (reference `src/main.rs:210-225` and `src/main.rs:60-72`).
