@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+
+/** Deduplication suite for the LLM-data-pipeline layer (north star in
+  * BASELINE.json; not present in the reference, which only mirrors rows —
+  * reference `src/main.rs:159-175` reconciles by id, never by content).
+  *
+  * Four strategies, orthogonal in cost/recall:
+  *  - q40 exact:   hash-groupBy on content digest — one shuffle on md5(text).
+  *  - q41 minhash: shingle → 8-hash MinHash signature → 4 LSH bands → bucket
+  *    join. The narrow (doc_id, band, hash) relation is the ONLY thing
+  *    shuffled — signatures are computed map-side with higher-order
+  *    functions, never materializing the shingle set off-heap. At 100 TB the
+  *    band join is an equi-join on (band, hash) whose skew AQE handles;
+  *    candidate verification would follow as a doc-pair join.
+  *  - q42 simhash: 16-bit per-doc fingerprint, computed entirely map-side
+  *    (one md5 per word, bit votes via aggregate) — groupable/broadcastable.
+  *  - q43 ngram-jaccard: exact pairwise Jaccard *within blocks*
+  *    (lang × length-band) — blocking bounds the quadratic term; the join is
+  *    an equi-join on the block key, so it shuffles each block once.
+  *
+  * Every hash is md5 (hex text), the one digest with identical output in
+  * Spark and DuckDB, so the oracle can replay the exact pipeline.
+  */
+object TextDedup {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Word k-shingles as a SQL expression over a `words` array column.
+    * Guarded: Spark's `sequence(1, n)` DESCENDS for n<1 (DuckDB's
+    * generate_series returns empty), so short docs must short-circuit.
+    */
+  private def shinglesExpr(k: Int): String =
+    s"""CASE WHEN size(words) < $k THEN array()
+       |ELSE transform(sequence(1, size(words)-${k - 1}), i ->
+       |  ${(0 until k).map(o => s"element_at(words, i+$o)").mkString(" || ' ' || ")})
+       |END""".stripMargin.replaceAll("\n", " ")
+
+  /** q40 — exact dedup: group on content digest. At scale: one shuffle on
+    * the digest; the digest itself is computed map-side from the scanned
+    * column, so the shuffle carries (digest, doc_id) only.
+    */
+  private val q40: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy("text_md5")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_md5")
+
+  private val q40Sql =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin
+
+  /** q41 — MinHash + LSH candidate pairs. 8 hash functions h_j(s) =
+    * md5(j || '|' || s); signature = per-j min over 3-shingles; 4 bands of
+    * 2 rows; docs sharing a band bucket are candidates.
+    */
+  private val q41: Q = (s, dir) => {
+    val sig = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr(3)))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("mh", expr(
+        """transform(sequence(0,7), j ->
+          |  array_min(transform(shingles, s ->
+          |    md5(cast(j AS string) || '|' || s))))""".stripMargin))
+      .select(col("doc_id"), col("mh"))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0,3), b ->
+          |  struct(b AS b, md5(element_at(mh, 2*b+1) || element_at(mh, 2*b+2)) AS bh))"""
+          .stripMargin)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+    val a = bands.as("a")
+    val c = bands.as("c")
+    a.join(c, col("a.b") === col("c.b") && col("a.bh") === col("c.bh") &&
+        col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q41Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
+      |  FROM w),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0,7), j ->
+      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
+      |  FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |  FROM sig, unnest(generate_series(0,3)) AS t(b))
+      |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |FROM bands a JOIN bands c
+      |  ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q42 — SimHash: 16-bit fingerprint from per-word md5 bit votes. Entirely
+    * map-side (no shuffle until the final orderBy): each word hashed once,
+    * each of 16 nibble-high-bits voted ±1, majority forms the bit.
+    */
+  private val q42: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(1,16), j ->
+          |  IF(aggregate(hs, 0, (acc, h) ->
+          |       acc + IF(substring(h, j, 1) IN ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
+          |     '1', '0')), '')""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+
+  private val q42Sql =
+    """WITH w AS (SELECT doc_id,
+      |  list_transform(string_split(text,' '), x -> md5(x)) AS hs FROM documents)
+      |SELECT doc_id, list_aggregate(list_transform(generate_series(1,16), j ->
+      |  CASE WHEN list_sum(list_transform(hs, h ->
+      |    CASE WHEN substr(h,j,1) IN ('8','9','a','b','c','d','e','f')
+      |    THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), 'string_agg', '')
+      |  AS simhash
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  /** q43 — blocked n-gram Jaccard: distinct word-bigram sets, pairs within
+    * (lang, n_chars/100) blocks, Jaccard ≥ 0.1. Blocking turns the O(n²)
+    * all-pairs into per-block quadratics over an equi-join — the standard
+    * scale pattern (at 100 TB the block key would also include a minhash
+    * prefix to cap block size).
+    */
+  private val q43: Q = (s, dir) => {
+    val blocked = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("lb"),
+        array_distinct(expr(shinglesExpr(2))).as("sh"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter.cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q43Sql =
+    """WITH s AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+      |  list_distinct(CASE WHEN len(string_split(text,' ')) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(string_split(text,' '))-1), i ->
+      |      string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS sh
+      |  FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      |  FROM s a JOIN s b
+      |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id) t
+      |WHERE jaccard >= 0.1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40,
+    "q41_dedup_minhash_lsh" -> q41,
+    "q42_dedup_simhash" -> q42,
+    "q43_dedup_ngram_jaccard" -> q43
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Sql,
+    "q41_dedup_minhash_lsh" -> q41Sql,
+    "q42_dedup_simhash" -> q42Sql,
+    "q43_dedup_ngram_jaccard" -> q43Sql
+  )
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+
+/** Text-analysis suite for the LLM-pipeline layer: quality scoring,
+  * language ID, token statistics, document fingerprinting — all per-row
+  * map-side expressions (zero shuffles before the deterministic orderBy),
+  * which is exactly the property that makes them viable as a 100 TB
+  * pre-training filter pass: they pipeline inside one codegen stage over
+  * the scan.
+  */
+object TextStats {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** q47 — token/quality statistics per document. */
+  private val q47: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(expr("aggregate(words, 0, (acc, w) -> acc + length(w))")
+          .cast("double") / size(col("words")), 4).as("avg_token_len"),
+        round(size(array_distinct(col("words"))).cast("double") /
+          size(col("words")), 4).as("type_token_ratio"),
+        round(size(expr(s"filter(words, w -> w IN ${sqlList(Stopwords)})"))
+          .cast("double") / size(col("words")), 4).as("stopword_ratio"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"))
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    s"""WITH w AS (SELECT *, string_split(text, ' ') AS words FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(words) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars_m,
+       |  round(list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words), 4)
+       |    AS avg_token_len,
+       |  round(len(list_distinct(words))::DOUBLE / len(words), 4) AS type_token_ratio,
+       |  round(len(list_filter(words, x -> x IN ${sqlList(Stopwords)}))::DOUBLE / len(words), 4)
+       |    AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_punct
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** q48 — language ID by marker-word scoring (n-gram-heuristic family).
+    * Real deployments use char-trigram profiles; the synthetic corpus
+    * shares one vocabulary across langs, so the value under test is the
+    * *dataflow*: per-lang scores map-side, argmax with a deterministic
+    * lexicographic tie-break, accuracy check against the labeled column.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  private val langs = markers.keys.toSeq.sorted
+
+  private val q48: Q = (s, dir) => {
+    val scored = langs.foldLeft(
+      Tables.documents(s, dir).withColumn("words", split(col("text"), " "))) {
+      (df, l) =>
+        df.withColumn(s"s_$l",
+          size(expr(s"filter(words, w -> w IN ${sqlList(markers(l))})")))
+    }
+    // argmax with ties resolved to the lexicographically first lang: the
+    // first lang (asc) that is >= all others wins.
+    val pred = langs.foldRight(lit(null).cast("string")) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+        pred.as("pred_lang") :+
+        (pred === col("lang")).as("is_correct"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q48Sql = {
+    val scoreCols = langs.map(l =>
+      s"len(list_filter(words, x -> x IN ${sqlList(markers(l))})) AS s_$l")
+      .mkString(",\n  ")
+    val predCase = langs.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    val sInts = langs.map(l => s"CAST(s_$l AS INTEGER) AS s_$l").mkString(", ")
+    s"""WITH w AS (SELECT *, string_split(text, ' ') AS words FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM w)
+       |SELECT doc_id, $sInts,
+       |  CASE $predCase END AS pred_lang,
+       |  (CASE $predCase END) = lang AS is_correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q49 — document fingerprints: exact digest, whitespace-normalized
+    * digest, and a winnowing-style min-shingle digest (the minimum md5
+    * over word 4-shingles — one representative hash per document, stable
+    * under local edits away from the minimizing window).
+    */
+  private val q49: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(words) < 4 THEN array(text)
+          |ELSE transform(sequence(1, size(words)-3), i ->
+          |  element_at(words,i) || ' ' || element_at(words,i+1) || ' ' ||
+          |  element_at(words,i+2) || ' ' || element_at(words,i+3)) END"""
+          .stripMargin))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(trim(regexp_replace(col("text"), " +", " "))).as("fp_norm"),
+        expr("array_min(transform(shingles, x -> md5(x)))").as("fp_minshingle"))
+      .orderBy("doc_id")
+
+  private val q49Sql =
+    """WITH w AS (SELECT *, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, text,
+      |  CASE WHEN len(words) < 4 THEN [text] ELSE
+      |    list_transform(generate_series(1, len(words)-3), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+      |  END AS shingles
+      |  FROM w)
+      |SELECT doc_id,
+      |  md5(text) AS fp_exact,
+      |  md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS fp_norm,
+      |  list_min(list_transform(shingles, x -> md5(x))) AS fp_minshingle
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q47_textstats" -> q47,
+    "q48_langid" -> q48,
+    "q49_fingerprint" -> q49
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_textstats" -> q47Sql,
+    "q48_langid" -> q48Sql,
+    "q49_fingerprint" -> q49Sql
+  )
+}
