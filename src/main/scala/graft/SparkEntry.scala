@@ -24,13 +24,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parity.ParityQueries.all ++ ops.Relational.all ++
+    parity.ParityQueries.all ++ ops.Relational.all ++ ops.Sessions.all ++
       ops.TextDedup.all ++ ops.Similarity.all ++ ops.TextStats.all ++
       ops.Multimodal.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     parity.ParityQueries.oracle ++ ops.Relational.oracle ++
-      ops.TextDedup.oracle ++ ops.Similarity.oracle ++ ops.TextStats.oracle ++
-      ops.Multimodal.oracle
+      ops.Sessions.oracle ++ ops.TextDedup.oracle ++ ops.Similarity.oracle ++
+      ops.TextStats.oracle ++ ops.Multimodal.oracle
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming transforms over the `events` schema
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is batch-on-a-timer (reference `src/main.rs:388-411`), so
+  * streaming is pure extension layer — but the operators are the streaming
+  * twins of declared batch queries (q31 tumbling, q33 session), built so the
+  * SAME aggregation logic runs incrementally:
+  *  - watermarks bound state: late rows beyond the watermark are dropped and
+  *    closed windows are evicted, so state size is O(open windows), not
+  *    O(history) — the property that lets the query run forever at scale;
+  *  - `session_window` + watermark gives merge-on-overlap sessionization
+  *    with eviction;
+  *  - [[sessionizeStateful]] shows the custom-state escape hatch
+  *    (`flatMapGroupsWithState` with event-time timeout) for session logic
+  *    the built-in can't express (e.g. emitting per-session features).
+  *
+  * All transforms are readStream/writeStream-agnostic: they take the input
+  * DataFrame (batch or streaming) so tests drive them from MemoryStream and
+  * production from any source.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (streaming twin of
+    * q31_window_tumbling). Append-mode capable: windows finalize once the
+    * watermark passes window end.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("cents", floor(col("value") * 100))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+
+  /** Sliding 1-hour windows every 15 minutes (each event lands in 4
+    * windows — Spark plans this as an Expand, state is 4× tumbling).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows with a 2-hour gap (streaming twin of
+    * q33_session_window).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("cents", floor(col("value") * 100))
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_cents"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Custom-state sessionization: one `SessionState` per user, sessions
+    * emitted when the event-time watermark passes last-event + gap
+    * (EventTimeTimeout). State is O(active users) — the bound that makes
+    * arbitrary stateful logic safe on an unbounded stream.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+                         gapMs: Long = 2 * 3600 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(
+          Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last < gapMs =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) =>
+              closed += Session(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

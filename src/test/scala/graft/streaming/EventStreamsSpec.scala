@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import EventStreams.Event
+
+/** Streaming semantics under test with MemoryStream: incremental window
+  * aggregation, watermark-driven late-data drop, and custom-state
+  * sessionization with event-time timeout.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def ev(id: Long, t: Timestamp, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Event =
+    Event(id, t, user, typ, v)
+
+  private def runAll(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("tumbling window aggregates incrementally and drops late data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour 10, one in hour 11
+      input.addData(ev(1, ts(10, 5)), ev(2, ts(10, 40)), ev(3, ts(11, 10)))
+      runAll(q)
+      // watermark = max(ts) - 2h = 09:10 → nothing finalized yet (append)
+      assert(spark.table("tumbling").count() === 0)
+
+      // batch 2: advance event time to 14:00 → watermark 12:00 closes
+      // hours 10 and 11
+      input.addData(ev(4, ts(14)))
+      runAll(q)
+      // one more empty batch lets the state-store emit settle
+      input.addData(ev(5, ts(14, 1)))
+      runAll(q)
+      val closed = spark.table("tumbling")
+        .select("window_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(closed(ts(10)) === 2L)
+      assert(closed(ts(11)) === 1L)
+
+      // batch 3: a LATE row for hour 10 (behind the 12:00 watermark) must
+      // be dropped — the closed window's count must not change
+      input.addData(ev(6, ts(10, 50)), ev(7, ts(14, 30)))
+      runAll(q)
+      val after = spark.table("tumbling")
+        .select("window_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(after(ts(10)) === 2L, "late row behind watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits sessions on event-time timeout") {
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00 and 10:30 (one session);
+      // user 2: event at 10:15
+      input.addData(ev(1, ts(10), 1), ev(2, ts(10, 30), 1), ev(3, ts(10, 15), 2))
+      runAll(q)
+      assert(spark.table("sessions").count() === 0)
+
+      // advance watermark far past last+gap (12:30): both sessions time out
+      input.addData(ev(4, ts(20), 3))
+      runAll(q)
+      input.addData(ev(5, ts(20, 1), 3))
+      runAll(q)
+      val rows = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, ts(10), ts(10, 30), 2L)))
+      assert(rows.contains((2L, ts(10, 15), ts(10, 15), 1L)))
+    } finally q.stop()
+  }
+
+  test("in-batch gap split: events farther apart than the gap form two sessions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      // 08:00 and 11:00 are 3h apart (> 2h gap) → first session closes
+      // immediately within the batch
+      input.addData(ev(1, ts(8), 7), ev(2, ts(11), 7))
+      runAll(q)
+      val rows = spark.table("sessions2")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((7L, 1L)))
+    } finally q.stop()
+  }
+}
