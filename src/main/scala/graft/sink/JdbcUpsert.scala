@@ -1,0 +1,139 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** JDBC mirror-table sink: the reference's three write paths (O7 UPDATE
+  * `src/main.rs:78-97`, O8 INSERT `src/main.rs:100-117`, O9 DELETE
+  * `src/main.rs:120-138`) plus DDL (O14 `src/db_utils.rs:84-144`),
+  * re-expressed for executor-parallel writes.
+  *
+  * Design:
+  *  - Spark's JDBC writer has no UPDATE/DELETE, so each classified
+  *    partition drives its own statements via `foreachPartition` — N
+  *    partitions write concurrently where the reference is single-writer
+  *    sequential (`src/main.rs:250-257`).
+  *  - Statement *text* generation is pure and separated from transport
+  *    (`exec: String => Unit` injected), so the batching/quoting logic is
+  *    unit-tested without a database and production passes a JDBC
+  *    connection closure.
+  *  - Batching: `batchSize` rows per statement (reference default 10 000,
+  *    `src/main.rs:359`), tail flushed (reference `src/main.rs:271-277`).
+  *  - Idempotence contract preserved (SURVEY.md §7.4): the diff is
+  *    self-healing on re-run, so partial failure needs no 2PC — re-running
+  *    the sync converges (reference behaves identically).
+  *  - Dollar-quoting: the reference wraps JSON in `$$...$$`
+  *    (`src/main.rs:82,104`); we escape any embedded `$$` so the quoting
+  *    cannot be broken by payload content.
+  */
+object JdbcUpsert {
+
+  val DefaultBatchSize = 10000
+
+  private def dollarQuote(json: String): String =
+    // `$$` inside the payload would terminate the quoted literal; the
+    // reference ignores this (injection-prone by design, SURVEY.md §4) —
+    // we pick a tag that cannot collide instead.
+    if (json.contains("$$")) s"$$graft$$$json$$graft$$" else s"$$$$$json$$$$"
+
+  /** `INSERT INTO {t} (resource) VALUES ($$json$$), …` —
+    * reference `src/main.rs:107-111`.
+    */
+  def insertSql(table: String, resources: Seq[String]): String =
+    s"INSERT INTO $table (resource) VALUES " +
+      resources.map(r => s"(${dollarQuote(r)})").mkString(", ")
+
+  /** `UPDATE {t} SET resource = data.resource::jsonb FROM (VALUES …) AS
+    * data(id, resource) WHERE data.id = {t}.id` — reference
+    * `src/main.rs:85-90` (an inline-VALUES inner join).
+    */
+  def updateSql(table: String, items: Seq[(Int, String)]): String =
+    s"UPDATE $table SET resource = data.resource::jsonb FROM (VALUES " +
+      items.map { case (id, r) => s"($id, ${dollarQuote(r)})" }.mkString(", ") +
+      s") AS data(id, resource) WHERE data.id = $table.id"
+
+  /** `DELETE FROM {t} WHERE id IN (…)` — reference `src/main.rs:127-131`. */
+  def deleteSql(table: String, ids: Seq[Int]): String =
+    s"DELETE FROM $table WHERE id IN (${ids.mkString(", ")})"
+
+  /** Chunk an iterator into `batchSize` groups and execute one statement
+    * per chunk (reference's counter-and-flush dance, `src/main.rs:188-190,
+    * 250-257, 271-277`, collapsed to `grouped`).
+    */
+  def writeBatched[T](rows: Iterator[T], batchSize: Int,
+                      toSql: Seq[T] => String, exec: String => Unit): Long = {
+    var n = 0L
+    rows.grouped(batchSize).foreach { chunk =>
+      exec(toSql(chunk))
+      n += chunk.size
+    }
+    n
+  }
+
+  /** Executor-parallel INSERT of classified insert rows
+    * (`resource` string column). `connect` runs once per partition
+    * (connection reuse within a partition = the reference's pooling,
+    * `src/db_utils.rs:14-15`, without the driver bottleneck).
+    */
+  def insertPartitions(inserts: DataFrame, table: String,
+                       connect: () => (String => Unit, () => Unit),
+                       batchSize: Int = DefaultBatchSize): Unit =
+    inserts.select("resource").foreachPartition { (rows: Iterator[Row]) =>
+      val (exec, close) = connect()
+      try { writeBatched(rows.map(_.getString(0)), batchSize,
+        (c: Seq[String]) => insertSql(table, c), exec); () }
+      finally close()
+    }
+
+  /** Executor-parallel UPDATE of classified update rows
+    * (`pk_id: int, resource: string`).
+    */
+  def updatePartitions(updates: DataFrame, table: String,
+                       connect: () => (String => Unit, () => Unit),
+                       batchSize: Int = DefaultBatchSize): Unit =
+    updates.select("pk_id", "resource").foreachPartition { (rows: Iterator[Row]) =>
+      val (exec, close) = connect()
+      try { writeBatched(rows.map(r => (r.getInt(0), r.getString(1))), batchSize,
+        (c: Seq[(Int, String)]) => updateSql(table, c), exec); () }
+      finally close()
+    }
+
+  /** Executor-parallel DELETE of classified delete pk ids. */
+  def deletePartitions(deletes: DataFrame, table: String,
+                       connect: () => (String => Unit, () => Unit),
+                       batchSize: Int = DefaultBatchSize): Unit =
+    deletes.select("pk_id").foreachPartition { (rows: Iterator[Row]) =>
+      val (exec, close) = connect()
+      try { writeBatched(rows.map(_.getInt(0)), batchSize,
+        (c: Seq[Int]) => deleteSql(table, c), exec); () }
+      finally close()
+    }
+
+  /** DDL for one mirror table + audit trigger — reference
+    * `src/db_utils.rs:88-134`, emitted verbatim so an existing PostgreSQL
+    * target is bit-compatible with the reference's.
+    */
+  def ddl(table: String): Seq[String] = Seq(
+    s"""CREATE TABLE IF NOT EXISTS $table (
+       |    id SERIAL PRIMARY KEY,
+       |    created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+       |    last_updated_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+       |    resource JSONB NOT NULL
+       |)""".stripMargin,
+    """CREATE OR REPLACE FUNCTION update_last_updated()
+      |RETURNS TRIGGER AS $$
+      |BEGIN
+      |    NEW.last_updated_at = CURRENT_TIMESTAMP;
+      |    RETURN NEW;
+      |END;
+      |$$ LANGUAGE plpgsql""".stripMargin,
+    s"""CREATE TRIGGER update_${table}_last_updated
+       |    BEFORE UPDATE ON $table
+       |    FOR EACH ROW
+       |    EXECUTE FUNCTION update_last_updated()""".stripMargin
+  )
+
+  /** Table-existence predicate — reference O13 `src/db_utils.rs:63-81`. */
+  def tablesExistSql(tables: Seq[String]): String =
+    "SELECT table_name FROM information_schema.tables WHERE table_name IN (" +
+      tables.map(t => s"'$t'").mkString(", ") + ")"
+}
