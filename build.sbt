@@ -31,4 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JIT limit; without this flag they run INTERPRETED (50-100x slower,
   // non-deterministically as inlining flips). Standard Spark deployment flag.
   "-XX:-DontCompileHugeMethods",
-)
+  // Dozens of generated classes per query × ~40 queries per run overflow
+  // the default 240 MB code cache; eviction then triggers recompile storms
+  // (queries that run in 2 s isolated take 80 s mid-suite). Size it so
+  // compiled codegen stays compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:CICompilerCount=8",
+  // Split generated functions well below the JVM's 8000-byte JIT ceiling:
+  // one random query per suite run was stalling 30-80 s while C2 chewed on
+  // a monolithic generated method (the stage ran interpreted meanwhile).
+  // Smaller methods compile in ms and inline fine.
+  "-Dspark.sql.codegen.methodSplitThreshold=256",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+"))

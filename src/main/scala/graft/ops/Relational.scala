@@ -333,7 +333,28 @@ object Relational {
       |FROM documents
       |ORDER BY doc_id, word""".stripMargin
 
+  /** q34 — sketch aggregate: HLL++ distinct count (the built-in Spark
+    * answer to sketch-based reconciliation, SURVEY.md §4). On low-
+    * cardinality domains HLL++'s sparse mode is exact, so the oracle can
+    * pin it against true COUNT(DISTINCT); at 100 TB cardinalities the
+    * value is the O(registers) memory instead of a distinct-shuffle —
+    * the expand+dedup of exact distinct never happens.
+    */
+  private val q34: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_orderpriority")).as("n_prio_approx"),
+        countDistinct(col("o_orderpriority")).as("n_prio_exact"))
+      .orderBy("o_orderstatus")
+
+  private val q34Sql =
+    """SELECT o_orderstatus,
+      |       count(DISTINCT o_orderpriority) AS n_prio_approx,
+      |       count(DISTINCT o_orderpriority) AS n_prio_exact
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q34_approx_distinct" -> q34,
     "q20_join_inner" -> q20,
     "q21_join_semi_anti" -> q21,
     "q22_join_range" -> q22,
@@ -350,6 +371,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_approx_distinct" -> q34Sql,
     "q20_join_inner" -> q20Sql,
     "q21_join_semi_anti" -> q21Sql,
     "q22_join_range" -> q22Sql,

@@ -32,18 +32,20 @@ object Similarity {
     */
   private val vd = "transform(embedding, x -> cast(x AS double))"
 
-  private def cosExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)
-       | / (sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x))
-       |  * sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)))"""
-      .stripMargin.replaceAll("\n", " ")
+  /** The engine's native codegen'd expression (registered by
+    * [[graft.plans.GraftExtensions]]); semantically identical to the
+    * higher-order-function formulation
+    * `aggregate(zip_with(a,b,(x,y)->x*y),0D,+) / (|a||b|)` but compiles to
+    * one primitive loop (no per-element lambda dispatch).
+    */
+  private def cosExpr(a: String, b: String): String = s"cosine_sim($a, $b)"
 
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
   /** q44 — embedding-cosine near-duplicates within label blocks. */
   private val q44: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), expr(vd).as("v"))
     val a = e.as("a")
     val b = e.as("b")
@@ -67,7 +69,7 @@ object Similarity {
     * against every row, top-10 each via ranking window.
     */
   private val q45: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(vd).as("v"))
+    val e = Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), expr(vd).as("v"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -104,7 +106,7 @@ object Similarity {
     val bucketExpr =
       """array_join(transform(sequence(1,4), i ->
         |  IF(element_at(embedding, i) > 0, '1', '0')), '')""".stripMargin
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"), expr(bucketExpr).as("bucket"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))

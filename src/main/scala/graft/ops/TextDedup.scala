@@ -60,7 +60,7 @@ object TextDedup {
     * 2 rows; docs sharing a band bucket are candidates.
     */
   private val q41: Q = (s, dir) => {
-    val sig = Tables.documents(s, dir)
+    val sig = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr(3)))
       .filter(size(col("shingles")) > 0)
@@ -107,7 +107,7 @@ object TextDedup {
     * each of 16 nibble-high-bits voted ±1, majority forms the bit.
     */
   private val q42: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
       .select(col("doc_id"), expr(
         """array_join(transform(sequence(1,16), j ->
@@ -133,7 +133,7 @@ object TextDedup {
     * prefix to cap block size).
     */
   private val q43: Q = (s, dir) => {
-    val blocked = Tables.documents(s, dir)
+    val blocked = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("lb"),

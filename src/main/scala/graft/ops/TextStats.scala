@@ -20,7 +20,7 @@ object TextStats {
 
   /** q47 — token/quality statistics per document. */
   private val q47: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -65,7 +65,8 @@ object TextStats {
 
   private val q48: Q = (s, dir) => {
     val scored = langs.foldLeft(
-      Tables.documents(s, dir).withColumn("words", split(col("text"), " "))) {
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("words", split(col("text"), " "))) {
       (df, l) =>
         df.withColumn(s"s_$l",
           size(expr(s"filter(words, w -> w IN ${sqlList(markers(l))})")))
@@ -110,7 +111,7 @@ object TextStats {
     * under local edits away from the minimizing window).
     */
   private val q49: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(
         """CASE WHEN size(words) < 4 THEN array(text)

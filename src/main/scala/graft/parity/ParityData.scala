@@ -32,7 +32,7 @@ object ParityData {
     * is a map-side-combinable hash aggregate: cheap at any scale.
     */
   def source(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select(
+    Tables.spread(Tables.lineitem(spark, dir)).select(
       concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("resource_id"),
       floor(col("l_quantity")).as("v"))
       .groupBy("resource_id").agg(max(col("v")).as("version_id"))
@@ -49,7 +49,7 @@ object ParityData {
       .otherwise(floor(col("l_quantity")).cast("string"))
     val idPart = when(col("l_orderkey") % 97 === 0, lit(""))
       .otherwise(concat(lit(""""id":""""), idStr, lit("""",""")))
-    Tables.lineitem(spark, dir).select(
+    Tables.spread(Tables.lineitem(spark, dir)).select(
       concat(
         lit("""{"resourceType":"Observation","""), idPart,
         lit(""""meta":{"versionId":""""), verStr,
@@ -59,7 +59,7 @@ object ParityData {
 
   /** Mirror of the reference's PG-side snapshot (`pk_id`, id, version). */
   def target(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.spread(Tables.lineitem(spark, dir))
     val existing = li.filter(col("l_linenumber") <= 3).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
       concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("resource_id"),

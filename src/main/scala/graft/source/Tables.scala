@@ -14,6 +14,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin repartition to the session's shuffle parallelism.
+    *
+    * The test tables are single parquet files with one row group, so a scan
+    * is ONE task no matter how many cores exist; any compute-heavy map stage
+    * (per-row md5s, JSON parse, cosine loops) downstream would run serially.
+    * Spreading first costs one cheap shuffle of the narrow input and buys
+    * full parallelism — the same call a real cluster needs whenever file
+    * count < cores (common after compaction). Harmless where the input is
+    * already wide: Catalyst still prunes columns through the exchange.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
