@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.source.Tables
+
+/** Physical-plan assertions: every scale claim made in operator Scaladoc
+  * (broadcasts, pushdown, top-k planning, partial aggregation) is pinned
+  * here so a refactor that silently degrades the plan fails the build.
+  * Uses sf0.001 — plan shape, not data volume, is under test.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    // executedPlan before AQE finalization still shows join strategies;
+    // explain string includes the whole tree.
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q20: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = planString(SparkEntry.queries("q20_join_inner")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast for nation/region dims in:\n$p")
+  }
+
+  test("q28: top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planString(SparkEntry.queries("q28_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = planString(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"expected pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned 2-column read schema in:\n$p")
+  }
+
+  test("column pruning reaches the scan through spread's exchange") {
+    val df = Tables.spread(Tables.lineitem(spark, dir)).select("l_orderkey")
+    val p = planString(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"round-robin repartition must not widen the scan:\n$p")
+  }
+
+  test("q23: aggregation is partial then final (map-side combine)") {
+    val df = SparkEntry.queries("q23_groupby_agg")(spark, dir)
+    val p = planString(df)
+    // two HashAggregate layers around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final hash aggregate in:\n$p")
+  }
+
+  test("q45: query-side of the similarity join is broadcast") {
+    val p = planString(SparkEntry.queries("q45_simsearch_topk")(spark, dir))
+    assert(p.contains("BroadcastExchange"), s"expected broadcast query set in:\n$p")
+  }
+
+  test("q45/q46 use the native codegen'd cosine expression, not a UDF") {
+    val p = planString(SparkEntry.queries("q45_simsearch_topk")(spark, dir))
+    assert(p.contains("cosine_sim"), s"expected native cosine_sim in:\n$p")
+    assert(!p.contains("UDF"), s"no scala UDF should appear in:\n$p")
+  }
+
+  test("q05: diff classification stays inside the join projection (one join, no re-shuffle)") {
+    val df = SparkEntry.queries("q05_diff_fullouter")(spark, dir)
+    val p = planString(df)
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"),
+      s"expected full outer join in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar suite (no codegen fallback operators)") {
+    val df = SparkEntry.queries("q30_scalar_suite")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val p = df.queryExecution.executedPlan.toString()
+    // codegen'd operators print with the `*(stageId)` marker
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      s"expected whole-stage-codegen *(n) spans in:\n$p")
+  }
+}
