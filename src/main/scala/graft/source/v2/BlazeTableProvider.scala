@@ -1,0 +1,146 @@
+package graft.source.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side page fetch for the DSv2 source: implementations must be
+  * zero-arg-constructible (instantiated by class name on each executor).
+  * Production: an HTTP client; tests/offline: fixture maps.
+  */
+trait PageFetcher extends Serializable {
+  def fetch(url: String): String
+}
+
+/** `java.net.http` fetcher — the production default. */
+class HttpPageFetcher extends PageFetcher {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def fetch(url: String): String =
+    client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+}
+
+/** DataSource V2 FHIR-search source (`format("blaze")`): one
+  * `InputPartition` PER PAGE, fetched and parsed on executors.
+  *
+  * The reference walks an opaque next-link chain sequentially
+  * (`src/main.rs:261-269`) — inherently one-at-a-time, which
+  * [[graft.source.BlazeSource]] reproduces for parity. This source is the
+  * scale path: FHIR search supports offset paging
+  * (`_count` + `_getpagesoffset`), so after one `_count=0` probe for the
+  * total (`src/main.rs:290-292` — the same zero-row trick the reference
+  * uses for reconciliation), page URLs are enumerable up front and the
+  * fetch parallelizes across the cluster; ingest throughput scales with
+  * executors instead of one driver connection.
+  *
+  * Options: `baseUrl`, `resourceType`, `pageSize` (default 5000 =
+  * reference `src/main.rs:360`), `fetcher` (class name, default
+  * [[HttpPageFetcher]]). Schema: `resource: STRING` — raw resource JSON,
+  * one row per Bundle entry, exactly the relation parity q01 declares.
+  */
+class BlazeTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "blaze"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlazeTableProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    // reader options keep caller case here; normalize for lookups
+    new BlazeTable(properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+}
+
+object BlazeTableProvider {
+  val schema: StructType = StructType(Seq(StructField("resource", StringType)))
+
+  def makeFetcher(className: String): PageFetcher =
+    Class.forName(className).getDeclaredConstructor().newInstance()
+      .asInstanceOf[PageFetcher]
+
+  /** One page's entries, parsed with Jackson (executor-side). */
+  def parseEntries(body: String): Iterator[String] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val entries = mapper.readTree(body).path("entry")
+    if (!entries.isArray) Iterator.empty
+    else entries.elements().asScala.flatMap { e =>
+      val r = e.path("resource")
+      if (r.isMissingNode || r.isNull) None else Some(mapper.writeValueAsString(r))
+    }
+  }
+}
+
+private[v2] class BlazeTable(props: Map[String, String])
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"blaze:${props.getOrElse("resourcetype", "?")}"
+  override def schema(): StructType = BlazeTableProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private val baseUrl = props("baseurl")
+      private val resourceType = props("resourcetype")
+      private val pageSize = props.getOrElse("pagesize", "5000").toInt
+      private val fetcherClass =
+        props.getOrElse("fetcher", classOf[HttpPageFetcher].getName)
+
+      override def build(): Scan = this
+      override def readSchema(): StructType = BlazeTableProvider.schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        // driver-side: one _count=0 probe, zero resource rows transferred
+        val probe = BlazeTableProvider.makeFetcher(fetcherClass)
+          .fetch(s"$baseUrl/fhir/$resourceType?_count=0")
+        val total = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(probe).path("total").asLong(0L)
+        val pages = math.max(0L, (total + pageSize - 1) / pageSize).toInt
+        (0 until pages).map { i =>
+          BlazePagePartition(
+            s"$baseUrl/fhir/$resourceType?_count=$pageSize" +
+              s"&_getpagesoffset=${i.toLong * pageSize}&_history=current")
+            .asInstanceOf[InputPartition]
+        }.toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new BlazeReaderFactory(fetcherClass)
+    }
+}
+
+case class BlazePagePartition(url: String) extends InputPartition
+
+private[v2] class BlazeReaderFactory(fetcherClass: String)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val url = partition.asInstanceOf[BlazePagePartition].url
+    new PartitionReader[InternalRow] {
+      // fetcher + parse lazily on first next(): executor-side IO
+      private lazy val it: Iterator[String] = BlazeTableProvider
+        .parseEntries(BlazeTableProvider.makeFetcher(fetcherClass).fetch(url))
+      private var current: String = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(current)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.source.v2
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Fixture fetcher: serves deterministic pages from url params. Must be a
+  * top-level zero-arg class (instantiated by name on executors).
+  */
+class FixtureFetcher extends PageFetcher {
+  override def fetch(url: String): String = {
+    val total = 23
+    val pageSize = "_count=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+    if (pageSize == 0) {
+      s"""{"resourceType":"Bundle","type":"searchset","total":$total}"""
+    } else {
+      val offset = "_getpagesoffset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      val n = math.max(0, math.min(pageSize, total - offset))
+      val entries = (offset until offset + n).map { i =>
+        s"""{"resource":{"id":"r$i","meta":{"versionId":"${i % 5}"},"resourceType":"Patient"}}"""
+      }.mkString(",")
+      s"""{"resourceType":"Bundle","type":"searchset","total":$total,
+          |"entry":[$entries]}""".stripMargin
+    }
+  }
+}
+
+class BlazeV2Spec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  test("DSv2 source plans one partition per page and reads all resources") {
+    val df = spark.read.format("blaze")
+      .option("baseUrl", "http://fixture")
+      .option("resourceType", "Patient")
+      .option("pageSize", "10")
+      .option("fetcher", classOf[FixtureFetcher].getName)
+      .load()
+
+    assert(df.schema.fieldNames.toSeq === Seq("resource"))
+    // 23 resources at pageSize 10 → 3 partitions
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 23)
+
+    val ids = df.selectExpr("get_json_object(resource, '$.id') AS id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids === (0 until 23).map(i => s"r$i").toSet)
+  }
+
+  test("DSv2 source composes with the diff kernel end-to-end") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.format("blaze")
+      .option("baseUrl", "http://fixture")
+      .option("resourceType", "Patient")
+      .option("pageSize", "10")
+      .option("fetcher", classOf[FixtureFetcher].getName)
+      .load()
+    val versions = graft.runtime.SyncPipeline.sourceVersions(src)
+    assert(versions.count() === 23)
+    assert(versions.filter(col("version_id") === 0).count() === 5) // i%5==0: 0,5,10,15,20
+  }
+}
