@@ -30,16 +30,28 @@ object ParityQueries {
     s"""WITH $resourcesSql
        |SELECT resource FROM res ORDER BY resource""".stripMargin
 
+  /** Extraction relation shared by q02/q03, materialized once
+    * (MEMORY_AND_DISK): Catalyst would otherwise push the validity filter
+    * below the spread exchange — onto the single-file scan task — and
+    * substitute the (non-codegen) `from_json` into both filter conditions
+    * AND both projections: four serial parses per row. Persisting is the
+    * plan a 100 TB pipeline uses anyway: parse once, distributed, reuse.
+    * Spark's cache manager keys on the analyzed plan, so every q02/q03
+    * invocation in a session shares one materialization.
+    */
+  private def extracted(s: SparkSession, dir: String) = {
+    val (id, ver) = Reconcile.extractVersion(col("resource"))
+    ParityData.sourceResources(s, dir)
+      .select(id.as("resource_id"), ver.as("version_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** q02 — JSON field extraction (O2, reference `src/main.rs:37-46`):
     * `$.id` as string, `$.meta.versionId` string→long, null when absent
     * or malformed (the reference's `Option::None`).
     */
-  private val q02: Q = (s, dir) => {
-    val (id, ver) = Reconcile.extractVersion(col("resource"))
-    ParityData.sourceResources(s, dir)
-      .select(id.as("resource_id"), ver.as("version_id"))
-      .orderBy(col("resource_id"), col("version_id"))
-  }
+  private val q02: Q = (s, dir) =>
+    extracted(s, dir).orderBy(col("resource_id"), col("version_id"))
 
   private val q02Sql =
     s"""WITH $resourcesSql
@@ -51,13 +63,9 @@ object ParityQueries {
   /** q03 — validity filter (O3, reference `src/main.rs:210-225`): rows
     * missing id or versionId are invisible to sync.
     */
-  private val q03: Q = (s, dir) => {
-    val (id, ver) = Reconcile.extractVersion(col("resource"))
-    Reconcile.validOnly(
-      ParityData.sourceResources(s, dir)
-        .select(id.as("resource_id"), ver.as("version_id")))
+  private val q03: Q = (s, dir) =>
+    Reconcile.validOnly(extracted(s, dir))
       .orderBy(col("resource_id"), col("version_id"))
-  }
 
   private val q03Sql =
     s"""WITH $resourcesSql, x AS (
