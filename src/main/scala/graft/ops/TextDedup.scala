@@ -75,6 +75,8 @@ object TextDedup {
           |  struct(b AS b, md5(element_at(mh, 2*b+1) || element_at(mh, 2*b+2)) AS bh))"""
           .stripMargin)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+      // self-joined below: one signature computation, not two
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a")
     val c = bands.as("c")
     a.join(c, col("a.b") === col("c.b") && col("a.bh") === col("c.bh") &&
@@ -138,14 +140,27 @@ object TextDedup {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("lb"),
         array_distinct(expr(shinglesExpr(2))).as("sh"))
-    val a = blocked.as("a")
-    val b = blocked.as("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter.cast("double") /
-          (size(col("a.sh")) + size(col("b.sh")) - inter), 4).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Set-similarity join, not pairwise array_intersect: exploding to
+    // (block, shingle, doc) and equi-joining on the shingle computes every
+    // pair's intersection size in ONE shuffled hash join + count — no
+    // per-pair hashset builds, and pairs sharing nothing never materialize.
+    // This is the formulation that survives 100 TB (PPJoin-style); skewed
+    // hot shingles are AQE's skew-join case.
+    val sizes = blocked.select(col("doc_id"), size(col("sh")).as("n"))
+    val tok = blocked.select(col("doc_id"), col("lang"), col("lb"),
+      explode(col("sh")).as("shingle"))
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.1)
       .orderBy("doc_a", "doc_b")
   }

@@ -36,6 +36,9 @@ object ParityData {
       concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("resource_id"),
       floor(col("l_quantity")).as("v"))
       .groupBy("resource_id").agg(max(col("v")).as("version_id"))
+      // shared by every parity query; plan-keyed cache → one aggregation
+      // pass per session (the "materialized snapshot" a real sync keeps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Source with the raw-JSON resource column (for O1/O2/O3 queries).
     * Mimics the reference's wire corpus including its dirt: rows where
@@ -74,6 +77,7 @@ object ParityData {
       .groupBy("resource_id")
       .agg(max(col("pk")).as("pk_id"), max(col("v")).as("version_id"))
       .select("pk_id", "resource_id", "version_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The CTE prelude shared by the parity oracle SQL (DuckDB dialect =
