@@ -104,6 +104,54 @@ object TextDedup {
       |  ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q41b — LSH candidate VERIFICATION: the canonical second stage of the
+    * MinHash pipeline. The band join over-generates (collisions); here each
+    * candidate pair — and ONLY candidates, never all O(n²) pairs — is
+    * joined back to its distinct 3-shingle sets and scored with exact
+    * Jaccard. At 100 TB the candidate relation is tiny relative to the
+    * corpus, so this stage costs two hash joins against the shingle-set
+    * relation plus per-candidate set intersection.
+    */
+  private val q41b: Q = (s, dir) => {
+    val cand = q41(s, dir)
+    val sets = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q41bSql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
+      |  FROM w),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0,7), j ->
+      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
+      |  FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c
+      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+      |    AS jaccard
+      |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+      |          JOIN sets sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q42 — SimHash: 16-bit fingerprint from per-word md5 bit votes. Entirely
     * map-side (no shuffle until the final orderBy): each word hashed once,
     * each of 16 nibble-high-bits voted ±1, majority forms the bit.
@@ -183,6 +231,7 @@ object TextDedup {
   val all: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
+    "q41b_dedup_lsh_verified" -> q41b,
     "q42_dedup_simhash" -> q42,
     "q43_dedup_ngram_jaccard" -> q43
   )
@@ -190,6 +239,7 @@ object TextDedup {
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,
+    "q41b_dedup_lsh_verified" -> q41bSql,
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql
   )
