@@ -46,7 +46,9 @@ object Multimodal {
         val hex = md.digest(bytes).map("%02x".format(_)).mkString
         val w = Integer.parseInt(hex.substring(0, 4), 16) % 1024
         val h = Integer.parseInt(hex.substring(4, 8), 16) % 1024
-        val fmt = if ((hex.charAt(8) & 1) == 0) "jpeg" else "png"
+        // Hex-VALUE parity ('a'=10 → even), not ASCII-char parity — must
+        // agree with q50's `conv(substring(md5, 9, 1), 16, 10) % 2`.
+        val fmt = if (Integer.parseInt(hex.substring(8, 9), 16) % 2 == 0) "jpeg" else "png"
         MediaMeta(id, bytes.length.toLong, hex, w, h, fmt)
       }
     }

@@ -144,23 +144,26 @@ object Similarity {
   /** q51 — per-label centroid via the typed [[graft.functions.VectorCentroid]]
     * `Aggregator` (partial+final aggregation: shuffle carries one
     * (sums, count) per label per map task, not the vectors).
+    *
+    * Output is exploded to one `(label, dim, mean)` row per dimension: the
+    * verification harness compares sorted scalar columns, and an
+    * `array<double>` column is unsortable on the oracle side. Numerically
+    * this is the same centroid — just in long form.
     */
   private val q51: Q = (s, dir) => {
     val centroid = udaf(graft.functions.VectorCentroid)
     Tables.embeddings(s, dir)
       .groupBy("label")
       .agg(centroid(col("embedding")).as("raw"))
-      .select(col("label"),
-        expr("transform(raw, x -> round(x, 6))").as("centroid"))
-      .orderBy("label")
+      .select(col("label"), posexplode(col("raw")))
+      .select(col("label"), (col("pos") + 1).as("dim"), round(col("col"), 6).as("mean"))
+      .orderBy("label", "dim")
   }
 
   private val q51Sql =
-    """SELECT label, list(round(m, 6) ORDER BY i) AS centroid FROM (
-      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
-      |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
-      |  GROUP BY label, i) g
-      |GROUP BY label ORDER BY label""".stripMargin
+    """SELECT label, CAST(i AS INTEGER) AS dim, round(avg(embedding[i]::DOUBLE), 6) AS mean
+      |FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q44_embed_neardup" -> q44,

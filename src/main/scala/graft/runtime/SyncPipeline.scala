@@ -18,6 +18,15 @@ import graft.source.BlazeSource
   * memory (its BTreeMap, `src/main.rs:49-75`, is the scalability ceiling —
   * SURVEY.md §4), writes are partition-parallel instead of single-writer,
   * and the whole classification happens in one distributed join.
+  *
+  * Execution-count discipline (the 100 TB concern): the classified relation
+  * is computed ONCE and persisted (memory-and-disk, spillable), then read
+  * four times — one counting job plus the three write jobs. Without the
+  * persist, each of those jobs would re-run the source scan and the join
+  * from scratch (6× reads of the corpus), and — worse — any count taken
+  * after the writes would observe the target the writes just mutated and
+  * report garbage. All counts here are taken from the persisted
+  * classification BEFORE the first write executes.
   */
 object SyncPipeline {
 
@@ -37,9 +46,33 @@ object SyncPipeline {
       resources.select(col("resource"), id.as("resource_id"), ver.as("version_id")))
   }
 
+  /** One full-outer classification carrying both write payloads: the
+    * source's raw `resource` (for INSERT/UPDATE) and the target's `pk_id`
+    * (for UPDATE/DELETE). One row per resource_id on either side, with
+    * `action ∈ {insert, update, delete, noop}` — the same CASE the
+    * reference's probe loop implements (`src/main.rs:227-248, 278-282`).
+    */
+  def classifyWithPayloads(src: DataFrame, snapshot: DataFrame): DataFrame = {
+    val s = src.select(col("resource_id").as("s_id"),
+      col("version_id").as("src_version"), col("resource"))
+    val t = snapshot.select(col("resource_id").as("t_id"),
+      col("version_id").as("tgt_version"), col("pk_id"))
+    s.join(t, col("s_id") === col("t_id"), "full_outer")
+      .select(
+        coalesce(col("s_id"), col("t_id")).as("resource_id"),
+        col("resource"),
+        col("pk_id"),
+        when(col("t_id").isNull, Reconcile.Insert)
+          .when(col("s_id").isNull, Reconcile.Delete)
+          .when(col("src_version") =!= col("tgt_version"), Reconcile.Update)
+          .otherwise(Reconcile.Noop)
+          .as("action"))
+  }
+
   /** One type's sync. `snapshot` is the target's (pk_id, resource_id,
-    * version_id) projection (never the JSONB payload — §4); `targetCount`
-    * reads the post-write count.
+    * version_id) projection (never the JSONB payload — §4; see
+    * [[graft.source.Snapshot]] for the production JDBC reader);
+    * `targetCount` reads the post-write count.
     */
   def syncOne(spark: SparkSession,
               resourceType: String,
@@ -49,40 +82,75 @@ object SyncPipeline {
               targetCount: String => Long,
               batchSize: Int = JdbcUpsert.DefaultBatchSize): SyncResult = {
     val table = Schemas.tableName(resourceType)
-    val src = sourceVersions(resources)
+    val classified = classifyWithPayloads(sourceVersions(resources), snapshot)
+      .persist()
+    try {
+      // One aggregation job materializes the cache AND yields every count
+      // the result needs — before any write mutates the live target.
+      val byAction = classified.groupBy("action").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      val nIns = byAction(Reconcile.Insert)
+      val nUpd = byAction(Reconcile.Update)
+      val nDel = byAction(Reconcile.Delete)
+      // every valid source row is exactly one of insert/update/noop
+      val srcTotal = nIns + nUpd + byAction(Reconcile.Noop)
 
-    val inserts = Reconcile.inserts(src, snapshot)
-    // updates carry the target's pk_id through the inner join
-    val updates = Reconcile.updates(src, snapshot)
-    val deletes = Reconcile.deletes(src.select("resource_id", "version_id"), snapshot)
+      def only(action: String) = classified.filter(col("action") === action)
+      JdbcUpsert.insertPartitions(
+        only(Reconcile.Insert).select("resource"), table, connect, batchSize)
+      JdbcUpsert.updatePartitions(
+        only(Reconcile.Update)
+          .select(col("pk_id").cast("int").as("pk_id"), col("resource")),
+        table, connect, batchSize)
+      JdbcUpsert.deletePartitions(
+        only(Reconcile.Delete).select(col("pk_id").cast("int").as("pk_id")),
+        table, connect, batchSize)
 
-    JdbcUpsert.insertPartitions(inserts.select("resource"), table, connect, batchSize)
-    JdbcUpsert.updatePartitions(
-      updates.select(col("pk_id").cast("int").as("pk_id"), col("resource")),
-      table, connect, batchSize)
-    JdbcUpsert.deletePartitions(
-      deletes.select(col("pk_id").cast("int").as("pk_id")), table, connect, batchSize)
-
-    val srcTotal = src.count()
-    SyncResult(resourceType,
-      inserts = inserts.count(), updates = updates.count(),
-      deletes = deletes.count(), sourceTotal = srcTotal,
-      targetAfter = targetCount(table))
+      SyncResult(resourceType, inserts = nIns, updates = nUpd, deletes = nDel,
+        sourceTotal = srcTotal, targetAfter = targetCount(table))
+    } finally {
+      classified.unpersist()
+      ()
+    }
   }
 
   /** All four types sequentially (reference `src/main.rs:319-326`; Spark
     * jobs are internally parallel, so sequential per-type is fine — each
-    * sync saturates the cluster).
+    * sync saturates the cluster). `sourceFor`/`snapshotFor` are factories
+    * so the scan itself is pluggable — see [[blazeV2Source]] (the scale
+    * default) and [[blazeDriverSource]] (parity/fixture path).
     */
   def runSync(spark: SparkSession,
-              fetch: String => String,
-              baseUrl: String,
-              pageSize: Int,
+              sourceFor: String => DataFrame,
               snapshotFor: String => DataFrame,
               connect: () => (String => Unit, () => Unit),
               targetCount: String => Long): Seq[SyncResult] =
     Schemas.resourceTypes.map { t =>
-      val resources = BlazeSource.scan(spark, baseUrl, t, pageSize, fetch)
-      syncOne(spark, t, resources, snapshotFor(t), connect, targetCount)
+      syncOne(spark, t, sourceFor(t), snapshotFor(t), connect, targetCount)
     }
+
+  /** Scale-path source factory: the DSv2 `blaze` format — one
+    * InputPartition per page, fetch + Bundle parse on EXECUTORS
+    * ([[graft.source.v2.BlazeTableProvider]]). This is the default for
+    * production sync: the driver never holds page bodies.
+    */
+  def blazeV2Source(spark: SparkSession, baseUrl: String, pageSize: Int,
+                    fetcherClass: String =
+                      classOf[graft.source.v2.HttpPageFetcher].getName): String => DataFrame =
+    t => spark.read.format("blaze")
+      .option("baseUrl", baseUrl)
+      .option("resourceType", t)
+      .option("pageSize", pageSize.toString)
+      .option("fetcher", fetcherClass)
+      .load()
+
+  /** Parity-path source factory: the driver-side next-link iterator
+    * ([[BlazeSource.scan]]) — exact reference pagination semantics, driver
+    * memory holds the fetched pages. For tests and strict-parity runs
+    * against servers without offset paging; NOT the scale path.
+    */
+  def blazeDriverSource(spark: SparkSession, baseUrl: String, pageSize: Int,
+                        fetch: String => String): String => DataFrame =
+    t => BlazeSource.scan(spark, baseUrl, t, pageSize, fetch)
 }

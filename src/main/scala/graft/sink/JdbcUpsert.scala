@@ -29,11 +29,18 @@ object JdbcUpsert {
 
   val DefaultBatchSize = 10000
 
-  private def dollarQuote(json: String): String =
+  private[graft] def dollarQuote(json: String): String = {
     // `$$` inside the payload would terminate the quoted literal; the
-    // reference ignores this (injection-prone by design, SURVEY.md §4) —
-    // we pick a tag that cannot collide instead.
-    if (json.contains("$$")) s"$$graft$$$json$$graft$$" else s"$$$$$json$$$$"
+    // reference ignores this (injection-prone by design, SURVEY.md §4).
+    // A fixed fallback tag is not collision-proof either (a payload can
+    // contain both `$$` and the fallback), so extend the tag until it
+    // genuinely does not occur in the payload — PostgreSQL allows any
+    // `$tag$`. Terminates: each step appends a char, and the payload is
+    // finite so it cannot contain every prefix.
+    var tag = ""
+    while (json.contains(s"$$$tag$$")) tag += "g"
+    s"$$$tag$$$json$$$tag$$"
+  }
 
   /** `INSERT INTO {t} (resource) VALUES ($$json$$), …` —
     * reference `src/main.rs:107-111`.
@@ -115,8 +122,8 @@ object JdbcUpsert {
   def ddl(table: String): Seq[String] = Seq(
     s"""CREATE TABLE IF NOT EXISTS $table (
        |    id SERIAL PRIMARY KEY,
-       |    created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
-       |    last_updated_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+       |    created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP,
+       |    last_updated_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP,
        |    resource JSONB NOT NULL
        |)""".stripMargin,
     """CREATE OR REPLACE FUNCTION update_last_updated()
@@ -126,10 +133,10 @@ object JdbcUpsert {
       |    RETURN NEW;
       |END;
       |$$ LANGUAGE plpgsql""".stripMargin,
-    s"""CREATE TRIGGER update_${table}_last_updated
+    s"""CREATE TRIGGER update_last_updated_trigger
        |    BEFORE UPDATE ON $table
        |    FOR EACH ROW
-       |    EXECUTE FUNCTION update_last_updated()""".stripMargin
+       |    EXECUTE PROCEDURE update_last_updated()""".stripMargin
   )
 
   /** Table-existence predicate — reference O13 `src/db_utils.rs:63-81`. */

@@ -9,12 +9,16 @@ import graft.model.Schemas
   *
   * Architecture: pagination over an HTTP next-link chain is inherently
   * sequential (page N+1's URL is only known after page N), so the *fetch*
-  * runs on the driver as a lazy iterator — but each page's BODY is handed
-  * straight to the cluster: pages become a `Dataset[String]`, Bundle
-  * parsing (`from_json` with [[Schemas.bundle]]), entry explode, and all
-  * downstream diff work are distributed. Driver memory holds one page of
-  * JSON text at a time (the reference holds the same, `src/main.rs:200`);
-  * nothing else accumulates.
+  * runs on the driver as a lazy iterator, and Bundle parsing (`from_json`
+  * with [[Schemas.bundle]]), entry explode, and all downstream diff work
+  * are distributed. NOTE the honest memory contract: [[scan]] collects all
+  * page bodies into one driver-side `Seq` before `createDataset` — fine
+  * for parity tests and modest corpora, but it IS a driver-memory ceiling
+  * (the same one the reference has). The scale path is the DSv2 `blaze`
+  * source ([[graft.source.v2.BlazeTableProvider]]): one InputPartition per
+  * page, fetched and parsed on executors, zero page bodies on the driver —
+  * and it is what [[graft.runtime.SyncPipeline.blazeV2Source]] wires into
+  * production sync.
   *
   * The fetch function is injected (`url => body`) so tests and offline runs
   * use fixture pages; production passes an HTTP client closure. Source

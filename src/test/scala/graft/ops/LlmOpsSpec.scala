@@ -56,6 +56,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(metas(0).digest === expect)
   }
 
+  test("decodeStub metadata matches the q50 SQL expressions bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Payloads chosen so md5 hex digit 9 covers both digit (0-9) and
+    // letter (a-f) cases — char parity vs hex-value parity diverge on a-f.
+    val texts = Seq("hello", "world", "spark", "graft", "a", "bb", "ccc", "")
+    val payloads = spark.createDataset(texts.zipWithIndex.map {
+      case (t, i) => (i.toLong, t.getBytes("UTF-8"))
+    })
+    val stub = Multimodal.decodeStub(payloads).collect().sortBy(_.doc_id)
+    val sql = payloads.toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("int") % 1024).as("width"),
+        (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("int") % 1024).as("height"),
+        when(expr("conv(substring(md5(payload), 9, 1), 16, 10) % 2 = 0"), "jpeg")
+          .otherwise("png").as("format"))
+      .as[MediaMeta].collect().sortBy(_.doc_id)
+    assert(stub.toSeq === sql.toSeq)
+  }
+
   test("simhash bit semantics: single-word doc reproduces its md5 bit pattern") {
     val spark2 = spark
     import spark2.implicits._

@@ -77,9 +77,18 @@ class RuntimeSpec extends AnyFunSuite {
       "DELETE FROM patient WHERE id IN (1, 2, 3)")
   }
 
-  test("dollar-quoting survives payloads containing $$") {
-    val sql = JdbcUpsert.insertSql("t", Seq("""{"a":"x$$y"}"""))
-    assert(sql.contains("$graft$"))
+  test("dollar-quoting extends the tag until it cannot occur in the payload") {
+    // plain payload → reference's bare $$ quoting
+    assert(JdbcUpsert.dollarQuote("""{"a":1}""") === """$${"a":1}$$""")
+    // payload containing $$ → $g$ tag
+    assert(JdbcUpsert.dollarQuote("x$$y") === "$g$x$$y$g$")
+    // adversarial payload containing $$ AND $g$ AND $gg$ → $ggg$ tag;
+    // the chosen delimiter never appears inside the quoted body
+    val hostile = "a$$b$g$c$gg$d"
+    val quoted = JdbcUpsert.dollarQuote(hostile)
+    assert(quoted === s"$$ggg$$$hostile$$ggg$$")
+    val tag = quoted.substring(0, quoted.indexOf('$', 1) + 1)
+    assert(!hostile.contains(tag))
   }
 
   test("writeBatched chunks at batchSize and flushes the tail") {
@@ -90,12 +99,18 @@ class RuntimeSpec extends AnyFunSuite {
     assert(stmts.toSeq === Seq("batch:10", "batch:10", "batch:5"))
   }
 
-  test("ddl emits table, trigger function, and trigger") {
+  test("ddl matches the reference schema: NOT NULL audit columns, trigger name") {
     val d = JdbcUpsert.ddl("patient")
     assert(d.size === 3)
     assert(d.head.contains("CREATE TABLE IF NOT EXISTS patient"))
+    // reference src/db_utils.rs:88-111 — audit columns are NOT NULL
+    assert(d.head.contains("created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP"))
+    assert(d.head.contains("last_updated_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP"))
     assert(d(1).contains("update_last_updated"))
+    // reference src/db_utils.rs:119-134 — same trigger name on every table
+    assert(d(2).contains("CREATE TRIGGER update_last_updated_trigger"))
     assert(d(2).contains("BEFORE UPDATE ON patient"))
+    assert(d(2).contains("EXECUTE PROCEDURE update_last_updated()"))
   }
 
   // ---- Scheduler ----
