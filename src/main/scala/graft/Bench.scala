@@ -1,25 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Protocol (VERDICT round-1 item 4 — measurement
+  * hygiene on a noisy shared host, see also `graft.Probe`):
+  *
+  *  - one UNTIMED warmup execution per query: materializes the shared
+  *    parity/dedup caches and lets HotSpot compile the generated code, so
+  *    first-touch cost is not attributed to whichever query happens to run
+  *    first;
+  *  - then `reps` timed executions (default 3), reporting the per-query
+  *    MEDIAN — single samples on this host swing 2–100× with no code
+  *    change, medians reproduce;
+  *  - `total` is the sum of medians;
+  *  - failures are LOUD: the error is recorded in the JSON and the process
+  *    exits non-zero. A broken query must never silently inflate (or
+  *    deflate) the total.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case t: Throwable =>
+            errors.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${t.getMessage}")
+            None
+        }
+      }
+      once() // warmup: caches + JIT, untimed
+      val timed = (1 to reps).flatMap(_ => once())
+      name -> (if (timed.isEmpty) -1.0 else median(timed))
     }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        s"""\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}\""""
+      }.mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }
