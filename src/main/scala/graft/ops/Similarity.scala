@@ -66,19 +66,25 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** q45 — brute-force cosine top-k: 5 broadcast query vectors scored
-    * against every row, top-10 each via ranking window.
+    * against every row map-side; the per-query top-10 is a bounded
+    * [[graft.functions.TopKByScore]] aggregation (partial+final), NOT a
+    * ranking window — a window would shuffle every scored row to one
+    * reducer per query, while the aggregator's map-side partials cap the
+    * exchange at k rows per partition per query.
     */
   private val q45: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(10))
     val e = Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), expr(vd).as("v"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr(cosExpr("qv", "v")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .groupBy("query_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -103,6 +109,7 @@ object Similarity {
     * The cross join of q45 becomes an equi-join on `bucket`.
     */
   private val q46: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(5))
     val bucketExpr =
       """array_join(transform(sequence(1,4), i ->
         |  IF(element_at(embedding, i) > 0, '1', '0')), '')""".stripMargin
@@ -110,14 +117,16 @@ object Similarity {
       .select(col("vec_id"), expr(vd).as("v"), expr(bucketExpr).as("bucket"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
         round(expr(cosExpr("qv", "v")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .groupBy("query_id")
+      // bucket is group-constant (candidates share the query's bucket)
+      .agg(topk(col("cos_sim"), col("vec_id")).as("tk"), max("bucket").as("bucket"))
+      .select(col("query_id"), col("bucket"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"), col("bucket"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -176,12 +176,58 @@ object TextDedup {
       |  AS simhash
       |FROM w ORDER BY doc_id""".stripMargin
 
-  /** q43 — blocked n-gram Jaccard: distinct word-bigram sets, pairs within
-    * (lang, n_chars/100) blocks, Jaccard ≥ 0.1. Blocking turns the O(n²)
-    * all-pairs into per-block quadratics over an equi-join — the standard
-    * scale pattern (at 100 TB the block key would also include a minhash
-    * prefix to cap block size).
+  /** q43 — blocked n-gram Jaccard with PPJoin-style PREFIX FILTERING:
+    * distinct word-bigram sets, pairs within (lang, n_chars/100) blocks,
+    * Jaccard ≥ 0.1.
+    *
+    * Candidate generation joins only on each document's PREFIX tokens —
+    * its (n − ⌈t·n⌉ + 1) rarest shingles under a global (document
+    * frequency asc, shingle asc) total order — then verifies candidates
+    * with exact Jaccard. Losslessness (Chaudhuri et al. 2006 / PPJoin,
+    * Xiao et al. 2008): J(x,y) ≥ t ⟹ |x∩y| ≥ ⌈t·max(|x|,|y|)⌉, and the
+    * globally-smallest shared token must sit within both prefixes. This
+    * is what bounds the quadratic term at 100 TB: hot stopword bigrams
+    * have the HIGHEST df, so they sort to the suffix and never generate
+    * candidate pairs — the round-1 verdict's unbounded-block failure mode.
+    * The df/rank/prefix stages shuffle only narrow (doc, token) rows.
     */
+  /** The prefix-filtered similarity-join kernel behind q43, extracted so
+    * the losslessness property (prefix join ≡ brute-force within blocks)
+    * is unit-testable on arbitrary inputs. `blocked` carries
+    * `(doc_id, lang, lb, sh: array<string>)` with `sh` distinct.
+    */
+  private[graft] def jaccardPrefixJoin(blocked: DataFrame, t: Double): DataFrame = {
+    val tok = blocked.select(col("doc_id"), col("lang"), col("lb"),
+      explode(col("sh")).as("shingle"))
+    // global document frequency: the rare-first order that makes prefixes
+    // selective; one groupBy over the narrow token relation
+    val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = tok.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "lang", "lb", "shingle")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on candidates ONLY (cf. q41b): two hash joins
+    // back to the (persisted) shingle sets, per-candidate intersection
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(blocked.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(blocked.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val q43: Q = (s, dir) => {
     val blocked = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
@@ -189,28 +235,7 @@ object TextDedup {
         (col("n_chars") / 100).cast("long").as("lb"),
         array_distinct(expr(shinglesExpr(2))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Set-similarity join, not pairwise array_intersect: exploding to
-    // (block, shingle, doc) and equi-joining on the shingle computes every
-    // pair's intersection size in ONE shuffled hash join + count — no
-    // per-pair hashset builds, and pairs sharing nothing never materialize.
-    // This is the formulation that survives 100 TB (PPJoin-style); skewed
-    // hot shingles are AQE's skew-join case.
-    val sizes = blocked.select(col("doc_id"), size(col("sh")).as("n"))
-    val tok = blocked.select(col("doc_id"), col("lang"), col("lb"),
-      explode(col("sh")).as("shingle"))
-    val pairs = tok.as("a").join(tok.as("b"),
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.1)
-      .orderBy("doc_a", "doc_b")
+    jaccardPrefixJoin(blocked, t = 0.1)
   }
 
   private val q43Sql =

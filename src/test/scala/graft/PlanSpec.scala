@@ -71,6 +71,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"no scala UDF should appear in:\n$p")
   }
 
+  test("q45: per-query top-k is a partial+final bounded aggregation, not a window") {
+    val p = planString(SparkEntry.queries("q45_simsearch_topk")(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for TopKByScore in:\n$p")
+    assert(!p.contains("Window"), s"ranking window would shuffle every scored row:\n$p")
+  }
+
+  test("q41: LSH band join is an equi-join over the persisted bands relation") {
+    val p = planString(SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must not degrade to an all-pairs join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected hash/merge equi-join on (b, bh) in:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bands must be persisted once, not recomputed per side:\n$p")
+  }
+
+  test("q43: prefix-token candidate join is an equi-join (no all-pairs fallback)") {
+    val p = planString(SparkEntry.queries("q43_dedup_ngram_jaccard")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay an equi-join on (lang, lb, shingle):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected shuffled equi-join in:\n$p")
+  }
+
   test("q05: diff classification stays inside the join projection (one join, no re-shuffle)") {
     val df = SparkEntry.queries("q05_diff_fullouter")(spark, dir)
     val p = planString(df)
