@@ -42,3 +42,34 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
 }
+
+/** [[Scored]] plus an opaque payload carried through the ranking (e.g. the
+  * IVF cell a candidate was retrieved from). The tag takes no part in the
+  * ordering.
+  */
+case class ScoredTag(score: Double, id: Long, tag: Long)
+
+/** [[TopKByScore]] with a carried payload — same bounded partial+final
+  * aggregation, same (score desc, id asc) total order.
+  */
+class TopKTagged(k: Int) extends Aggregator[ScoredTag, Seq[ScoredTag], Seq[ScoredTag]] {
+  require(k > 0, "k must be positive")
+
+  private def ahead(a: ScoredTag, b: ScoredTag): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredTag] = Seq.empty
+
+  override def reduce(buf: Seq[ScoredTag], v: ScoredTag): Seq[ScoredTag] =
+    if (buf.size >= k && ahead(buf.last, v)) buf
+    else (v +: buf).sortWith(ahead).take(k)
+
+  override def merge(x: Seq[ScoredTag], y: Seq[ScoredTag]): Seq[ScoredTag] =
+    if (x.isEmpty) y else if (y.isEmpty) x
+    else (x ++ y).sortWith(ahead).take(k)
+
+  override def finish(buf: Seq[ScoredTag]): Seq[ScoredTag] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()
+  override def outputEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()
+}

@@ -19,9 +19,11 @@ import graft.source.Tables
   *    is map-side over the big table, and the per-query top-k is a
   *    TakeOrdered-style aggregation — the full similarity matrix is never
   *    materialized.
-  *  - q46 LSH ANN: sign-bit bucketing (axis-aligned random hyperplanes)
+  *  - q46 LSH ANN: sign-bit bucketing under seeded random hyperplanes
   *    turns the cross join into an equi-join on the bucket id — the scale
   *    path when the query set is itself large.
+  *  - q53 IVF ANN: coarse-quantizer cells + probed re-rank — the
+  *    inverted-file layout ANN services use at corpus scale.
   */
 object Similarity {
 
@@ -104,17 +106,42 @@ object Similarity {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
-  /** q46 — LSH-bucketed ANN: bucket = sign bits of the first 4 dimensions
-    * (16 buckets); candidates share the query's bucket; top-5 per query.
-    * The cross join of q45 becomes an equi-join on `bucket`.
+  /** Seeded random-hyperplane sign matrix for q46's LSH: 4 planes × 64
+    * dims of Rademacher ±1, each sign the hex-value parity of
+    * `md5("{plane}_{dim}")`'s first nibble. md5 is the one hash both
+    * engines share, so the DuckDB oracle derives the SAME matrix in SQL
+    * while the Spark side bakes it in as a LITERAL nested array — the
+    * "trained" LSH model a real deployment would broadcast — keeping
+    * bucketing map-side with zero per-row hashing.
+    */
+  private[graft] lazy val hyperplaneLit: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4).map { p =>
+      (1 to 64).map { j =>
+        md.reset()
+        val hex = md.digest(s"${p}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) "1.0D" else "-1.0D"
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+  }
+
+  /** Sign-bit bucket of a 64-dim double vector column under
+    * [[hyperplaneLit]]: bit p = (v · plane_p) > 0.
+    */
+  private[graft] def hyperplaneBucket(vcol: String): String =
+    s"""array_join(transform(sequence(0,3), p ->
+       |  IF(aggregate(zip_with($vcol, element_at($hyperplaneLit, p+1),
+       |       (x, y) -> x*y), 0D, (a, x) -> a + x) > 0, '1', '0')), '')""".stripMargin
+
+  /** q46 — LSH-bucketed ANN: bucket = sign bits under 4 seeded random
+    * hyperplanes (16 buckets); candidates share the query's bucket; top-5
+    * per query. The cross join of q45 becomes an equi-join on `bucket`.
     */
   private val q46: Q = (s, dir) => {
     val topk = udaf(new graft.functions.TopKByScore(5))
-    val bucketExpr =
-      """array_join(transform(sequence(1,4), i ->
-        |  IF(element_at(embedding, i) > 0, '1', '0')), '')""".stripMargin
     val e = Tables.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), expr(vd).as("v"), expr(bucketExpr).as("bucket"))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
     e.join(broadcast(queries), Seq("bucket"))
@@ -131,11 +158,19 @@ object Similarity {
   }
 
   private val q46Sql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-       |  list_aggregate(list_transform(generate_series(1,4), i ->
-       |    CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), 'string_agg', '')
-       |    AS bucket
-       |  FROM embeddings),
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.bucket,
@@ -149,6 +184,75 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q53 — IVF (inverted-file) ANN, the coarse-quantizer scale path beyond
+    * q46's hyperplane LSH: assign every vector to its nearest of 8 coarse
+    * cells, probe each query's 2 nearest cells, re-rank candidates exactly.
+    *
+    * Scale shape: the "trained" quantizer (here: the first 8 vectors, a
+    * deterministic stand-in for k-means centroids) is a tiny broadcast
+    * relation — assignment is a broadcast join + map-side argmax
+    * (`max_by` over a (cos, -cell) struct = partial-aggregated, shuffle
+    * carries one row per vector). Probing touches only the candidates in
+    * nprobe/ncells of the corpus; the per-query top-5 is the bounded
+    * [[graft.functions.TopKTagged]] aggregation. No all-pairs scoring
+    * anywhere — the brute-force q45 becomes a probed subset scan.
+    */
+  private val q53: Q = (s, dir) => {
+    val topkCells = udaf(new graft.functions.TopKByScore(2))
+    val topk = udaf(new graft.functions.TopKTagged(5))
+    val e = Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), expr(vd).as("v"))
+    val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cell"),
+        round(expr(cosExpr("v", "cv")), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("v")).as("v"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(expr(cosExpr("qv", "cv")), 6).as("cs"))
+      .groupBy("query_id")
+      .agg(topkCells(col("cs"), col("cell")).as("pc"), first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("pc.id")).as("cell"))
+    assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(expr(cosExpr("qv", "v")), 6).as("cos_sim"))
+      .groupBy("query_id")
+      .agg(topk(col("cos_sim"), col("vec_id"), col("cell")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"), col("col.tag").as("cell"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q53Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, a.cell,
+       |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, cell, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q51 — per-label centroid via the typed [[graft.functions.VectorCentroid]]
     * `Aggregator` (partial+final aggregation: shuffle carries one
@@ -178,13 +282,15 @@ object Similarity {
     "q44_embed_neardup" -> q44,
     "q45_simsearch_topk" -> q45,
     "q46_simsearch_lsh" -> q46,
-    "q51_centroid_udaf" -> q51
+    "q51_centroid_udaf" -> q51,
+    "q53_ann_ivf" -> q53
   )
 
   val oracle: Map[String, String] = Map(
     "q44_embed_neardup" -> q44Sql,
     "q45_simsearch_topk" -> q45Sql,
     "q46_simsearch_lsh" -> q46Sql,
-    "q51_centroid_udaf" -> q51Sql
+    "q51_centroid_udaf" -> q51Sql,
+    "q53_ann_ivf" -> q53Sql
   )
 }

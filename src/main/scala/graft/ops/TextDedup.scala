@@ -253,12 +253,103 @@ object TextDedup {
       |WHERE jaccard >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components by iterative min-label propagation: each node's
+    * label becomes min(own, neighbors') until fixpoint. The Pregel-style
+    * formulation (GraphX's `ConnectedComponents` is the same algorithm):
+    * per iteration ONE narrow (id, label) equi-join + groupBy-min, so at
+    * 100 TB each round shuffles O(edges) small rows; rounds = component
+    * diameter (near-dup clusters are shallow). The driver sees only a
+    * per-round convergence boolean — no data is collected.
+    */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select("src", "dst"))
+      .persist(MEMORY_AND_DISK)
+    // Eager localCheckpoint per round: iterative plans otherwise NEST — the
+    // optimizer re-analyzes and re-codegens an O(iteration)-deep tree every
+    // round (quadratic planning cost, unbounded lineage on failure
+    // recovery). Truncating to the materialized partitions keeps each round
+    // a constant two-shuffle job; a cluster deployment would use
+    // `checkpoint()` to reliable storage instead.
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nl").as("mn"))
+      val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = step.filter(col("label") =!= col("old")).isEmpty
+      labels = step.select("doc_id", "label")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q56 — duplicate-CLUSTER resolution, the stage after pair scoring that
+    * an actual dedup pipeline needs before it can pick survivors: connected
+    * components over the verified near-dup pairs (q41b edges with
+    * Jaccard ≥ 0.5), cluster id = min doc_id reachable, `is_canonical`
+    * marks the survivor each cluster keeps.
+    */
+  private val q56: Q = (s, dir) => {
+    val edges = q41b(s, dir).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    connectedComponents(edges)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("label") === col("doc_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val q56Sql =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
+      |  FROM w),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0,7), j ->
+      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
+      |  FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c
+      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+      |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+      |              JOIN sets sb ON sb.doc_id = doc_b) t
+      |  WHERE jac >= 0.5),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+      |        UNION SELECT doc_b, doc_a FROM edges),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |)
+      |SELECT a AS doc_id, min(b) AS cluster_id, (min(b) = a) AS is_canonical
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
     "q41b_dedup_lsh_verified" -> q41b,
     "q42_dedup_simhash" -> q42,
-    "q43_dedup_ngram_jaccard" -> q43
+    "q43_dedup_ngram_jaccard" -> q43,
+    "q56_dedup_clusters" -> q56
   )
 
   val oracle: Map[String, String] = Map(
@@ -266,6 +357,7 @@ object TextDedup {
     "q41_dedup_minhash_lsh" -> q41Sql,
     "q41b_dedup_lsh_verified" -> q41bSql,
     "q42_dedup_simhash" -> q42Sql,
-    "q43_dedup_ngram_jaccard" -> q43Sql
+    "q43_dedup_ngram_jaccard" -> q43Sql,
+    "q56_dedup_clusters" -> q56Sql
   )
 }

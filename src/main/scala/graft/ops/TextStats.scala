@@ -140,15 +140,84 @@ object TextStats {
       |  list_min(list_transform(shingles, x -> md5(x))) AS fp_minshingle
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** q54 — composite quality score + keep/drop decision: the "training-set
+    * admission filter" face of q47's raw statistics. Weighted blend of
+    * type-token ratio, stopword-band distance, length saturation, and
+    * punctuation penalty; pure per-row arithmetic (one codegen stage over
+    * the scan — the 100 TB filter-pass shape). Weights are illustrative;
+    * the operator under test is the deterministic scoring dataflow.
+    */
+  private val q54: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("ttr", size(array_distinct(col("words"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(words, w -> w IN ${sqlList(Stopwords)})")).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") / length(col("text")))
+      .withColumn("quality", round(
+        lit(0.35) * least(col("ttr") * 2, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - abs(col("stop_ratio") - 0.4)) +
+          lit(0.2) * least(col("n_tokens") / 50.0, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))), 4))
+      .select(col("doc_id"), col("quality"),
+        (col("quality") >= 0.5 && col("n_tokens") >= 5).as("keep"))
+      .orderBy("doc_id")
+
+  private val q54Sql =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(words) AS n_tokens,
+       |  len(list_distinct(words))::DOUBLE / len(words) AS ttr,
+       |  len(list_filter(words, x -> x IN ${sqlList(Stopwords)}))::DOUBLE / len(words) AS stop_ratio,
+       |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
+       |FROM w)
+       |SELECT doc_id,
+       |  round(0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
+       |    + 0.2 * least(n_tokens / 50.0, 1.0)
+       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)), 4) AS quality,
+       |  (round(0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
+       |    + 0.2 * least(n_tokens / 50.0, 1.0)
+       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)), 4) >= 0.5 AND n_tokens >= 5) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q55 — token counting with a BPE-ish regex segmentation
+    * (letter runs | digit runs | single punctuation — the GPT-2 pretoken
+    * family without unicode classes), vs whitespace tokens. Pure map-side;
+    * the regexes live inside whole-stage codegen.
+    */
+  private val q55: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_bpe", size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .select(
+        col("doc_id"), col("n_bpe"),
+        size(split(col("text"), " ")).as("n_words"),
+        round(length(col("text")).cast("double") / col("n_bpe"), 4).as("chars_per_bpe"))
+      .orderBy("doc_id")
+
+  private val q55Sql =
+    """WITH t AS (SELECT doc_id, text,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_bpe AS INTEGER) AS n_bpe,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      |  round(length(text)::DOUBLE / n_bpe, 4) AS chars_per_bpe
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q47_textstats" -> q47,
     "q48_langid" -> q48,
-    "q49_fingerprint" -> q49
+    "q49_fingerprint" -> q49,
+    "q54_quality_filter" -> q54,
+    "q55_token_count" -> q55
   )
 
   val oracle: Map[String, String] = Map(
     "q47_textstats" -> q47Sql,
     "q48_langid" -> q48Sql,
-    "q49_fingerprint" -> q49Sql
+    "q49_fingerprint" -> q49Sql,
+    "q54_quality_filter" -> q54Sql,
+    "q55_token_count" -> q55Sql
   )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestSession
+
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  // ---- as-of join kernel ----
+
+  test("asOfJoin attaches the latest at-or-before right row, inclusive at ties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), // exact tie with right ts=10 → inclusive match
+      (1L, 11L, "p2"), // between right rows → picks the earlier ts=10
+      (1L, 15L, "p5"), // after both right rows → picks the latest ts=12
+      (1L, 5L, "p3"),  // before any right row → null
+      (2L, 99L, "p4")  // key with no right rows at all → null
+    ).toDF("k", "ts", "pid")
+    val right = Seq((1L, 10L, "r10"), (1L, 12L, "r12")).toDF("k", "ts", "rv")
+    val got = AsOf.asOfJoin(left, right, "k", "ts")
+      .select("pid", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("p1" -> "r10", "p2" -> "r10", "p5" -> "r12",
+      "p3" -> null, "p4" -> null))
+  }
+
+  test("property: asOfJoin equals brute-force latest-at-or-before") {
+    val spark2 = spark
+    import spark2.implicits._
+    val row = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L))
+    (0 until 3).foreach { i =>
+      val ls = Gen.listOfN(40, row)(Gen.Parameters.default, Seed(3L + i)).get
+        .zipWithIndex.map { case ((k, t), id) => (k, t, id.toLong) }
+      val rsRaw = Gen.listOfN(25, row)(Gen.Parameters.default, Seed(103L + i)).get
+        .zipWithIndex.map { case ((k, t), id) => (k, t, id.toLong + 1000) }
+      // deterministic contract: one right row per (k, ts)
+      val rs = rsRaw.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = AsOf.asOfJoin(
+          ls.toDF("k", "ts", "lid"), rs.toDF("k", "ts", "rid"), "k", "ts")
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val expect = ls.map { case (k, t, lid) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (m.isEmpty) -1L else m.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got === expect, s"seed ${3L + i}")
+    }
+  }
+
+  // ---- connected components kernel ----
+
+  test("connectedComponents labels chain, triangle, pair, and respects min-id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("property: connectedComponents equals union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L))
+      .suchThat { case (a, b) => a != b }
+    (0 until 3).foreach { i =>
+      val edges = Gen.listOfN(20, edgeGen)(Gen.Parameters.default, Seed(11L + i)).get
+      val got = TextDedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      assert(got === expect, s"seed ${11L + i}")
+    }
+  }
+
+  // ---- TopKTagged carries the payload without affecting order ----
+
+  test("TopKTagged orders like TopKByScore and preserves tags") {
+    import graft.functions.{ScoredTag, TopKTagged}
+    val agg = new TopKTagged(3)
+    val data = Seq(ScoredTag(0.1, 5, 50), ScoredTag(0.9, 2, 20),
+      ScoredTag(0.9, 1, 10), ScoredTag(0.4, 9, 90), ScoredTag(0.4, 3, 30))
+    val expect = Seq(ScoredTag(0.9, 1, 10), ScoredTag(0.9, 2, 20), ScoredTag(0.4, 3, 30))
+    assert(data.foldLeft(agg.zero)(agg.reduce) === expect)
+    val (l, r) = data.splitAt(2)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)) === expect)
+  }
+}

@@ -61,6 +61,35 @@ class TopKAndPrefixSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q46 hyperplane LSH ----
+
+  test("hyperplane literal matrix equals the md5 derivation computed in SQL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // recompute the ±1 matrix with Spark SQL's md5 (the oracle's formula)
+    // and compare against the Scala-generated literal
+    val fromSql = spark.range(4).toDF("p")
+      .selectExpr("p", """transform(sequence(1,64), j ->
+        |  IF(conv(substring(md5(concat(cast(p AS string), '_', cast(j AS string))), 1, 1), 16, 10) % 2 = 0,
+        |     1.0D, -1.0D)) AS s""".stripMargin)
+      .orderBy("p").collect().map(_.getSeq[Double](1))
+    val lit = spark.sql(s"SELECT ${Similarity.hyperplaneLit} AS m")
+      .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+    assert(lit.map(_.toSeq) === fromSql.map(_.toSeq))
+  }
+
+  test("hyperplane buckets spread the corpus (no degenerate bucket)") {
+    val e = graft.source.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr(s"${Similarity.hyperplaneBucket("v")} AS bucket")
+    val counts = e.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.size >= 8, s"expected most of 16 buckets populated: $counts")
+    assert(counts.values.max < total / 2,
+      s"one bucket must not swallow half the corpus: $counts")
+  }
+
   // ---- q43 prefix filtering: lossless vs brute force ----
 
   test("property: prefix-filtered Jaccard join equals brute-force within blocks") {
