@@ -83,6 +83,37 @@ object Multimodal {
       |       THEN 'jpeg' ELSE 'png' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  val all: Map[String, Q] = Map("q50_multimodal_meta" -> q50)
-  val oracle: Map[String, String] = Map("q50_multimodal_meta" -> q50Sql)
+  /** q58 — frame sampling over binary payloads: the video/audio analogue
+    * of q50's image decode. Each payload is sliced into fixed 64-byte
+    * "frames", the first 4 sampled per document (a real pipeline samples
+    * keyframes; the sampling DATAFLOW — generator over byte slices,
+    * per-frame digest, deterministic frame index — is what's under test).
+    * `substring` on BinaryType slices bytes inside codegen; the explode is
+    * a Generator, so the whole op pipelines in one stage over the scan.
+    */
+  private val q58: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(col("doc_id")) // explicit spread before frame extraction
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), f -> substring(payload, f*64 + 1, 64))")))
+      .filter(length(col("col")) > 0) // drop empty tail frames
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        length(col("col")).as("frame_len"), md5(col("col")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val q58Sql =
+    """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |  CAST(length(substr(text, f*64 + 1, 64)) AS INTEGER) AS frame_len,
+      |  md5(substr(text, f*64 + 1, 64)) AS frame_md5
+      |FROM documents, unnest(generate_series(0, 3)) AS t(f)
+      |WHERE length(substr(text, f*64 + 1, 64)) > 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q50_multimodal_meta" -> q50,
+    "q58_frame_sample" -> q58)
+  val oracle: Map[String, String] = Map(
+    "q50_multimodal_meta" -> q50Sql,
+    "q58_frame_sample" -> q58Sql)
 }

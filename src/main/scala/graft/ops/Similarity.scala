@@ -254,6 +254,47 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q57 — embedding near-duplicates within LSH buckets: q44's semantics
+    * with the label block replaced by the seeded hyperplane bucket — the
+    * concrete 100 TB path q44's doc promises. Pair generation is an
+    * equi-join on the 16-way bucket id, so block sizes are bounded by the
+    * hash (add planes to shrink them), never by a data-dependent label.
+    */
+  private val q57: Q = (s, dir) => {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      // self-joined: bucket signatures computed once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr(cosExpr("a.v", "b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val q57Sql =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round($duckCos, 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+       |WHERE cos_sim >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** q51 — per-label centroid via the typed [[graft.functions.VectorCentroid]]
     * `Aggregator` (partial+final aggregation: shuffle carries one
     * (sums, count) per label per map task, not the vectors).
@@ -283,7 +324,8 @@ object Similarity {
     "q45_simsearch_topk" -> q45,
     "q46_simsearch_lsh" -> q46,
     "q51_centroid_udaf" -> q51,
-    "q53_ann_ivf" -> q53
+    "q53_ann_ivf" -> q53,
+    "q57_embed_neardup_lsh" -> q57
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +333,7 @@ object Similarity {
     "q45_simsearch_topk" -> q45Sql,
     "q46_simsearch_lsh" -> q46Sql,
     "q51_centroid_udaf" -> q51Sql,
-    "q53_ann_ivf" -> q53Sql
+    "q53_ann_ivf" -> q53Sql,
+    "q57_embed_neardup_lsh" -> q57Sql
   )
 }

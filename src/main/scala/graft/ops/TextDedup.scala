@@ -263,8 +263,11 @@ object TextDedup {
     */
   private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select("src", "dst"))
+    // The edge relation is consumed twice by symmetrization; persist so an
+    // expensive upstream (e.g. the full LSH pipeline) runs once, not twice.
+    val e = edges.persist(MEMORY_AND_DISK)
+    val sym = e.toDF("src", "dst")
+      .union(e.toDF("dst", "src").select("src", "dst"))
       .persist(MEMORY_AND_DISK)
     // Eager localCheckpoint per round: iterative plans otherwise NEST — the
     // optimizer re-analyzes and re-codegens an O(iteration)-deep tree every
@@ -272,8 +275,11 @@ object TextDedup {
     // recovery). Truncating to the materialized partitions keeps each round
     // a constant two-shuffle job; a cluster deployment would use
     // `checkpoint()` to reliable storage instead.
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Init already folds the first propagation round in: label(v) =
+    // min(v, min neighbor) — one aggregation instead of distinct + a round.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .withColumnRenamed("src", "doc_id")
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -290,6 +296,7 @@ object TextDedup {
       iter += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 

@@ -64,6 +64,21 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_cents"))
 
+  /** Streaming exact deduplication (the streaming twin of batch
+    * `q40_dedup_exact`): drop rows repeating a content digest, with the
+    * dedup state BOUNDED by the watermark — `dropDuplicatesWithinWatermark`
+    * evicts digests once the watermark passes them, so state is O(rows per
+    * watermark horizon), not O(stream history). This is the only shape
+    * that lets an ingest-dedup stage run forever at 100 TB/day; the
+    * digest is computed map-side exactly like the batch pipeline's.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("digest",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+      .dropDuplicatesWithinWatermark("digest")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -96,6 +96,21 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"expected shuffled equi-join in:\n$p")
   }
 
+  test("q52: as-of is union + one keyed running window — no join, no range explosion") {
+    val p = planString(SparkEntry.queries("q52_asof_join")(spark, dir))
+    assert(!p.contains("Join"), s"as-of must not plan a join operator:\n$p")
+    assert(p.contains("Window"), s"expected the running last() window in:\n$p")
+    assert(p.contains("Union"), s"expected the tagged-side union in:\n$p")
+  }
+
+  test("q57: LSH near-dup pairs come from an equi-join on the bucket id") {
+    val p = planString(SparkEntry.queries("q57_embed_neardup_lsh")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join must not degrade to all-pairs:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bucketed relation must be persisted once for the self-join:\n$p")
+  }
+
   test("q05: diff classification stays inside the join projection (one join, no re-shuffle)") {
     val df = SparkEntry.queries("q05_diff_fullouter")(spark, dir)
     val p = planString(df)

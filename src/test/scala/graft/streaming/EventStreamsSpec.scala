@@ -93,6 +93,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated digests and keeps distinct rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // rows 1 and 2 share (user, type, value) → one digest survives;
+      // row 3 differs in value → kept
+      input.addData(ev(1, ts(10), 1, "click", 5.0), ev(2, ts(10, 30), 1, "click", 5.0),
+        ev(3, ts(10, 40), 1, "click", 7.0))
+      runAll(q)
+      assert(spark.table("dedup").count() === 2)
+
+      // same digest again within the watermark horizon → still suppressed
+      input.addData(ev(4, ts(11), 1, "click", 5.0))
+      runAll(q)
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
   test("in-batch gap split: events farther apart than the gap form two sessions") {
     val spark2 = spark
     import spark2.implicits._
