@@ -353,8 +353,57 @@ object Relational {
       |       count(DISTINCT o_orderpriority) AS n_prio_exact
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q59 — exact interpolated quantiles per group: Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the linear-interpolation
+    * definition, so the values hash-match after rounding. At 100 TB the
+    * same query swaps `percentile` for `percentile_approx` (t-digest
+    * sketch, mergeable partial state) — exact quantiles need a per-group
+    * sort buffer, the sketch needs O(compression) memory.
+    */
+  private val q59: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  private val q59Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q60 — pivot: per-user event counts spread into one column per event
+    * type. The value list is EXPLICIT (`pivot(col, values)`), which keeps
+    * the plan a single pass — with the list omitted Spark first runs a
+    * distinct job to discover columns, a hidden extra scan at 100 TB.
+    * Missing combinations are 0, matching the oracle's FILTER counts.
+    */
+  private val q60: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
+  private val q60Sql =
+    """SELECT user_id,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q34_approx_distinct" -> q34,
+    "q59_quantiles" -> q59,
+    "q60_pivot" -> q60,
     "q20_join_inner" -> q20,
     "q21_join_semi_anti" -> q21,
     "q22_join_range" -> q22,
@@ -372,6 +421,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q34_approx_distinct" -> q34Sql,
+    "q59_quantiles" -> q59Sql,
+    "q60_pivot" -> q60Sql,
     "q20_join_inner" -> q20Sql,
     "q21_join_semi_anti" -> q21Sql,
     "q22_join_range" -> q22Sql,
