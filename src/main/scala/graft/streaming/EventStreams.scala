@@ -79,6 +79,30 @@ object EventStreams {
         md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Stream-stream INTERVAL join: attribute each purchase to the same
+    * user's clicks within the preceding hour. Both sides are unbounded
+    * streams, so each buffers rows in join state; the watermark plus the
+    * two-sided time-range predicate are what let Spark evict that state
+    * (clicks older than watermark − 1 h can never match a future
+    * purchase) — without them the state grows with the stream. Inner
+    * matches emit immediately in append mode; the batch as-of twin is
+    * `ops.AsOf` (latest-one semantics vs. all-in-window here).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -115,6 +115,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the hour before a purchase") {
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, ts(8), 1, "click"),       // 2.5h before purchase → outside window
+        ev(2, ts(10), 1, "click"),      // 30min before → match
+        ev(3, ts(10, 15), 1, "click"),  // 15min before → match
+        ev(4, ts(10, 30), 1, "purchase"),
+        ev(5, ts(10, 20), 2, "click"),  // other user → no match
+        ev(6, ts(11), 3, "purchase"))   // no clicks for user 3
+      runAll(q)
+      val rows = spark.table("attribution")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((4L, 2L), (4L, 3L)))
+    } finally q.stop()
+  }
+
   test("in-batch gap split: events farther apart than the gap form two sessions") {
     val spark2 = spark
     import spark2.implicits._
