@@ -210,6 +210,8 @@ object TextDedup {
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "lang", "lb", "shingle")
+      // self-joined below: the df join + ranking windows run once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
