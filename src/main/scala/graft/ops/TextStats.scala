@@ -205,12 +205,31 @@ object TextStats {
       |  round(length(text)::DOUBLE / n_bpe, 4) AS chars_per_bpe
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q62 — deterministic hash sampling: the reproducible train-subset
+    * selector every data pipeline needs — `sample()` draws differ per
+    * partitioning/run, but a digest-mod predicate picks the SAME ~10%
+    * on any engine, any cluster, any day. Pure map-side filter that
+    * pushes to the scan's codegen stage; stratification = add the mod
+    * key to a groupBy.
+    */
+  private val q62: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(expr("conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 10 = 0"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val q62Sql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INTEGER) % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q47_textstats" -> q47,
     "q48_langid" -> q48,
     "q49_fingerprint" -> q49,
     "q54_quality_filter" -> q54,
-    "q55_token_count" -> q55
+    "q55_token_count" -> q55,
+    "q62_det_sample" -> q62
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,6 +237,7 @@ object TextStats {
     "q48_langid" -> q48Sql,
     "q49_fingerprint" -> q49Sql,
     "q54_quality_filter" -> q54Sql,
-    "q55_token_count" -> q55Sql
+    "q55_token_count" -> q55Sql,
+    "q62_det_sample" -> q62Sql
   )
 }
