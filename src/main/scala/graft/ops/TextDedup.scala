@@ -287,20 +287,28 @@ object TextDedup {
   }
 
   private val q43: Q = (s, dir) => {
+    // Shingles are hashed to 60-bit longs (md5 prefix — IDENTICAL in both
+    // engines, so a collision, were one to happen, produces the same
+    // result everywhere): the candidate join shuffles 8-byte keys instead
+    // of bigram text, and the verification intersects long arrays instead
+    // of string arrays.
     val blocked = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("lb"),
-        array_distinct(expr(shinglesExpr(2))).as("sh"))
+        expr(s"transform(array_distinct(${shinglesExpr(2)}), " +
+          "s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardPrefixJoin(blocked, t = 0.1)
   }
 
   private val q43Sql =
     """WITH s AS (SELECT doc_id, lang, n_chars // 100 AS lb,
-      |  list_distinct(CASE WHEN len(string_split(text,' ')) < 2 THEN [] ELSE
-      |    list_transform(generate_series(1, len(string_split(text,' '))-1), i ->
-      |      string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS sh
+      |  list_transform(
+      |    list_distinct(CASE WHEN len(string_split(text,' ')) < 2 THEN [] ELSE
+      |      list_transform(generate_series(1, len(string_split(text,' '))-1), i ->
+      |        string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
       |  FROM documents)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
