@@ -400,10 +400,32 @@ object Relational {
       |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q63 — skew-safe salted aggregation as a declared operator: the
+    * two-phase (key, salt) → key aggregation from [[SkewJoin.saltedAgg]],
+    * on integer cents so the re-ordered addition stays exact. The oracle
+    * is the PLAIN group-by — salting must be semantically invisible; what
+    * it buys at 100 TB is that a hot key's rows partial-aggregate across
+    * `buckets` tasks instead of funneling into one reducer.
+    */
+  private val q63: Q = (s, dir) =>
+    SkewJoin.saltedAgg(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        key = "event_type", valueCol = "cents", buckets = 8,
+        partial = sum, fin = sum)
+      .withColumnRenamed("cents", "sum_cents")
+      .orderBy("event_type")
+
+  private val q63Sql =
+    """SELECT event_type,
+      |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q34_approx_distinct" -> q34,
     "q59_quantiles" -> q59,
     "q60_pivot" -> q60,
+    "q63_salted_agg" -> q63,
     "q20_join_inner" -> q20,
     "q21_join_semi_anti" -> q21,
     "q22_join_range" -> q22,
@@ -423,6 +445,7 @@ object Relational {
     "q34_approx_distinct" -> q34Sql,
     "q59_quantiles" -> q59Sql,
     "q60_pivot" -> q60Sql,
+    "q63_salted_agg" -> q63Sql,
     "q20_join_inner" -> q20Sql,
     "q21_join_semi_anti" -> q21Sql,
     "q22_join_range" -> q22Sql,

@@ -118,6 +118,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected full outer join in:\n$p")
   }
 
+  test("no declared query plans a cartesian or nested-loop join (except the range join)") {
+    // Legitimate non-equi joins: q22 is a genuine range-theta join, q45 is
+    // the brute-force broadcast scan baseline, q11 crosses two single-row
+    // count aggregates (1×1), q53 crosses every vector with the 8-row
+    // broadcast quantizer. Everything else must stay equi/broadcast.
+    val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
+      "q53_ann_ivf")
+    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
+      val p = planString(SparkEntry.queries(name)(spark, dir))
+      assert(!p.contains("CartesianProduct"),
+        s"$name degraded to CartesianProduct:\n$p")
+      withClue(s"$name: ") {
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name degraded to BroadcastNestedLoopJoin:\n$p")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the scalar suite (no codegen fallback operators)") {
     val df = SparkEntry.queries("q30_scalar_suite")(spark, dir)
     df.collect() // finalize the adaptive plan so codegen spans materialize
