@@ -8,6 +8,19 @@ class BucketingSpec extends AnyFunSuite {
 
   private val spark = SparkTestSession.spark
 
+  test("partitioned write prunes partitions at scan time") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val path = "/tmp/graft-test-warehouse/events_parted"
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val read = spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("= click"),
+      s"expected the event_type predicate as a partition filter in:\n$plan")
+    assert(read.count() ===
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("co-located join of same-bucketed tables plans with zero Exchange") {
     val spark2 = spark
     import spark2.implicits._
