@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   *    parity/dedup caches and lets HotSpot compile the generated code, so
   *    first-touch cost is not attributed to whichever query happens to run
   *    first;
-  *  - then `reps` timed executions (default 3), reporting the per-query
-  *    MEDIAN — single samples on this host swing 2–100× with no code
-  *    change, medians reproduce;
+  *  - then `reps` timed WHOLE-SUITE passes (default 3) — each query is
+  *    timed once per pass and its MEDIAN across passes is reported.
+  *    Interleaving matters: the host's slow phases last minutes, so
+  *    back-to-back reps of one query all land inside the same phase,
+  *    while suite-pass reps of the same query run many minutes apart and
+  *    decorrelate;
   *  - `total` is the sum of medians;
   *  - failures are LOUD: the error is recorded in the JSON and the process
   *    exits non-zero. A broken query must never silently inflate (or
@@ -36,20 +39,24 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case t: Throwable =>
-            errors.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${t.getMessage}")
-            None
-        }
+    val names = SparkEntry.queries.keys.toSeq
+    def once(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          errors.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          None
       }
-      once() // warmup: caches + JIT, untimed
-      val timed = (1 to reps).flatMap(_ => once())
-      name -> (if (timed.isEmpty) -1.0 else median(timed))
     }
+    names.foreach(once) // warmup pass: caches + JIT, untimed
+    val samples = (1 to reps).flatMap(_ => names.flatMap(n => once(n).map(n -> _)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val results = names.map { n =>
+      n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
+    }.toMap
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
