@@ -156,11 +156,16 @@ object TextStats {
         size(expr(s"filter(words, w -> w IN ${sqlList(Stopwords)})")).cast("double") / col("n_tokens"))
       .withColumn("punct_ratio",
         regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") / length(col("text")))
-      .withColumn("quality", round(
+      // UNROUNDED on purpose: the blend is bit-identical across engines
+      // (same IEEE ops, same association order), but round() is NOT —
+      // Spark rounds via BigDecimal on the exact binary value, DuckDB via
+      // scaled multiply, and at sf0.1 five documents landed on half
+      // boundaries where the two disagree by 1 ulp.
+      .withColumn("quality",
         lit(0.35) * least(col("ttr") * 2, lit(1.0)) +
           lit(0.25) * (lit(1.0) - abs(col("stop_ratio") - 0.4)) +
           lit(0.2) * least(col("n_tokens") / 50.0, lit(1.0)) +
-          lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))), 4))
+          lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))))
       .select(col("doc_id"), col("quality"),
         (col("quality") >= 0.5 && col("n_tokens") >= 5).as("keep"))
       .orderBy("doc_id")
@@ -174,12 +179,12 @@ object TextStats {
        |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
        |FROM w)
        |SELECT doc_id,
-       |  round(0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
+       |  0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
        |    + 0.2 * least(n_tokens / 50.0, 1.0)
-       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)), 4) AS quality,
-       |  (round(0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
+       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)) AS quality,
+       |  (0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
        |    + 0.2 * least(n_tokens / 50.0, 1.0)
-       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)), 4) >= 0.5 AND n_tokens >= 5) AS keep
+       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)) >= 0.5 AND n_tokens >= 5) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
   /** q55 — token counting with a BPE-ish regex segmentation
