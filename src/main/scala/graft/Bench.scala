@@ -51,8 +51,20 @@ object Bench {
           None
       }
     }
+    // Wall-clock budget: on a slow host phase the warmup pass alone can
+    // take minutes; rather than risk an external timeout, run at least
+    // one timed pass and start further passes only while under budget.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
     names.foreach(once) // warmup pass: caches + JIT, untimed
-    val samples = (1 to reps).flatMap(_ => names.flatMap(n => once(n).map(n -> _)))
+    val passSamples = Seq.newBuilder[(String, Double)]
+    var pass = 0
+    while (pass < reps && (pass == 0 || elapsed < budgetSec)) {
+      names.foreach(n => once(n).foreach(t => passSamples += n -> t))
+      pass += 1
+    }
+    val samples = passSamples.result()
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = names.map { n =>
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
@@ -66,7 +78,7 @@ object Bench {
       else errors.map { case (k, v) =>
         s"""\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}\""""
       }.mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$pass,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
