@@ -400,6 +400,25 @@ object Relational {
       |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q64 — cube: all 2² grouping sets over (status, priority) in one
+    * pass. Spark plans cube as an Expand (4 rows per input) feeding one
+    * partial+final hash aggregate — the single-shuffle alternative to
+    * unioning four group-bys (four scans at 100 TB).
+    */
+  private val q64: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast("long")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q64Sql =
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** q63 — skew-safe salted aggregation as a declared operator: the
     * two-phase (key, salt) → key aggregation from [[SkewJoin.saltedAgg]],
     * on integer cents so the re-ordered addition stays exact. The oracle
@@ -426,6 +445,7 @@ object Relational {
     "q59_quantiles" -> q59,
     "q60_pivot" -> q60,
     "q63_salted_agg" -> q63,
+    "q64_cube" -> q64,
     "q20_join_inner" -> q20,
     "q21_join_semi_anti" -> q21,
     "q22_join_range" -> q22,
@@ -446,6 +466,7 @@ object Relational {
     "q59_quantiles" -> q59Sql,
     "q60_pivot" -> q60Sql,
     "q63_salted_agg" -> q63Sql,
+    "q64_cube" -> q64Sql,
     "q20_join_inner" -> q20Sql,
     "q21_join_semi_anti" -> q21Sql,
     "q22_join_range" -> q22Sql,
