@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.source.Tables
+
+/** Analytic widening of the relational suite (SURVEY.md §2.2): grouping
+  * sets, unpivot/melt, window navigation (lag) and distribution (ntile /
+  * percent_rank / cume_dist) functions, argmax aggregation, and the
+  * equi-join scale path for range joins.
+  *
+  * Scale rules shared with [[Relational]]: one shuffle per aggregation
+  * (partial map-side combine), dims broadcast, doubles either left
+  * untouched (bit-identical derivations) or reduced on exact integers.
+  */
+object Analytic {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q65 — explicit GROUPING SETS ((status), (priority)): both one-column
+    * aggregates in a single Expand(2×)+aggregate pass — one scan and one
+    * shuffle where a UNION ALL of two group-bys would scan the fact table
+    * twice at 100 TB. Complements q25 (rollup) and q64 (cube), which are
+    * fixed lattices; this is the arbitrary-sets form.
+    */
+  private val q65: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast("long")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q65Sql =
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q66 — unpivot (melt wide→long): Spark's native `unpivot` plans an
+    * Expand — each input row is replicated once per value column map-side,
+    * no shuffle until the downstream aggregate. The schema-on-read
+    * alternative to storing long-format metrics.
+    */
+  private val q66: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+      .orderBy("metric")
+
+  private val q66Sql =
+    """SELECT metric, CAST(count(*) AS BIGINT) AS n, round(sum(val),2) AS total
+      |FROM (
+      |  SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT 'p_retailprice' AS metric, p_retailprice AS val FROM part)
+      |GROUP BY metric ORDER BY metric""".stripMargin
+
+  /** q67 — window navigation (lag): per-customer inter-order gaps. One
+    * shuffle on the partition key, then a sort within partitions; the
+    * downstream per-customer aggregate reuses the same clustering so no
+    * second shuffle. All outputs are integers (day counts) — no float
+    * accumulation-order risk.
+    */
+  private val q67: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"),
+          lag("o_orderdate", 1).over(w).cast("date")))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max("gap_days").as("max_gap"),
+        sum(col("gap_days").cast("long")).as("span_days"))
+      .orderBy("o_custkey")
+  }
+
+  private val q67Sql =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(max(gap_days) AS INT) AS max_gap,
+      |  CAST(sum(gap_days) AS BIGINT) AS span_days
+      |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q68 — window distribution functions: ntile(4) / percent_rank /
+    * cume_dist over a UNIQUE ordering (totalprice, orderkey) — the unique
+    * tiebreak is what makes ntile deterministic across engines; without it
+    * tied rows land in arbitrary tiles. percent_rank and cume_dist are
+    * exact rational divisions of identical integers, so the doubles are
+    * bit-identical and need no rounding.
+    */
+  private val q68: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("pr").as("min_pr"), max("pr").as("max_pr"), max("cd").as("max_cd"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  private val q68Sql =
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |    ntile(4)       OVER w AS quartile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist()    OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey))
+      |SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
+      |FROM r GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
+  /** q69 — argmax aggregation: per-nation best customer via `max_by` over
+    * a (acctbal, -custkey) struct — ties on balance resolve to the lowest
+    * custkey, making the answer unique. One partial+final aggregate; the
+    * window-function alternative (row_number + filter) would sort every
+    * group, this keeps only one struct per group per partition.
+    */
+  private val q69: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_custkey"),
+          struct(col("c_acctbal"), (col("c_custkey") * -1).as("nk"))).as("top_cust"),
+        round(max("c_acctbal"), 2).as("top_bal"))
+      .orderBy("c_nationkey")
+
+  private val q69Sql =
+    """WITH m AS (SELECT c_nationkey, max(c_acctbal) AS mx
+      |           FROM customer GROUP BY 1)
+      |SELECT c.c_nationkey, CAST(min(c_custkey) AS BIGINT) AS top_cust,
+      |       round(max(mx),2) AS top_bal
+      |FROM customer c
+      |JOIN m ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.mx
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
+  /** q73 — range join, equi-join scale path: the q22 size-band theta join
+    * rewritten by densifying each band into its integer bucket domain
+    * (`explode(sequence(lo, hi-1))`) and equi-joining on `p_size`. Same
+    * result as q22 (the oracle IS q22's SQL), but the physical plan is a
+    * broadcast HASH join instead of a nested-loop — the rewrite that keeps
+    * range joins viable at 100 TB when the band table is too large for
+    * per-row predicate evaluation. For continuous domains the same trick
+    * buckets both sides to `floor(x/w)` and keeps a residual predicate.
+    */
+  private val q73: Q = (s, dir) => {
+    import s.implicits._
+    val bands = Seq((0, 10, "small"), (10, 25, "medium"), (25, 51, "large"))
+      .toDF("lo", "hi", "band")
+    val buckets = bands.select(col("band"),
+      explode(sequence(col("lo"), col("hi") - 1)).as("p_size"))
+    Tables.part(s, dir)
+      .join(broadcast(buckets), "p_size")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("band")
+  }
+
+  private val q73Sql =
+    """SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+      |       round(avg(p_retailprice),4) AS avg_price
+      |FROM part
+      |JOIN (VALUES (0,10,'small'),(10,25,'medium'),(25,51,'large')) AS b(lo,hi,band)
+      |  ON p_size >= lo AND p_size < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q65_grouping_sets" -> q65,
+    "q66_unpivot" -> q66,
+    "q67_window_nav" -> q67,
+    "q68_window_dist" -> q68,
+    "q69_argmax" -> q69,
+    "q73_range_bucket_join" -> q73
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q65_grouping_sets" -> q65Sql,
+    "q66_unpivot" -> q66Sql,
+    "q67_window_nav" -> q67Sql,
+    "q68_window_dist" -> q68Sql,
+    "q69_argmax" -> q69Sql,
+    "q73_range_bucket_join" -> q73Sql
+  )
+}
