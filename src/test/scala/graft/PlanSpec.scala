@@ -122,9 +122,10 @@ class PlanSpec extends AnyFunSuite {
     // Legitimate non-equi joins: q22 is a genuine range-theta join, q45 is
     // the brute-force broadcast scan baseline, q11 crosses two single-row
     // count aggregates (1×1), q53 crosses every vector with the 8-row
-    // broadcast quantizer. Everything else must stay equi/broadcast.
+    // broadcast quantizer, q70 crosses the 1-row corpus count into the
+    // tf⋈df relation. Everything else must stay equi/broadcast.
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
-      "q53_ann_ivf")
+      "q53_ann_ivf", "q70_tfidf")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
