@@ -187,13 +187,40 @@ object Analytic {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  /** q77 — salted equi-join as a declared operator ([[SkewJoin.saltedJoin]]):
+    * the fact side gets a random salt, the dimension side is replicated
+    * `buckets`× and the join runs on (key, salt) — a hot part key's rows
+    * spread across `buckets` reducers instead of funneling into one. The
+    * oracle is the PLAIN join: salting must be semantically invisible.
+    * (AQE's skew-join split covers sort-merge joins after the fact;
+    * salting is the explicit form that also covers the shuffled hash join
+    * and pre-AQE engines.)
+    */
+  private val q77: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
+    val p = Tables.part(s, dir).withColumnRenamed("p_partkey", "l_partkey")
+    SkewJoin.saltedJoin(li, p, "l_partkey", buckets = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("sum_cents"))
+      .orderBy("p_brand")
+  }
+
+  private val q77Sql =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
     "q69_argmax" -> q69,
-    "q73_range_bucket_join" -> q73
+    "q73_range_bucket_join" -> q73,
+    "q77_salted_join" -> q77
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +229,7 @@ object Analytic {
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,
     "q69_argmax" -> q69Sql,
-    "q73_range_bucket_join" -> q73Sql
+    "q73_range_bucket_join" -> q73Sql,
+    "q77_salted_join" -> q77Sql
   )
 }

@@ -168,17 +168,163 @@ object Corpus {
       |  CAST(sum(err_units) AS BIGINT) AS sum_err_units
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  /** q75 — BM25 term scoring (k1=1.2, b=0.75): the retrieval-grade
+    * refinement of q70 — same two aggregations plus per-doc length
+    * normalization against the corpus average length. Both engines
+    * evaluate the IDENTICAL IEEE expression tree (constants
+    * pre-simplified to plain literals, every mixed int/decimal operand
+    * cast to double on the DuckDB side, where bare `0.5` is DECIMAL and
+    * would silently switch the math to decimal arithmetic), so the
+    * doubles are bit-identical before the final 4-dp round.
+    */
+  private val q75: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("dl", size(split(col("text"), " ")))
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_docs") + 0.5) / (col("df_docs") + 0.5))
+    val score = idf * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.filter(col("tf") >= 3)
+      .join(dfRel, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), round(score, 4).as("bm25"))
+      .orderBy("doc_id", "term")
+  }
+
+  private val q75Sql =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(len(string_split(text,' ')) AS INTEGER) AS dl FROM documents),
+      |t AS (SELECT doc_id, dl, unnest(string_split(text,' ')) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs,
+      |       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d)
+      |SELECT tf.doc_id, tf.term,
+      |  round(ln(1.0 + (st.n_docs - df.df_docs + 0.5::DOUBLE)
+      |               / (df.df_docs + 0.5::DOUBLE))
+      |    * (tf.tf * 2.2::DOUBLE)
+      |    / (tf.tf + 1.2::DOUBLE
+      |        * (0.25::DOUBLE + 0.75::DOUBLE * tf.dl / st.avgdl)), 4) AS bm25
+      |FROM tf JOIN df USING (term), st
+      |WHERE tf.tf >= 3
+      |ORDER BY doc_id, term""".stripMargin
+
+  /** q76 — stratified deterministic sampling audit: per-language target
+    * rates (a broadcast dimension), membership decided by a digest-mod
+    * predicate — reproducible on any engine/cluster/day, unlike
+    * `sample()`. Extends q62 (global rate) to per-stratum rates; the
+    * conditional aggregate returns (total, sampled) per stratum so the
+    * realized rate is auditable against the target. Map-side predicate,
+    * one tiny aggregate.
+    */
+  private val q76: Q = (s, dir) => {
+    import s.implicits._
+    val rates = Seq(("en", 20), ("de", 10), ("fr", 5), ("es", 5), ("zh", 5))
+      .toDF("lang", "pct")
+    Tables.documents(s, dir)
+      .join(broadcast(rates), "lang")
+      .groupBy("lang", "pct")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4)," +
+          " 16, 10) AS INT) % 100") < col("pct"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  private val q76Sql =
+    """WITH r AS (SELECT * FROM (VALUES ('en',20),('de',10),('fr',5),
+      |                                 ('es',5),('zh',5)) AS t(lang, pct))
+      |SELECT d.lang, r.pct, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))
+      |                          AS INTEGER) % 100 < r.pct
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |GROUP BY d.lang, r.pct ORDER BY d.lang""".stripMargin
+
+  /** q78 — MinHash estimator accuracy audit: for every verified LSH
+    * candidate pair (q41b), the signature-agreement Jaccard estimate
+    * (matching positions / 8) next to the exact candidate-only Jaccard.
+    * The estimate is an exact rational k/8 — bit-identical across
+    * engines with no rounding. This is the audit that sizes the
+    * signature (8 here) for a target error before a 100 TB dedup run:
+    * two joins against the persisted signature relation, candidates
+    * only, never all pairs.
+    */
+  private val q78: Q = (s, dir) => {
+    val sig = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(TextDedup.shinglesExpr(3)))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("mh", expr(
+        """transform(sequence(0,7), j ->
+          |  array_min(transform(shingles, s ->
+          |    md5(cast(j AS string) || '|' || s))))""".stripMargin))
+      .select(col("doc_id"), col("mh"))
+      .persist()
+    TextDedup.all("q41b_dedup_lsh_verified")(s, dir)
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("size(filter(sequence(1,8), j -> element_at(mha, j) = element_at(mhb, j)))")
+          .cast("double") / 8).as("mh_est"),
+        col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q78Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
+      |  FROM w),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0,7), j ->
+      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
+      |  FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c
+      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+      |SELECT doc_a, doc_b,
+      |  len(list_filter(generate_series(1,8), j -> qa.mh[j] = qb.mh[j]))::DOUBLE / 8
+      |    AS mh_est,
+      |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+      |    AS jaccard
+      |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+      |          JOIN sets sb ON sb.doc_id = doc_b
+      |          JOIN sig qa ON qa.doc_id = doc_a
+      |          JOIN sig qb ON qb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q70_tfidf" -> q70,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
-    "q74_embed_quantize" -> q74
+    "q74_embed_quantize" -> q74,
+    "q75_bm25" -> q75,
+    "q76_stratified_sample" -> q76,
+    "q78_minhash_est" -> q78
   )
 
   val oracle: Map[String, String] = Map(
     "q70_tfidf" -> q70Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,
-    "q74_embed_quantize" -> q74Sql
+    "q74_embed_quantize" -> q74Sql,
+    "q75_bm25" -> q75Sql,
+    "q76_stratified_sample" -> q76Sql,
+    "q78_minhash_est" -> q78Sql
   )
 }

@@ -33,7 +33,7 @@ object TextDedup {
     * Guarded: Spark's `sequence(1, n)` DESCENDS for n<1 (DuckDB's
     * generate_series returns empty), so short docs must short-circuit.
     */
-  private def shinglesExpr(k: Int): String =
+  private[ops] def shinglesExpr(k: Int): String =
     s"""CASE WHEN size(words) < $k THEN array()
        |ELSE transform(sequence(1, size(words)-${k - 1}), i ->
        |  ${(0 until k).map(o => s"element_at(words, i+$o)").mkString(" || ' ' || ")})
