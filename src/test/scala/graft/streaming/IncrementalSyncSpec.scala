@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** End-to-end CDC sync over MemoryStream: inserts, version-gated updates,
+  * tombstone deletes, within-batch version races, and idempotent replay —
+  * the reference's diff semantics (`update on !=`, delete explicit)
+  * applied continuously against a live mutable target.
+  */
+class IncrementalSyncSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  case class Change(resource_id: String, version_id: Long, resource: String)
+
+  // the "target database": pk -> (resource_id, version, payload)
+  private def mkTarget() =
+    scala.collection.mutable.LinkedHashMap[Int, (String, Long, String)]()
+
+  private def snapshotDf(target: scala.collection.mutable.LinkedHashMap[Int, (String, Long, String)]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    target.toSeq.map { case (pk, (rid, ver, _)) => (pk, rid, ver) }
+      .toDF("pk_id", "resource_id", "version_id")
+  }
+
+  private def applier(target: scala.collection.mutable.LinkedHashMap[Int, (String, Long, String)])
+  : DataFrame => Unit = { classified =>
+    classified.collect().foreach { r =>
+      val action = r.getAs[String]("action")
+      val rid = r.getAs[String]("resource_id")
+      val ver = r.getAs[Long]("version_id")
+      val res = r.getAs[String]("resource")
+      action match {
+        case "insert" =>
+          val pk = if (target.isEmpty) 1 else target.keys.max + 1
+          target += pk -> ((rid, ver, res))
+        case "update" =>
+          val pk = r.getAs[Int]("pk_id")
+          target += pk -> ((rid, ver, res))
+        case "delete" =>
+          target -= r.getAs[Int]("pk_id")
+        case _ => ()
+      }
+    }
+  }
+
+  test("CDC stream applies inserts, updates, tombstones; replays are idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val target = mkTarget()
+    val input = MemoryStream[Change](spark2)
+    val ckpt = java.nio.file.Files.createTempDirectory("incsync").toString
+    val q = IncrementalSync.run(input.toDF(), ckpt,
+      _ => snapshotDf(target), applier(target))
+    try {
+      // batch 1: two inserts, plus a within-batch version race on "a"
+      // (v1 then v2 → only v2 applies) and a tombstone for an absent key
+      input.addData(
+        Change("a", 1L, "payload-a1"), Change("a", 2L, "payload-a2"),
+        Change("b", 1L, "payload-b1"), Change("zz", 5L, null))
+      q.processAllAvailable()
+      assert(target.values.toSet ==
+        Set(("a", 2L, "payload-a2"), ("b", 1L, "payload-b1")))
+
+      // batch 2: update a (version changed), replay b@1 (noop), delete a
+      // competitor? no — tombstone b
+      input.addData(Change("a", 3L, "payload-a3"), Change("b", 1L, "replayed"))
+      q.processAllAvailable()
+      assert(target.values.toSet ==
+        Set(("a", 3L, "payload-a3"), ("b", 1L, "payload-b1")),
+        "same-version replay must be a noop (reference: update on != only)")
+
+      // batch 3: tombstone b, insert c
+      input.addData(Change("b", 2L, null), Change("c", 1L, "payload-c1"))
+      q.processAllAvailable()
+      assert(target.values.toSet ==
+        Set(("a", 3L, "payload-a3"), ("c", 1L, "payload-c1")))
+
+      // batch 4: replayed tombstone for b (absent) → noop, not an error
+      input.addData(Change("b", 2L, null))
+      q.processAllAvailable()
+      assert(target.values.toSet ==
+        Set(("a", 3L, "payload-a3"), ("c", 1L, "payload-c1")))
+    } finally q.stop()
+  }
+
+  test("classifyCdc treats absence-from-batch as unchanged, never delete") {
+    val spark2 = spark
+    import spark2.implicits._
+    val snapshot = Seq((1, "a", 1L), (2, "b", 1L))
+      .toDF("pk_id", "resource_id", "version_id")
+    val batch = Seq(("a", 2L, "pa2")).toDF("resource_id", "version_id", "resource")
+    val actions = IncrementalSync.classifyCdc(batch, snapshot)
+      .select("resource_id", "action").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(actions == Map("a" -> "update"), // b absent → no row at all
+      "CDC classify must only emit rows for keys present in the batch")
+  }
+}
