@@ -308,8 +308,63 @@ object Corpus {
       |          JOIN sig qb ON qb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q79 — train/test contamination detection via shingle containment:
+    * for a held-out eval split (here `doc_id % 50 = 0`), find training
+    * documents containing ≥ 50% of an eval doc's 3-shingles —
+    * `|train ∩ test| / |test|`, the ASYMMETRIC overlap that catches an
+    * eval doc embedded inside a longer training doc, which symmetric
+    * Jaccard (q41b) under-scores. Dataflow: distinct shingle sets once
+    * (persisted — both splits project from it), explode, equi-join on
+    * shingle with the small eval side broadcast, partial-aggregated count
+    * per pair. At 100 TB the eval split stays broadcast-sized by
+    * construction; hot-shingle fan-out is absorbed by map-side partial
+    * aggregation (and would get q43's prefix filtering if the eval split
+    * ever outgrew broadcast).
+    */
+  private val q79: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        array_distinct(expr(TextDedup.shinglesExpr(3))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val test = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("test_id"), size(col("sh")).as("test_size"),
+        explode(col("sh")).as("shingle"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+    train.join(broadcast(test), "shingle")
+      .groupBy("train_id", "test_id", "test_size")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast("double") / col("test_size") >= 0.5)
+      .select(col("train_id"), col("test_id"),
+        round(col("n_common").cast("double") / col("test_size"), 4)
+          .as("containment"))
+      .orderBy("train_id", "test_id")
+  }
+
+  private val q79Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+      |  FROM w),
+      |s2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+      |test AS (SELECT doc_id AS test_id, len(sh) AS test_size,
+      |         unnest(sh) AS shingle FROM s2 WHERE doc_id % 50 = 0),
+      |train AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
+      |          FROM s2 WHERE doc_id % 50 <> 0),
+      |j AS (SELECT train_id, test_id, test_size, count(*) AS n_common
+      |      FROM train JOIN test USING (shingle) GROUP BY 1, 2, 3)
+      |SELECT train_id, test_id,
+      |       round(n_common::DOUBLE / test_size, 4) AS containment
+      |FROM j WHERE n_common::DOUBLE / test_size >= 0.5
+      |ORDER BY train_id, test_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q70_tfidf" -> q70,
+    "q79_contamination" -> q79,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
     "q74_embed_quantize" -> q74,
@@ -320,6 +375,7 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q70_tfidf" -> q70Sql,
+    "q79_contamination" -> q79Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,
     "q74_embed_quantize" -> q74Sql,
