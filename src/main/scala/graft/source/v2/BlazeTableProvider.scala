@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,16 +93,51 @@ private[v2] class BlazeTable(props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+      with SupportsPushDownAggregates with SupportsPushDownLimit {
       private val baseUrl = props("baseurl")
       private val resourceType = props("resourcetype")
       private val pageSize = props.getOrElse("pagesize", "5000").toInt
       private val fetcherClass =
         props.getOrElse("fetcher", classOf[HttpPageFetcher].getName)
+      private var countPushed = false
+      private var pushedLimit: Option[Int] = None
+
+      private def isBareCountStar(agg: Aggregation): Boolean =
+        agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.length == 1 &&
+          agg.aggregateExpressions.head.isInstanceOf[CountStar]
+
+      /** COUNT(*) with no grouping is answered ENTIRELY by the server's
+        * `_count=0` total (reference `src/main.rs:290-292`) — the O11
+        * reconciliation probe as DSv2 aggregate pushdown: zero resource
+        * rows cross the wire, any scale.
+        */
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        countPushed = isBareCountStar(agg)
+        countPushed
+      }
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        isBareCountStar(agg)
+
+      /** `limit(n)` plans only the pages that can contribute rows (the
+        * limit itself is re-applied by Spark — partial pushdown).
+        */
+      override def pushLimit(limit: Int): Boolean = {
+        pushedLimit = Some(limit)
+        true
+      }
+      override def isPartiallyPushed: Boolean = true
 
       override def build(): Scan = this
-      override def readSchema(): StructType = BlazeTableProvider.schema
+      override def readSchema(): StructType =
+        if (countPushed) new StructType().add("count(*)", LongType)
+        else BlazeTableProvider.schema
       override def toBatch: Batch = this
+      override def description(): String =
+        s"blaze:$resourceType" +
+          (if (countPushed) " PushedAggregates: [COUNT(*)]" else "") +
+          pushedLimit.map(l => s" PushedLimit: $l").getOrElse("")
 
       override def planInputPartitions(): Array[InputPartition] = {
         // driver-side: one _count=0 probe, zero resource rows transferred
@@ -109,21 +145,47 @@ private[v2] class BlazeTable(props: Map[String, String])
           .fetch(s"$baseUrl/fhir/$resourceType?_count=0")
         val total = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(probe).path("total").asLong(0L)
-        val pages = math.max(0L, (total + pageSize - 1) / pageSize).toInt
-        (0 until pages).map { i =>
-          BlazePagePartition(
-            s"$baseUrl/fhir/$resourceType?_count=$pageSize" +
-              s"&_getpagesoffset=${i.toLong * pageSize}&_history=current")
-            .asInstanceOf[InputPartition]
-        }.toArray
+        if (countPushed) {
+          // single partition, single row: the final aggregate result
+          Array(BlazeCountPartition(total))
+        } else {
+          val wanted = pushedLimit.map(l => math.min(total, l.toLong))
+            .getOrElse(total)
+          val pages = math.max(0L, (wanted + pageSize - 1) / pageSize).toInt
+          (0 until pages).map { i =>
+            BlazePagePartition(
+              s"$baseUrl/fhir/$resourceType?_count=$pageSize" +
+                s"&_getpagesoffset=${i.toLong * pageSize}&_history=current")
+              .asInstanceOf[InputPartition]
+          }.toArray
+        }
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new BlazeReaderFactory(fetcherClass)
+        if (countPushed) new BlazeCountReaderFactory
+        else new BlazeReaderFactory(fetcherClass)
     }
 }
 
 case class BlazePagePartition(url: String) extends InputPartition
+
+/** Carries the probed total itself: the pushed COUNT(*) needs no executor
+  * IO at all. */
+case class BlazeCountPartition(total: Long) extends InputPartition
+
+private[v2] class BlazeCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val total = partition.asInstanceOf[BlazeCountPartition].total
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[v2] class BlazeReaderFactory(fetcherClass: String)
   extends PartitionReaderFactory {

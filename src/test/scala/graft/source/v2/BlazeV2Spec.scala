@@ -58,4 +58,42 @@ class BlazeV2Spec extends AnyFunSuite {
     assert(versions.count() === 23)
     assert(versions.filter(col("version_id") === 0).count() === 5) // i%5==0: 0,5,10,15,20
   }
+
+  private def recordingDf = spark.read.format("blaze")
+    .option("baseUrl", "http://fixture")
+    .option("resourceType", "Patient")
+    .option("pageSize", "10")
+    .option("fetcher", classOf[RecordingFetcher].getName)
+    .load()
+
+  test("COUNT(*) pushes down to the _count=0 probe: zero pages fetched") {
+    RecordingFetcher.urls.clear()
+    assert(recordingDf.count() === 23)
+    val fetched = RecordingFetcher.urls.toArray(Array.empty[String]).toSeq
+    assert(fetched.nonEmpty && fetched.forall(_.contains("_count=0")),
+      s"count() must only issue _count=0 probes, got: $fetched")
+  }
+
+  test("limit pushdown plans only the contributing pages") {
+    RecordingFetcher.urls.clear()
+    assert(recordingDf.limit(5).collect().length === 5)
+    val pages = RecordingFetcher.urls.toArray(Array.empty[String]).toSeq
+      .filter(_.contains("_getpagesoffset"))
+    assert(pages.length === 1 && pages.head.contains("_getpagesoffset=0"),
+      s"limit(5) at pageSize 10 must fetch exactly page 0, got: $pages")
+  }
+}
+
+/** [[FixtureFetcher]] that records every URL fetched — local-mode
+  * executors share the JVM, so a static concurrent queue observes
+  * executor-side IO. */
+class RecordingFetcher extends FixtureFetcher {
+  override def fetch(url: String): String = {
+    RecordingFetcher.urls.add(url)
+    super.fetch(url)
+  }
+}
+
+object RecordingFetcher {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
