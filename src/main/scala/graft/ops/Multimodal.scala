@@ -110,10 +110,97 @@ object Multimodal {
       |WHERE length(substr(text, f*64 + 1, 64)) > 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** STUB feature extraction: bytes → 8-dim embedding in [0,1), each dim
+    * derived from `md5(digest || i)` — deterministic, so tests can pin it
+    * and q81's oracle replays the identical arithmetic in SQL. Same
+    * per-partition-init shape as [[decodeStub]]: a real encoder would
+    * load its model weights once per partition here.
+    */
+  def embedStub(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Array[Float])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      def hexOf(bytes: Array[Byte]): String = {
+        md.reset(); md.digest(bytes).map("%02x".format(_)).mkString
+      }
+      it.map { case (id, bytes) =>
+        val hex = hexOf(bytes)
+        val feats = (0 until 8).map { i =>
+          val h2 = hexOf((hex + i.toString).getBytes("UTF-8"))
+          (java.lang.Long.parseLong(h2.substring(0, 8), 16).toDouble
+            / 4294967296.0).toFloat
+        }.toArray
+        (id, feats)
+      }
+    }
+  }
+
+  /** q80 — resize planning: fit each (width, height) from q50's metadata
+    * into a 256×256 box preserving aspect ratio. All-integer arithmetic
+    * (`(dim*256) div max(w,h)`) so both engines agree exactly; the
+    * degenerate 0×0 payload is guarded by `greatest(...,1)`. Map-side
+    * only — at 100 TB this is the planning pass that sizes the decode
+    * batch output before the (stubbed) pixel work runs.
+    */
+  private val q80: Q = (s, dir) =>
+    q50(s, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(col("width"), col("height"), lit(1)).as("m"))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("m") <= 256, col("width"))
+          .otherwise(expr("CAST((width * 256) div m AS INT)")).as("out_w"),
+        when(col("m") <= 256, col("height"))
+          .otherwise(expr("CAST((height * 256) div m AS INT)")).as("out_h"))
+      .orderBy("doc_id")
+
+  private val q80Sql =
+    """WITH m0 AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 AS width,
+      |  CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 AS height
+      |  FROM documents),
+      |m1 AS (SELECT *, greatest(width, height, 1) AS m FROM m0)
+      |SELECT doc_id, width, height,
+      |  CAST(CASE WHEN m <= 256 THEN width
+      |            ELSE (width * 256) // m END AS INTEGER) AS out_w,
+      |  CAST(CASE WHEN m <= 256 THEN height
+      |            ELSE (height * 256) // m END AS INTEGER) AS out_h
+      |FROM m1 ORDER BY doc_id""".stripMargin
+
+  /** q81 — feature extraction, SQL-expressible face of [[embedStub]]:
+    * 8 md5-derived dims per payload, reduced per-row (sum of exact
+    * integers, then ONE division by the 8·2³² constant — identical IEEE
+    * op on both engines). The HOF pipeline (transform → aggregate) stays
+    * in codegen; no shuffle before the final orderBy.
+    */
+  private val q81: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .select(col("doc_id"),
+        expr("""aggregate(transform(sequence(0, 7), i ->
+          |  CAST(conv(substring(md5(concat(digest, cast(i AS string))), 1, 8),
+          |       16, 10) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+          .stripMargin).as("fsum"))
+      .select(col("doc_id"), col("fsum"),
+        (col("fsum").cast("double") / 34359738368.0).as("fmean"))
+      .orderBy("doc_id")
+
+  private val q81Sql =
+    """SELECT doc_id, fsum, CAST(fsum AS DOUBLE) / 34359738368.0 AS fmean
+      |FROM (SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+      |    CAST(('0x' || substr(md5(md5(text) || i::VARCHAR), 1, 8)) AS BIGINT)))
+      |    AS BIGINT) AS fsum
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q50_multimodal_meta" -> q50,
-    "q58_frame_sample" -> q58)
+    "q58_frame_sample" -> q58,
+    "q80_resize_plan" -> q80,
+    "q81_feature_extract" -> q81)
   val oracle: Map[String, String] = Map(
     "q50_multimodal_meta" -> q50Sql,
-    "q58_frame_sample" -> q58Sql)
+    "q58_frame_sample" -> q58Sql,
+    "q80_resize_plan" -> q80Sql,
+    "q81_feature_extract" -> q81Sql)
 }

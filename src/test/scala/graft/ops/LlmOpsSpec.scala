@@ -79,6 +79,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(stub.toSeq === sql.toSeq)
   }
 
+  test("embedStub is deterministic, in [0,1), and consistent with q81's SQL sum") {
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("hello", "world", "graft", "")
+    val payloads = spark.createDataset(texts.zipWithIndex.map {
+      case (t, i) => (i.toLong, t.getBytes("UTF-8"))
+    }).repartition(2)
+    val feats = Multimodal.embedStub(payloads).collect().sortBy(_._1).toSeq
+    assert(feats.map(_._2.length).forall(_ == 8))
+    assert(feats.flatMap(_._2).forall(f => f >= 0f && f < 1f))
+    // determinism across runs
+    val again = Multimodal.embedStub(payloads).collect().sortBy(_._1).toSeq
+    assert(feats.map(_._2.toSeq) === again.map(_._2.toSeq))
+    // the q81 SQL pipeline computes the same dims (compare the exact
+    // integer sum: stub floats are the same 32-bit-truncated values)
+    val sqlSums = payloads.toDF("doc_id", "payload")
+      .select(col("doc_id"), md5(col("payload")).as("digest"))
+      .select(col("doc_id"), expr(
+        """aggregate(transform(sequence(0, 7), i ->
+          |  CAST(conv(substring(md5(concat(digest, cast(i AS string))), 1, 8),
+          |       16, 10) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+          .stripMargin).as("fsum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reconstruct each dim's integer from the stub by re-deriving the hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = { md.reset(); md.digest(b).map("%02x".format(_)).mkString }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val digest = hex(t.getBytes("UTF-8"))
+      val sum = (0 until 8).map { j =>
+        java.lang.Long.parseLong(hex((digest + j).getBytes("UTF-8")).substring(0, 8), 16)
+      }.sum
+      assert(sqlSums(i.toLong) == sum, s"doc $i: SQL fsum differs from JVM derivation")
+    }
+  }
+
   test("simhash bit semantics: single-word doc reproduces its md5 bit pattern") {
     val spark2 = spark
     import spark2.implicits._
