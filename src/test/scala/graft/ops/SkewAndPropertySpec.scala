@@ -26,6 +26,41 @@ class SkewAndPropertySpec extends AnyFunSuite {
     assert(salted.size === 501)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (salting's built-in complement)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pad = "x" * 200
+      val left = ((1 to 2000).map(i => ("hot", i, pad)) ++
+        (1 to 50).map(i => (s"k$i", i, pad))).toDF("k", "lv", "pad")
+      val right = ((1 to 10).map(i => ("hot", i)) ++
+        (1 to 50).map(i => (s"k$i", i))).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // execute THIS frame (count() would plan a separate query and leave
+      // joined's adaptive plan unfinalized)
+      assert(joined.collect().length === 2000 * 10 + 50)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.toLowerCase.contains("skew"),
+        s"expected AQE to mark the hot-key join skewed in:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg equals the plain aggregation") {
     val spark2 = spark
     import spark2.implicits._
