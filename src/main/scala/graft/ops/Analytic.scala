@@ -213,8 +213,37 @@ object Analytic {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q82 — multiset set ops: `EXCEPT ALL` / `INTERSECT ALL` preserve
+    * duplicate counts (count subtraction / min), which the q29 distinct
+    * variants erase. Spark plans both as a single aggregate computing the
+    * two sides' counts then a generator replicating rows — one shuffle on
+    * the value, no join. The post-op aggregate keeps the declared output
+    * compact.
+    */
+  private val q82: Q = (s, dir) => {
+    val a = Tables.lineitem(s, dir).select((col("l_partkey") % 100).as("k"))
+    val b = Tables.part(s, dir).select((col("p_partkey") % 100).as("k"))
+    a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("k"), col("n"))
+      .unionAll(
+        a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("k"), col("n")))
+      .orderBy("op", "k")
+  }
+
+  private val q82Sql =
+    """WITH a AS (SELECT l_partkey % 100 AS k FROM lineitem),
+      |     b AS (SELECT p_partkey % 100 AS k FROM part)
+      |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+      |ORDER BY op, k""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
+    "q82_setops_multiset" -> q82,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
@@ -225,6 +254,7 @@ object Analytic {
 
   val oracle: Map[String, String] = Map(
     "q65_grouping_sets" -> q65Sql,
+    "q82_setops_multiset" -> q82Sql,
     "q66_unpivot" -> q66Sql,
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,
