@@ -362,9 +362,36 @@ object Corpus {
       |FROM j WHERE n_common::DOUBLE / test_size >= 0.5
       |ORDER BY train_id, test_id""".stripMargin
 
+  /** q83 — source-reputation audit: per (source, lang), volume, size and
+    * exact duplicate rate — the table a crawl pipeline consults before
+    * weighting or dropping a source. One partial+final aggregate; the
+    * exact distinct forces Spark's Expand (fine at one distinct column);
+    * at 100 TB swap `countDistinct` → `approx_count_distinct` under the
+    * `SketchAccuracySpec` contract.
+    */
+  private val q83: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"),
+        col("n_distinct"),
+        round(lit(1) - col("n_distinct").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source", "lang")
+
+  private val q83Sql =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  round(1 - count(DISTINCT md5(text))::DOUBLE / count(*), 4) AS dup_rate
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q70_tfidf" -> q70,
     "q79_contamination" -> q79,
+    "q83_source_stats" -> q83,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
     "q74_embed_quantize" -> q74,
@@ -376,6 +403,7 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "q70_tfidf" -> q70Sql,
     "q79_contamination" -> q79Sql,
+    "q83_source_stats" -> q83Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,
     "q74_embed_quantize" -> q74Sql,
