@@ -241,9 +241,97 @@ object Analytic {
       |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
       |ORDER BY op, k""".stripMargin
 
+  /** q84 — time-RANGE window frame: per-customer 7-day trailing order
+    * totals. Unlike q27's ROWS frame, the frame edge is a VALUE offset
+    * (epoch-ms), so ties in the ordering column share one frame — the SQL
+    * standard's RANGE semantics, deterministic across engines without a
+    * unique tiebreak. One shuffle on the partition key; exact integer
+    * cents.
+    */
+  private val q84: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("ms")
+      .rangeBetween(-604800000L, 0L) // 7 days in ms
+    Tables.orders(s, dir)
+      // o_orderdate is TIMESTAMP_NTZ; the engine runs UTC everywhere
+      // (build.sbt), so the NTZ→TZ cast is the identity epoch DuckDB's
+      // epoch_ms computes on the naive value
+      .withColumn("ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum("cents").over(w).as("cents_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q84Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_7d
+      |FROM (SELECT *, epoch_ms(o_orderdate) AS ms,
+      |        CAST(floor(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY ms
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q85 — percent-of-total: each (priority, status) cell's share of its
+    * priority's revenue — a whole-partition window aggregate OVER a
+    * grouped aggregate (no frame). Two tiny shuffles (group keys, then
+    * window key); the share is one exact-integer division, rounded
+    * identically on both engines.
+    */
+  private val q85: Q = (s, dir) => {
+    val cells = Tables.orders(s, dir)
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum("cents").as("cents"))
+    val w = Window.partitionBy("o_orderpriority")
+    cells
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("cents"),
+        round(col("cents").cast("double") / sum("cents").over(w), 6)
+          .as("share"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  private val q85Sql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_orderstatus, cents,
+      |  round(cents::DOUBLE /
+      |    CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT), 6)
+      |    AS share
+      |FROM cells ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** q86 — correlated scalar subquery: each customer's max order price,
+    * written as a per-row subquery and DECORRELATED by Catalyst into a
+    * left-outer aggregate join (`.explain` shows no per-row execution) —
+    * the optimizer capability that makes naive analyst SQL scale. Null
+    * for customers with no orders, on both engines. `max(floor(x))`
+    * (monotone, = `floor(max(x))`) keeps the result integer-exact.
+    */
+  private val q86: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q86")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q86")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT CAST(max(floor(o_totalprice)) AS BIGINT) FROM orders_q86 o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer_q86 c ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q86Sql =
+    """SELECT c_custkey,
+      |  (SELECT CAST(max(floor(o_totalprice)) AS BIGINT) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
+    "q84_window_range_frame" -> q84,
+    "q85_percent_of_total" -> q85,
+    "q86_scalar_subquery" -> q86,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
@@ -255,6 +343,9 @@ object Analytic {
   val oracle: Map[String, String] = Map(
     "q65_grouping_sets" -> q65Sql,
     "q82_setops_multiset" -> q82Sql,
+    "q84_window_range_frame" -> q84Sql,
+    "q85_percent_of_total" -> q85Sql,
+    "q86_scalar_subquery" -> q86Sql,
     "q66_unpivot" -> q66Sql,
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,

@@ -43,6 +43,12 @@ class AnalyticSpec extends AnyFunSuite {
     assert(n <= 2, s"expected <=2 exchanges (partition + final sort), got $n in:\n$p")
   }
 
+  test("q86 scalar subquery decorrelates to one left-outer aggregate join") {
+    val p = plan("q86_scalar_subquery")
+    assert(p.contains("LeftOuter"),
+      s"expected Catalyst to decorrelate the per-row subquery into a left-outer join:\n$p")
+  }
+
   test("q72 keep-best picks the longest doc (lowest doc_id on ties) per digest") {
     val docs = graft.source.Tables.documents(spark, dir)
       .withColumn("digest", md5(col("text")))
