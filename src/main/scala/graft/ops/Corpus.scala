@@ -388,10 +388,70 @@ object Corpus {
       |  round(1 - count(DISTINCT md5(text))::DOUBLE / count(*), 4) AS dup_rate
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** q87 — incremental dedup against a known corpus: keep only candidate
+    * docs whose content digest is absent from the already-ingested set
+    * (here simulated by the even/odd doc_id split) — a LEFT ANTI join on
+    * the digest, the day-2 form of q40's within-corpus dedup. At 100 TB
+    * the known side is a digest-only projection (16 bytes/row); the anti
+    * join shuffles both sides once on the digest, or goes shuffle-free
+    * with a bloom-filter pre-pass when the known set fits an executor
+    * broadcast.
+    */
+  private val q87: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("digest", md5(col("text")))
+    val known = docs.filter(col("doc_id") % 2 === 0)
+      .select("digest").distinct()
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .join(known, Seq("digest"), "left_anti")
+      .select("doc_id", "digest")
+      .orderBy("doc_id")
+  }
+
+  private val q87Sql =
+    """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+      |k AS (SELECT DISTINCT digest FROM d WHERE doc_id % 2 = 0)
+      |SELECT doc_id, digest FROM d
+      |WHERE doc_id % 2 <> 0 AND digest NOT IN (SELECT digest FROM k)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q88 — equi-depth length bucketing: quartile boundaries from one
+    * exact-percentile aggregate (1 row, broadcast), then every doc
+    * bucketed map-side by counting boundaries below its length — the
+    * scalable form of `ntile` over the WHOLE relation, which would pull
+    * all rows through one partition. At 100 TB the boundary pass becomes
+    * `approx_percentile` under the `SketchAccuracySpec` contract; the
+    * bucketing pass is unchanged.
+    */
+  private val q88: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val bounds = docs.agg(
+      expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("bs"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(filter(bs, b -> n_chars > b))").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val q88Sql =
+    """WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs
+      |           FROM documents)
+      |SELECT CAST(len(list_filter(b.bs, x -> d.n_chars > x)) AS INTEGER)
+      |         AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM documents d, b
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q70_tfidf" -> q70,
     "q79_contamination" -> q79,
     "q83_source_stats" -> q83,
+    "q87_dedup_incremental" -> q87,
+    "q88_equidepth_buckets" -> q88,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
     "q74_embed_quantize" -> q74,
@@ -404,6 +464,8 @@ object Corpus {
     "q70_tfidf" -> q70Sql,
     "q79_contamination" -> q79Sql,
     "q83_source_stats" -> q83Sql,
+    "q87_dedup_incremental" -> q87Sql,
+    "q88_equidepth_buckets" -> q88Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,
     "q74_embed_quantize" -> q74Sql,

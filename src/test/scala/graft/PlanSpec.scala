@@ -124,9 +124,9 @@ class PlanSpec extends AnyFunSuite {
     // count aggregates (1×1), q53 crosses every vector with the 8-row
     // broadcast quantizer, q70 crosses the 1-row corpus count into the
     // tf⋈df relation. Everything else must stay equi/broadcast.
-    // (q75 crosses a 1-row corpus-stats aggregate, like q70.)
+    // (q75/q88 cross a 1-row corpus-stats aggregate, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
-      "q53_ann_ivf", "q70_tfidf", "q75_bm25")
+      "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
