@@ -440,8 +440,51 @@ object Relational {
       |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q89 — array & map scalar suite (complements q30's string/date/math/
+    * json): construction, ordering, dedup, membership, positional and
+    * keyed access, and a sequence fold — all codegen'd builtins, scalar
+    * outputs only (array-typed output columns don't survive the driver's
+    * row-hash compare). DuckDB's `map[k]` returns a LIST, hence the
+    * `[1]` in the oracle; Spark's `element_at` returns the value
+    * directly — same scalar either way.
+    */
+  private val q89: Q = (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("size(array(user_id, event_id, 7))").as("arr_len"),
+      expr("array_max(array(user_id % 50, event_id % 97))").as("arr_max"),
+      expr("element_at(array_sort(array(user_id % 50, event_id % 97, 13)), 2)")
+        .as("arr_mid"),
+      expr("array_contains(array('click','view'), event_type)").as("is_cv"),
+      expr("size(array_distinct(array(user_id % 5, event_id % 5)))").as("arr_nd"),
+      expr("element_at(map('a', user_id, 'b', event_id), 'a')").as("map_a"),
+      expr("element_at(map_from_arrays(array('k','v'), array(user_id, event_id)), 'v')")
+        .as("map_v"),
+      expr("aggregate(sequence(CAST(1 AS BIGINT), user_id % 5 + 1), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)").as("seq_sum"),
+      expr("CAST(array_position(array('click','view','purchase','signup','error'), " +
+        "event_type) AS INT)").as("etype_pos"))
+      .orderBy("event_id")
+
+  private val q89Sql =
+    """SELECT event_id,
+      |  CAST(len([user_id, event_id, 7]) AS INTEGER) AS arr_len,
+      |  CAST(list_max([user_id % 50, event_id % 97]) AS BIGINT) AS arr_max,
+      |  CAST(list_sort([user_id % 50, event_id % 97, 13])[2] AS BIGINT) AS arr_mid,
+      |  list_contains(['click','view'], event_type) AS is_cv,
+      |  CAST(len(list_distinct([user_id % 5, event_id % 5])) AS INTEGER) AS arr_nd,
+      |  CAST(MAP {'a': user_id, 'b': event_id}['a'][1] AS BIGINT) AS map_a,
+      |  CAST(map_from_entries([('k', user_id), ('v', event_id)])['v'][1] AS BIGINT)
+      |    AS map_v,
+      |  CAST(list_sum(generate_series(1, CAST(user_id % 5 + 1 AS INTEGER)))
+      |    AS BIGINT) AS seq_sum,
+      |  CAST(list_position(['click','view','purchase','signup','error'],
+      |    event_type) AS INTEGER) AS etype_pos
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q34_approx_distinct" -> q34,
+    "q89_array_map_suite" -> q89,
     "q59_quantiles" -> q59,
     "q60_pivot" -> q60,
     "q63_salted_agg" -> q63,
@@ -463,6 +506,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q34_approx_distinct" -> q34Sql,
+    "q89_array_map_suite" -> q89Sql,
     "q59_quantiles" -> q59Sql,
     "q60_pivot" -> q60Sql,
     "q63_salted_agg" -> q63Sql,
