@@ -48,6 +48,35 @@ object Sessions {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  val all: Map[String, Q] = Map("q33_session_window" -> q33)
-  val oracle: Map[String, String] = Map("q33_session_window" -> q33Sql)
+  /** q90 — sliding (hopping) windows, batch form: `window(ts, 2h, 1h)` —
+    * every event lands in exactly two epoch-aligned windows, planned as an
+    * Expand (2 rows/event) feeding one aggregate, the same operator the
+    * streaming `EventStreams.slidingCounts` runs incrementally with a
+    * watermark. Completes the windowed-aggregation oracle trio: tumbling
+    * q31, session q33, sliding q90. The oracle materializes the two
+    * covering window starts per event explicitly.
+    */
+  private val q90: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_users"))
+      .orderBy("window_start")
+
+  private val q90Sql =
+    """SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (SELECT user_id,
+      |        date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws
+      |      FROM events, unnest([0, 1]) AS t(k))
+      |GROUP BY ws ORDER BY window_start""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q33_session_window" -> q33,
+    "q90_window_sliding" -> q90)
+  val oracle: Map[String, String] = Map(
+    "q33_session_window" -> q33Sql,
+    "q90_window_sliding" -> q90Sql)
 }
