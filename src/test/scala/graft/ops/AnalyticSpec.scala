@@ -64,6 +64,31 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bucket-densified range join equals the theta join for random bands") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      // random non-overlapping bands over the p_size domain [1, 51)
+      val cuts = (Seq(0, 51) ++ Seq.fill(3)(rnd.nextInt(50) + 1))
+        .distinct.sorted
+      val bands = cuts.zip(cuts.tail).zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, s"b$i") }
+      val bandsDf = bands.toDF("lo", "hi", "band")
+      val part = graft.source.Tables.part(spark, dir)
+      val theta = part.join(bandsDf,
+          col("p_size") >= col("lo") && col("p_size") < col("hi"))
+        .groupBy("band").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val buckets = bandsDf.select(col("band"),
+        explode(sequence(col("lo"), col("hi") - 1)).as("p_size"))
+      val equi = part.join(broadcast(buckets), "p_size")
+        .groupBy("band").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(equi == theta, s"bands $bands: equi $equi != theta $theta")
+    }
+  }
+
   test("q77 salted join result equals the plain join") {
     val plain = graft.source.Tables.lineitem(spark, dir)
       .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
