@@ -446,12 +446,80 @@ object Corpus {
       |FROM documents d, b
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q91 — sequence packing: concatenate-then-chunk assignment of docs
+    * into fixed 2000-token training sequences, per language shard —
+    * `chunk = (running_total - tokens) div budget` over a running sum, the
+    * streaming-pack every LLM data loader runs before tokenized shards
+    * are written. Sharding by `lang` keeps the window parallel (a single
+    * global ordering would funnel the corpus through one partition);
+    * within a shard the packing is order-deterministic by doc_id. One
+    * shuffle on the shard key; all-integer outputs.
+    */
+  private val q91: Q = (s, dir) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("tokens", size(split(col("text"), " ")))
+      .withColumn("run", sum("tokens").over(w))
+      .withColumn("chunk_id", expr("(run - tokens) div 2000"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens").cast("long")).as("sum_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  private val q91Sql =
+    """WITH t AS (SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS tokens
+      |  FROM documents),
+      |c AS (SELECT lang, tokens,
+      |    CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS UNBOUNDED PRECEDING) - tokens) // 2000 AS BIGINT)
+      |      AS chunk_id
+      |  FROM t)
+      |SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
+  /** q92 — per-row weighted (importance) sampling: keep a doc iff its
+    * digest-derived uniform draw falls below its OWN quality-derived
+    * weight — the data-mixing primitive that upsamples long documents
+    * (here `w = min(1, n_chars/1500)`) while staying fully reproducible,
+    * unlike `sample()`. Integer comparison (`u * 1500 < min(1500,
+    * n_chars)` avoids float thresholds entirely). Extends q62 (one global
+    * rate) and q76 (per-stratum rates) to per-row weights. Pure map-side
+    * filter plus one audit aggregate.
+    */
+  private val q92: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 1500"))
+      .withColumn("kept",
+        when(col("u") < least(lit(1500L), col("n_chars")), 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("lang")
+
+  private val q92Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
+      |                          AS INTEGER) % 1500 < least(1500, n_chars)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
+      |                          AS INTEGER) % 1500 < least(1500, n_chars)
+      |           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q70_tfidf" -> q70,
     "q79_contamination" -> q79,
     "q83_source_stats" -> q83,
     "q87_dedup_incremental" -> q87,
     "q88_equidepth_buckets" -> q88,
+    "q91_sequence_pack" -> q91,
+    "q92_weighted_sample" -> q92,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
     "q74_embed_quantize" -> q74,
@@ -466,6 +534,8 @@ object Corpus {
     "q83_source_stats" -> q83Sql,
     "q87_dedup_incremental" -> q87Sql,
     "q88_equidepth_buckets" -> q88Sql,
+    "q91_sequence_pack" -> q91Sql,
+    "q92_weighted_sample" -> q92Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,
     "q74_embed_quantize" -> q74Sql,
