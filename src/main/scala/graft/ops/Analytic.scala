@@ -326,12 +326,46 @@ object Analytic {
       |   WHERE o.o_custkey = c.c_custkey) AS max_price
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
+  /** q93 — schema-evolution union: two shard generations with different
+    * column sets merged BY NAME (`unionByName(allowMissingColumns)`,
+    * missing columns null-filled) — positional `union` would silently
+    * misalign columns; this is the ingest-time merge any long-lived
+    * 100 TB corpus needs as its schema grows. The audit aggregate counts
+    * legacy rows (null-filled column) per group.
+    */
+  private val q93: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "n_chars") // legacy shard: no `source` yet
+    val v2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "lang", "n_chars", "source")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  private val q93Sql =
+    """WITH u AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, lang, n_chars, source FROM documents
+      |  WHERE doc_id % 2 <> 0)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_legacy,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
     "q84_window_range_frame" -> q84,
     "q85_percent_of_total" -> q85,
     "q86_scalar_subquery" -> q86,
+    "q93_union_by_name" -> q93,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
@@ -346,6 +380,7 @@ object Analytic {
     "q84_window_range_frame" -> q84Sql,
     "q85_percent_of_total" -> q85Sql,
     "q86_scalar_subquery" -> q86Sql,
+    "q93_union_by_name" -> q93Sql,
     "q66_unpivot" -> q66Sql,
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,
