@@ -62,6 +62,31 @@ object IncrementalSync {
           .as("action"))
   }
 
+  /** Production applier: route one micro-batch's classified changes into
+    * the [[graft.sink.JdbcUpsert]] partition writers — the same three
+    * statement shapes the reference issues (`src/main.rs:78-138`), now per
+    * micro-batch instead of per daily run. Pass the result as `apply` to
+    * [[run]].
+    */
+  def applyJdbc(table: String,
+                connect: () => (String => Unit, () => Unit),
+                batchSize: Int = graft.sink.JdbcUpsert.DefaultBatchSize)
+  : DataFrame => Unit = { classified =>
+    val c = classified.persist()
+    try {
+      def only(action: String) = c.filter(col("action") === action)
+      graft.sink.JdbcUpsert.insertPartitions(
+        only(Reconcile.Insert).select("resource"), table, connect, batchSize)
+      graft.sink.JdbcUpsert.updatePartitions(
+        only(Reconcile.Update)
+          .select(col("pk_id").cast("int").as("pk_id"), col("resource")),
+        table, connect, batchSize)
+      graft.sink.JdbcUpsert.deletePartitions(
+        only(Reconcile.Delete).select(col("pk_id").cast("int").as("pk_id")),
+        table, connect, batchSize)
+    } finally { c.unpersist(); () }
+  }
+
   /** Start the continuous sync. `snapshotFor` re-reads the live target
     * each micro-batch (it mutates between batches); `apply` receives the
     * classified changes with the same `action` column the batch writers

@@ -88,6 +88,30 @@ class IncrementalSyncSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("applyJdbc routes a micro-batch into the three JDBC statement shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.runtime.StmtCollector.clear()
+    val connect = () => ((s: String) => graft.runtime.StmtCollector.add(s), () => ())
+    val snapshot = Seq((7, "upd", 1L), (8, "del", 1L))
+      .toDF("pk_id", "resource_id", "version_id")
+    val batch = Seq(
+      ("new", 1L, "payload-new"),
+      ("upd", 2L, "payload-upd"),
+      ("del", 2L, null.asInstanceOf[String]))
+      .toDF("resource_id", "version_id", "resource")
+    IncrementalSync.applyJdbc("patient", connect)(
+      IncrementalSync.classifyCdc(batch, snapshot))
+    val stmts = graft.runtime.StmtCollector.snapshot()
+    assert(stmts.exists(s => s.startsWith("INSERT INTO patient") &&
+      s.contains("payload-new")), stmts.mkString("\n"))
+    assert(stmts.exists(s => s.startsWith("UPDATE patient") &&
+      s.contains("payload-upd") && s.contains("(7,")), stmts.mkString("\n"))
+    assert(stmts.exists(s => s.startsWith("DELETE FROM patient") &&
+      s.contains("8")), stmts.mkString("\n"))
+    assert(stmts.size === 3, s"exactly one statement per action: $stmts")
+  }
+
   test("classifyCdc treats absence-from-batch as unchanged, never delete") {
     val spark2 = spark
     import spark2.implicits._
