@@ -6,9 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.source.Tables
 
 /** Analytic widening of the relational suite (SURVEY.md §2.2): grouping
-  * sets, unpivot/melt, window navigation (lag) and distribution (ntile /
-  * percent_rank / cume_dist) functions, argmax aggregation, and the
-  * equi-join scale path for range joins.
+  * sets (q65), unpivot/melt (q66), window navigation (q67) and
+  * distribution functions (q68), argmax aggregation (q69), the equi-join
+  * scale path for range joins (q73), salted joins (q77), multiset set
+  * ops (q82), time-RANGE frames (q84), percent-of-total (q85),
+  * decorrelated scalar subqueries (q86), and schema-evolution union
+  * (q93).
   *
   * Scale rules shared with [[Relational]]: one shuffle per aggregation
   * (partial map-side combine), dims broadcast, doubles either left

@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.source.Tables
 
-/** Corpus-level LLM-pipeline analytics: TF-IDF term weighting, gap-based
-  * sessionization (the window-function twin of q33's `session_window`),
-  * keep-best duplicate resolution, and int8 scalar quantization of
-  * embeddings — the operators a pre-training data pipeline runs between
-  * raw ingest and dedup/filtering.
+/** Corpus-level LLM-pipeline analytics — the operators a pre-training
+  * data pipeline runs between raw ingest and shard writing: retrieval
+  * weighting (TF-IDF q70, BM25 q75), gap sessionization (q71, the
+  * window-function twin of q33's `session_window`), duplicate resolution
+  * (keep-best q72, incremental anti-join q87), embedding storage audit
+  * (int8 quantization q74), sampling (stratified q76, per-row weighted
+  * q92), sketch accuracy (MinHash estimate vs exact q78), contamination
+  * detection (q79), source reputation (q83), equi-depth bucketing (q88),
+  * and sequence packing (q91).
   *
   * Determinism rules (cross-engine hash-match): all money/size reductions
   * on exact integers; float derivations either bit-identical (same IEEE
