@@ -43,6 +43,17 @@ class AnalyticSpec extends AnyFunSuite {
     assert(n <= 2, s"expected <=2 exchanges (partition + final sort), got $n in:\n$p")
   }
 
+  test("q91 sequence packing windows stay sharded (no single-partition window)") {
+    val df = SparkEntry.queries("q91_sequence_pack")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("SinglePartition"),
+      s"packing must shard by lang, not funnel through one partition:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"expected the window to cluster on the shard key:\n$p")
+  }
+
   test("q86 scalar subquery decorrelates to one left-outer aggregate join") {
     val p = plan("q86_scalar_subquery")
     assert(p.contains("LeftOuter"),
