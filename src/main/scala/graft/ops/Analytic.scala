@@ -362,6 +362,41 @@ object Analytic {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q94 — cohort retention: users bucketed by first-seen week, then the
+    * distinct-user count per (cohort, week-offset) cell — the classic
+    * retention matrix. Two shuffles on `user_id` (first-seen aggregate,
+    * then the activity join reuses the clustering) plus the tiny cell
+    * aggregate. Week arithmetic on exact epoch-µs integers; both engines'
+    * integer division agree on positive values.
+    */
+  private val q94: Q = (s, dir) => {
+    // `div`, not `/`: epoch-µs ≈ 1.7e18 exceeds the 2^53 double mantissa,
+    // so float division would corrupt low-order digits (same hazard the
+    // events reader documents)
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        expr("unix_micros(first_ts) div 604800000000").as("cohort_week"),
+        expr("(unix_micros(ts) div 604800000000) - " +
+          "(unix_micros(first_ts) div 604800000000)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q94Sql =
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+      |j AS (SELECT e.user_id,
+      |        epoch_us(f.first_ts) // 604800000000 AS cohort_week,
+      |        (epoch_us(e.ts) // 604800000000)
+      |          - (epoch_us(f.first_ts) // 604800000000) AS week_offset
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+      |  CAST(week_offset AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
@@ -369,6 +404,7 @@ object Analytic {
     "q85_percent_of_total" -> q85,
     "q86_scalar_subquery" -> q86,
     "q93_union_by_name" -> q93,
+    "q94_cohort_retention" -> q94,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
@@ -384,6 +420,7 @@ object Analytic {
     "q85_percent_of_total" -> q85Sql,
     "q86_scalar_subquery" -> q86Sql,
     "q93_union_by_name" -> q93Sql,
+    "q94_cohort_retention" -> q94Sql,
     "q66_unpivot" -> q66Sql,
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,
