@@ -112,6 +112,26 @@ class IncrementalSyncSpec extends AnyFunSuite {
     assert(stmts.size === 3, s"exactly one statement per action: $stmts")
   }
 
+  test("Trigger.AvailableNow drains pending changes and terminates (daily-cron CDC mode)") {
+    // the reference syncs once per day (main.rs:388-411); AvailableNow is
+    // that schedule's streaming twin: drain everything pending through the
+    // SAME checkpointed pipeline, then stop — incremental state without a
+    // resident query
+    val spark2 = spark
+    import spark2.implicits._
+    val target = mkTarget()
+    val input = MemoryStream[Change](spark2)
+    val ckpt = java.nio.file.Files.createTempDirectory("incsync-an").toString
+    input.addData(Change("a", 1L, "pa1"), Change("b", 1L, "pb1"))
+    val q = IncrementalSync.run(input.toDF(), ckpt,
+      _ => snapshotDf(target), applier(target),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+      assert(target.values.toSet == Set(("a", 1L, "pa1"), ("b", 1L, "pb1")))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("classifyCdc treats absence-from-batch as unchanged, never delete") {
     val spark2 = spark
     import spark2.implicits._
