@@ -397,6 +397,35 @@ object Analytic {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q95 — DISCRETE percentiles: `percentile_disc` returns an actual
+    * data value (the first at-or-above the rank), where q59's
+    * `percentile`/`quantile_cont` interpolates — the right choice when
+    * the percentile must be an observed value (a real document length, a
+    * real price). Exact integer cents, so cross-engine equality is exact.
+    */
+  private val q95: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .createOrReplaceTempView("orders_q95")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |    AS p50_disc,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |    AS p90_disc
+        |FROM orders_q95 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q95Sql =
+    """SELECT o_orderpriority,
+      |  CAST(quantile_disc(CAST(floor(o_totalprice*100) AS BIGINT), 0.5)
+      |    AS BIGINT) AS p50_disc,
+      |  CAST(quantile_disc(CAST(floor(o_totalprice*100) AS BIGINT), 0.9)
+      |    AS BIGINT) AS p90_disc
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
@@ -405,6 +434,7 @@ object Analytic {
     "q86_scalar_subquery" -> q86,
     "q93_union_by_name" -> q93,
     "q94_cohort_retention" -> q94,
+    "q95_percentile_disc" -> q95,
     "q66_unpivot" -> q66,
     "q67_window_nav" -> q67,
     "q68_window_dist" -> q68,
@@ -421,6 +451,7 @@ object Analytic {
     "q86_scalar_subquery" -> q86Sql,
     "q93_union_by_name" -> q93Sql,
     "q94_cohort_retention" -> q94Sql,
+    "q95_percentile_disc" -> q95Sql,
     "q66_unpivot" -> q66Sql,
     "q67_window_nav" -> q67Sql,
     "q68_window_dist" -> q68Sql,
