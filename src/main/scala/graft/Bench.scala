@@ -40,16 +40,21 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.keys.toSeq
-    def once(name: String): Option[Double] = {
+    // Errors count only from TIMED passes, and a later timed success clears
+    // an earlier one — a transient warmup-only failure must not force a
+    // non-zero exit when every timed sample succeeded.
+    def once(name: String, timed: Boolean): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
+        if (timed) errors.remove(name)
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case t: Throwable =>
-          errors.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          if (timed)
+            errors.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${t.getMessage}")
           None
-      }
+      } finally graft.util.QueryCaches.drain()
     }
     // Wall-clock budget: on a slow host phase the warmup pass alone can
     // take minutes; rather than risk an external timeout, run at least
@@ -62,11 +67,11 @@ object Bench {
     // the entire wall-clock before a single timed pass starts. Past 40%
     // of the budget the remaining queries skip warmup (they run cold in
     // the timed pass — a noisier number beats an external timeout).
-    names.foreach { n => if (elapsed < budgetSec * 0.4) { once(n); () } }
+    names.foreach { n => if (elapsed < budgetSec * 0.4) { once(n, timed = false); () } }
     val passSamples = Seq.newBuilder[(String, Double)]
     var pass = 0
     while (pass < reps && (pass == 0 || elapsed < budgetSec)) {
-      names.foreach(n => once(n).foreach(t => passSamples += n -> t))
+      names.foreach(n => once(n, timed = true).foreach(t => passSamples += n -> t))
       pass += 1
     }
     val samples = passSamples.result()
@@ -78,11 +83,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Full JSON string escaping — backslash, quote, and the entire control
+    // range (an exception message can carry any byte; a stray control char must
+    // not corrupt the one-line protocol).
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) =>
-        s"""\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}\""""
-      }.mkString(",\"errors\":{", ",", "}")
+      else errors.map { case (k, v) => s"""\"${esc(k)}\":\"${esc(v)}\"""" }
+        .mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$pass,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)

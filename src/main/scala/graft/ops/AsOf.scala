@@ -34,16 +34,28 @@ object AsOf {
   /** Generic kernel. `left`/`right` must both carry `key` and `ts` columns;
     * every other right column is the payload attached to each left row
     * (null where no right row is at-or-before). Left columns pass through.
+    *
+    * A left payload column and a right payload column sharing a name would
+    * produce ambiguous output — rejected up front (alias one side). A side
+    * with zero payload columns is legal: a 1-field placeholder struct
+    * stands in (Spark's `struct()` rejects zero args), and no columns are
+    * emitted for that side.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val lCols = left.columns.filterNot(c => c == key || c == ts)
     val rCols = right.columns.filterNot(c => c == key || c == ts)
-    val lpayT = left.select(struct(lCols.map(col): _*)).schema.head.dataType
-    val rpayT = right.select(struct(rCols.map(col): _*)).schema.head.dataType
+    val clash = lCols.intersect(rCols)
+    require(clash.isEmpty,
+      s"asOfJoin: payload column name collision ${clash.mkString("[", ",", "]")} " +
+        "— alias the columns on one side before joining")
+    def pay(cols: Array[String]): Column =
+      if (cols.isEmpty) struct(lit(0).as("__none")) else struct(cols.map(col): _*)
+    val lpayT = left.select(pay(lCols)).schema.head.dataType
+    val rpayT = right.select(pay(rCols)).schema.head.dataType
     val l = left.select(col(key), col(ts).as("__ts"), lit(1).as("__side"),
-      struct(lCols.map(col): _*).as("__lpay"), lit(null).cast(rpayT).as("__rpay"))
+      pay(lCols).as("__lpay"), lit(null).cast(rpayT).as("__rpay"))
     val r = right.select(col(key), col(ts).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(lpayT).as("__lpay"), struct(rCols.map(col): _*).as("__rpay"))
+      lit(null).cast(lpayT).as("__lpay"), pay(rCols).as("__rpay"))
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)

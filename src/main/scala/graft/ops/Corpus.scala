@@ -38,7 +38,7 @@ object Corpus {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .transform(graft.util.QueryCaches.tracked)
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.filter(col("tf") >= 3)
@@ -188,7 +188,7 @@ object Corpus {
       .select(col("doc_id"), col("dl"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .transform(graft.util.QueryCaches.tracked)
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
@@ -272,7 +272,7 @@ object Corpus {
           |  array_min(transform(shingles, s ->
           |    md5(cast(j AS string) || '|' || s))))""".stripMargin))
       .select(col("doc_id"), col("mh"))
-      .persist()
+      .transform(graft.util.QueryCaches.tracked)
     TextDedup.all("q41b_dedup_lsh_verified")(s, dir)
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
@@ -331,7 +331,7 @@ object Corpus {
       .select(col("doc_id"),
         array_distinct(expr(TextDedup.shinglesExpr(3))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .transform(graft.util.QueryCaches.tracked)
     val test = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("test_id"), size(col("sh")).as("test_size"),
         explode(col("sh")).as("shingle"))

@@ -265,7 +265,7 @@ object Similarity {
       .select(col("vec_id"), expr(vd).as("v"))
       .withColumn("bucket", expr(hyperplaneBucket("v")))
       // self-joined: bucket signatures computed once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.QueryCaches.tracked)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -76,7 +76,7 @@ object TextDedup {
           .stripMargin)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
       // self-joined below: one signature computation, not two
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.QueryCaches.tracked)
     val a = bands.as("a")
     val c = bands.as("c")
     a.join(c, col("a.b") === col("c.b") && col("a.bh") === col("c.bh") &&
@@ -217,7 +217,7 @@ object TextDedup {
         .as("band"))
       .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.nib").as("nib"))
       // self-joined: fingerprints computed once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.QueryCaches.tracked)
     bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.nib") === col("c.nib") &&
           col("a.doc_id") < col("c.doc_id"))
@@ -267,7 +267,7 @@ object TextDedup {
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "lang", "lb", "shingle")
       // self-joined below: the df join + ranking windows run once, not twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.QueryCaches.tracked)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -298,7 +298,7 @@ object TextDedup {
         (col("n_chars") / 100).cast("long").as("lb"),
         expr(s"transform(array_distinct(${shinglesExpr(2)}), " +
           "s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.QueryCaches.tracked)
     jaccardPrefixJoin(blocked, t = 0.1)
   }
 
@@ -319,13 +319,20 @@ object TextDedup {
       |WHERE jaccard >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Connected components by iterative min-label propagation: each node's
-    * label becomes min(own, neighbors') until fixpoint. The Pregel-style
-    * formulation (GraphX's `ConnectedComponents` is the same algorithm):
-    * per iteration ONE narrow (id, label) equi-join + groupBy-min, so at
-    * 100 TB each round shuffles O(edges) small rows; rounds = component
-    * diameter (near-dup clusters are shallow). The driver sees only a
-    * per-round convergence boolean — no data is collected.
+  /** Connected components by iterative min-label propagation **with
+    * pointer jumping**: each round a node's label becomes
+    * min(own, neighbors' labels) and is then short-circuited to its
+    * label's label (label(label(v)) ≤ label(v) because labels are min-
+    * monotone doc_ids, so the jump is sound). Neighbor propagation alone
+    * needs diameter-many rounds; the jump halves remaining chain depth
+    * each round, so convergence is O(log d) — 20 rounds covers components
+    * of diameter ~2^20, far beyond any real near-dup chain. Per round:
+    * two narrow (id, label) equi-joins + a groupBy-min, each shuffling
+    * O(edges) small rows; the driver sees only a convergence boolean.
+    *
+    * If the loop exits without converging the labels are WRONG (a deep
+    * chain would get split cluster ids) — that is an error, never a
+    * silent result.
     */
   private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -356,13 +363,25 @@ object TextDedup {
       val step = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+      // Pointer jumping: follow label -> label(label). Every label IS a
+      // doc_id present in `labels` (it entered as some node's min), so the
+      // lookup is a self-join on the same relation.
+      val jumped = step
+        .join(step.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = step.filter(col("label") =!= col("old")).isEmpty
-      labels = step.select("doc_id", "label")
+      converged = jumped.filter(col("label") =!= col("old")).isEmpty
+      labels = jumped.select("doc_id", "label")
       iter += 1
     }
     sym.unpersist()
     e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component deeper than 2^" + maxIters + "; raise maxIters")
     labels
   }
 

@@ -33,12 +33,17 @@ object IncrementalSync {
 
   /** Newest version per key within one micro-batch. Tombstones compete by
     * version like any other change, so a reinsert-after-delete in the
-    * same batch resolves correctly by version order.
+    * same batch resolves correctly by version order. A tombstone and an
+    * upsert carrying the SAME version_id (a malformed feed, but it
+    * happens) must not resolve arbitrarily across runs: the ordering key
+    * is `(version_id, resource IS NOT NULL)`, so at equal versions the
+    * upsert deterministically wins — consistent with the full reconcile,
+    * where a present source row at any version beats absence.
     */
   def latestPerKey(batch: DataFrame): DataFrame =
     batch.groupBy("resource_id")
       .agg(max_by(struct(col("version_id"), col("resource")),
-        col("version_id")).as("lv"))
+        struct(col("version_id"), col("resource").isNotNull)).as("lv"))
       .select(col("resource_id"), col("lv.version_id").as("version_id"),
         col("lv.resource").as("resource"))
 

@@ -90,6 +90,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin rejects payload name collisions and handles empty payloads") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
+    val right = Seq((1L, 9L, "y")).toDF("k", "ts", "v")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, "k", "ts")
+    }
+    assert(err.getMessage.contains("collision"))
+    // a right side with zero payload columns is legal (pure existence match)
+    val bare = Seq((1L, 9L), (1L, 11L)).toDF("k", "ts")
+    val got = AsOf.asOfJoin(left, bare, "k", "ts").collect()
+    assert(got.map(_.getString(2)).toSeq === Seq("x"))
+  }
+
+  test("connectedComponents converges on a 64-deep chain in 10 rounds (pointer jumping)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(edges, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val err = intercept[IllegalStateException] {
+      TextDedup.connectedComponents(edges, maxIters = 1)
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+
   // ---- TopKTagged carries the payload without affecting order ----
 
   test("TopKTagged orders like TopKByScore and preserves tags") {

@@ -144,4 +144,27 @@ class IncrementalSyncSpec extends AnyFunSuite {
     assert(actions == Map("a" -> "update"), // b absent → no row at all
       "CDC classify must only emit rows for keys present in the batch")
   }
+
+  test("latestPerKey resolves same-version tombstone/upsert ties to the upsert") {
+    val spark2 = spark
+    import spark2.implicits._
+    // malformed feed: tombstone and upsert carry the SAME version for "a";
+    // resolution must be deterministic (upsert wins), not row-order luck —
+    // exercised in both arrival orders.
+    val fwd = Seq(("a", 3L, Some("pa3")), ("a", 3L, None), ("b", 1L, None))
+      .toDF("resource_id", "version_id", "resource")
+    val rev = Seq(("a", 3L, None), ("a", 3L, Some("pa3")), ("b", 1L, None))
+      .toDF("resource_id", "version_id", "resource")
+    for (batch <- Seq(fwd, rev)) {
+      val got = IncrementalSync.latestPerKey(batch)
+        .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+      assert(got === Map("a" -> Some("pa3"), "b" -> None))
+    }
+    // a strictly newer tombstone still beats an older upsert
+    val newer = Seq(("a", 2L, Some("pa2")), ("a", 3L, None))
+      .toDF("resource_id", "version_id", "resource")
+    val gotNewer = IncrementalSync.latestPerKey(newer)
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(gotNewer === Map("a" -> None))
+  }
 }
