@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     parity.ParityQueries.all ++ ops.Relational.all ++ ops.Sessions.all ++
       ops.TextDedup.all ++ ops.Similarity.all ++ ops.TextStats.all ++
-      ops.Multimodal.all ++ ops.AsOf.all ++ ops.Analytic.all ++ ops.Corpus.all
+      ops.Multimodal.all ++ ops.AsOf.all ++ ops.Analytic.all ++
+      ops.Corpus.all ++ ops.Behavioral.all ++ ops.Quality.all ++ ops.Layout.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
     parity.ParityQueries.oracle ++ ops.Relational.oracle ++
       ops.Sessions.oracle ++ ops.TextDedup.oracle ++ ops.Similarity.oracle ++
       ops.TextStats.oracle ++ ops.Multimodal.oracle ++ ops.AsOf.oracle ++
-      ops.Analytic.oracle ++ ops.Corpus.oracle
+      ops.Analytic.oracle ++ ops.Corpus.oracle ++ ops.Behavioral.oracle ++
+      ops.Quality.oracle ++ ops.Layout.oracle
 }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+
+/** Event-sequence analytics over the `events` stream table — the classic
+  * product-analytics trio (funnel, transition matrix, temporal co-occurrence)
+  * a mirror like the reference's exists to serve (reference delegates ALL
+  * querying to PostgreSQL once mirrored, `/root/reference/src/main.rs:159-175`;
+  * these are the queries that PostgreSQL could not run at 100 TB).
+  *
+  * Determinism contract: `(user_id, ts)` is unique in the fixture (verified),
+  * so every per-user ordering below is total and cross-engine stable.
+  */
+object Behavioral {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q96 — strict first-touch funnel signup → view → click → purchase.
+    * Stage n counts users whose EARLIEST stage-n event at-or-after their
+    * stage-(n-1) anchor exists; each stage is one filter + one equi-join on
+    * `user_id` + one min-aggregate. At 100 TB: every join/agg keys on
+    * `user_id`, so the four stages reuse one hash partitioning (AQE
+    * coalesces the exchanges); nothing is ever materialized per event
+    * beyond the per-user anchor row.
+    */
+  private[graft] def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val e = events.select("user_id", "event_type", "ts")
+    // anchors(i): user_id, t = earliest stage-i event at-or-after anchors(i-1)
+    val anchors = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val mine = e.filter(col("event_type") === stage)
+        val gated = prev match {
+          case None      => mine
+          case Some(anc) => mine.join(anc.select(col("user_id"), col("t").as("t_prev")), "user_id")
+            .filter(col("ts") >= col("t_prev"))
+        }
+        Some(gated.groupBy("user_id").agg(min("ts").as("t")))
+    }.flatten
+    anchors.zip(stages).zipWithIndex.map { case ((anc, stage), i) =>
+      anc.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage_no"), lit(stage).as("stage"), col("users"))
+    }.reduce(_.unionByName(_)).orderBy("stage_no")
+  }
+
+  private val q96: Q = (s, dir) =>
+    funnel(Tables.events(s, dir), Seq("signup", "view", "click", "purchase"))
+
+  private val q96Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+      |       WHERE event_type = 'click' GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+      |       WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_no, 'signup' AS stage, count(*) AS users FROM s1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      |ORDER BY stage_no""".stripMargin
+
+  /** q97 — first-order Markov transition matrix of event types: per user,
+    * `lead` over the (unique) ts order pairs each event with its successor;
+    * one window shuffle on `user_id` + one small groupBy. The row-
+    * conditional probability is emitted UNROUNDED — both engines divide
+    * the same two exact integers, so the doubles are bit-identical
+    * (rounding, not division, is what diverges cross-engine).
+    */
+  private val q97: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = t.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("prob", col("n_trans").cast("double") /
+        sum("n_trans").over(Window.partitionBy("from_type")))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q97Sql =
+    """WITH t AS (SELECT user_id, event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |  count(*) AS n_trans,
+      |  CAST(count(*) AS DOUBLE) /
+      |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  /** q102 — temporal co-occurrence: per user, count unordered event pairs
+    * within 300 s of each other. The naive form is a per-user range self-
+    * join (quadratic in the hot user); the scale path buckets time into
+    * 300 s cells and joins on `(user_id, bucket)` with the left side
+    * exploded into {own, next} buckets — every qualifying pair lands in at
+    * least one shared cell, the exact |Δt| predicate then filters, and a
+    * `least/greatest` distinct collapses the double-counted same-cell
+    * matches. Equi-join throughout: no nested-loop, block size bounded by
+    * events-per-user-per-5-minutes, never by total history.
+    */
+  private val q102: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("tsec"))
+      .withColumn("bucket", expr("tsec div 300"))
+    val l = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("tsec").as("ta"),
+        explode(array(col("bucket"), col("bucket") + 1)).as("jb"))
+    val r = ev.select(col("user_id"), col("event_id").as("id_b"),
+      col("tsec").as("tb"), col("bucket").as("jb"))
+    l.join(r, Seq("user_id", "jb"))
+      .filter(col("id_a") =!= col("id_b") && abs(col("ta") - col("tb")) <= 300)
+      .select(col("user_id"), least(col("id_a"), col("id_b")).as("ea"),
+        greatest(col("id_a"), col("id_b")).as("eb"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  private val q102Sql =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) // 1000000 - epoch_us(b.ts) // 1000000) <= 300
+      |GROUP BY 1 ORDER BY a.user_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q96_funnel" -> q96,
+    "q97_transitions" -> q97,
+    "q102_overlap_pairs" -> q102)
+
+  val oracle: Map[String, String] = Map(
+    "q96_funnel" -> q96Sql,
+    "q97_transitions" -> q97Sql,
+    "q102_overlap_pairs" -> q102Sql)
+}

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+
+/** Corpus-quality operators for the LLM-data-pipeline layer: bounded
+  * per-group top-k, information-theoretic quality signals (entropy,
+  * repetition), policy pattern scanning, and n-gram language-model
+  * scoring. All per-document computation is map-side (higher-order
+  * functions inside one codegen stage); shuffles appear only where a
+  * corpus-global model (vocabulary, bigram counts) is genuinely needed.
+  *
+  * Cross-engine float discipline (SURVEY §5): every per-element double is
+  * quantized to an integer (`round(x * 1e7)::BIGINT`) BEFORE any cross-row
+  * or cross-element sum, so aggregation order cannot perturb the result;
+  * ratios of exact integers are emitted unrounded (identical IEEE division
+  * on both engines).
+  */
+object Quality {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q98 — top-3 longest documents per language via the bounded
+    * [[graft.functions.TopKByScore]] aggregator: partial+final aggregation
+    * ships at most k rows per (map task × group) instead of window-ranking
+    * the whole relation through one reducer per language — the per-group
+    * top-k formulation that survives 5 languages × 20 TB each.
+    */
+  private val q98: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
+  private val q98Sql =
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
+  /** q99 — per-document word-distribution Shannon entropy (bits): a
+    * low-entropy document is boilerplate/spam; a training-data filter
+    * staple. Entirely map-side: counts come from higher-order functions
+    * over the words array, each term is integer-quantized before the
+    * per-document sum, so no shuffle and no float-order sensitivity.
+    */
+  private val q99: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(words), w -> size(filter(words, x -> x = w))),
+            |  0L,
+            |  (acc, c) -> acc + CAST(round(-1.0D * (CAST(c AS DOUBLE) / size(words)) * log2(CAST(c AS DOUBLE) / size(words)) * 1e7) AS BIGINT))"""
+            .stripMargin).as("ent_q"))
+      .select(col("doc_id"), col("n_words"),
+        (col("ent_q").cast("double") / lit(1e7)).as("entropy"))
+      .orderBy("doc_id")
+
+  private val q99Sql =
+    """SELECT doc_id, n_words,
+      |  CAST(ent_q AS DOUBLE) / 1e7 AS entropy
+      |FROM (
+      |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(list_distinct(words),
+      |                     w -> len(list_filter(words, x -> x = w))),
+      |      c -> CAST(round(-1.0::DOUBLE * (CAST(c AS DOUBLE) / len(words)) * log2(CAST(c AS DOUBLE) / len(words)) * 1e7) AS BIGINT)))
+      |      AS BIGINT) AS ent_q
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** q100 — intra-document repetition: the occurrence count of the most
+    * repeated word 3-gram, and its share of all 3-grams. High repetition
+    * flags templated/generated text. Map-side only (same shape as q99);
+    * the 100 TB note is that a sort+run-length per doc replaces the
+    * quadratic distinct×filter scan for pathological document lengths —
+    * the dataflow (zero shuffles) is identical.
+    */
+  private val q100: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sh", expr(TextDedup.shinglesExpr(3)))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        expr("CAST(array_max(transform(array_distinct(sh), g -> size(filter(sh, x -> x = g)))) AS BIGINT)")
+          .as("max_repeat"))
+      .withColumn("repeat_ratio",
+        col("max_repeat").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+
+  private val q100Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS sh
+      |  FROM w)
+      |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+      |  CAST(list_max(list_transform(list_distinct(sh),
+      |    g -> len(list_filter(sh, x -> x = g)))) AS BIGINT) AS max_repeat,
+      |  CAST(list_max(list_transform(list_distinct(sh),
+      |    g -> len(list_filter(sh, x -> x = g)))) AS DOUBLE) / len(sh) AS repeat_ratio
+      |FROM sh WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+
+  /** Policy pattern scan kernel: per (lang, pattern) — documents with ≥1
+    * match and total match count. The PII-scan shape (emails, phone
+    * numbers, secrets) every corpus release pipeline runs; patterns are
+    * parameters, the fixture exercises one zero-hit PII-shaped pattern as
+    * a negative control plus two content patterns. One map-side regexp
+    * pass per pattern (a real deployment fuses them into one pass with an
+    * alternation), one small groupBy.
+    */
+  private[graft] def patternScan(docs: DataFrame,
+                                 patterns: Seq[(String, String)]): DataFrame =
+    patterns.map { case (name, rx) =>
+      docs.select(col("lang"), lit(name).as("pattern"),
+        size(regexp_extract_all(col("text"), lit(rx), lit(1))).as("h"))
+    }.reduce(_.unionByName(_))
+      .groupBy("lang", "pattern")
+      .agg(sum(when(col("h") > 0, 1L).otherwise(0L)).as("docs_matched"),
+        sum(col("h").cast("long")).as("total_matches"))
+      .orderBy("lang", "pattern")
+
+  private val q101: Q = (s, dir) =>
+    patternScan(Tables.documents(s, dir), Seq(
+      "p_email" -> "([a-z0-9]+@[a-z0-9]+\\.[a-z]{2,4})",
+      "p_long"  -> "([a-z]{6,})",
+      "p_num"   -> "([0-9]+)"))
+
+  private val q101Sql =
+    """WITH hits AS (
+      |  SELECT lang, 'p_email' AS pattern,
+      |    len(regexp_extract_all(text, '([a-z0-9]+@[a-z0-9]+\.[a-z]{2,4})', 1)) AS h
+      |  FROM documents
+      |  UNION ALL SELECT lang, 'p_long',
+      |    len(regexp_extract_all(text, '([a-z]{6,})', 1)) FROM documents
+      |  UNION ALL SELECT lang, 'p_num',
+      |    len(regexp_extract_all(text, '([0-9]+)', 1)) FROM documents)
+      |SELECT lang, pattern,
+      |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_matched,
+      |  CAST(sum(h) AS BIGINT) AS total_matches
+      |FROM hits GROUP BY 1, 2 ORDER BY lang, pattern""".stripMargin
+
+  /** q103 — corpus bigram language-model scoring with add-one smoothing:
+    * P(w2|w1) = (c(w1w2)+1) / (c(w1)+V); each document's quality signal is
+    * its mean log2 bigram probability (the perplexity filter of classic
+    * data-cleaning pipelines, with the LM built from the corpus itself).
+    * Model build = two narrow groupBys; scoring = the exploded doc-bigram
+    * relation hash-joined to bigram and unigram counts (both keyed
+    * shuffles reuse the bigram partitioning), vocabulary size broadcast as
+    * a 1-row cross join. Per-bigram log terms are integer-quantized before
+    * the per-doc sum.
+    */
+  private val q103: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+    val bg = docs.select(col("doc_id"),
+      explode(expr(TextDedup.shinglesExpr(2))).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val uni = docs.select(explode(col("words")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bg.withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(cb, "bg")
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_q", expr(
+        "CAST(round(log2(CAST(cb + 1 AS DOUBLE) / (cu + v)) * 1e7) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_q").as("lpq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("lpq").cast("double") / lit(1e7)) / col("n_bigrams")).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val q103Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest(CASE WHEN len(words) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-1), i ->
+      |      words[i] || ' ' || words[i+1]) END) AS bg
+      |  FROM w),
+      |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+      |uni AS (SELECT w1, count(*) AS cu FROM
+      |  (SELECT unnest(words) AS w1 FROM w) GROUP BY 1),
+      |voc AS (SELECT count(*) AS v FROM uni),
+      |scored AS (SELECT doc_id,
+      |  CAST(round(log2(CAST(cb.cb + 1 AS DOUBLE) / (uni.cu + voc.v)) * 1e7) AS BIGINT) AS lp_q
+      |  FROM bg JOIN cb USING (bg)
+      |  JOIN uni ON uni.w1 = string_split(bg.bg, ' ')[1]
+      |  CROSS JOIN voc)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  (CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / 1e7) / count(*) AS avg_logp
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q98_topk_per_group" -> q98,
+    "q99_word_entropy" -> q99,
+    "q100_repetition" -> q100,
+    "q101_pattern_scan" -> q101,
+    "q103_bigram_lm" -> q103)
+
+  val oracle: Map[String, String] = Map(
+    "q98_topk_per_group" -> q98Sql,
+    "q99_word_entropy" -> q99Sql,
+    "q100_repetition" -> q100Sql,
+    "q101_pattern_scan" -> q101Sql,
+    "q103_bigram_lm" -> q103Sql)
+}

@@ -78,6 +78,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"ranking window would shuffle every scored row:\n$p")
   }
 
+  test("q98: per-group top-k is a partial+final bounded aggregation, not a window") {
+    val p = planString(SparkEntry.queries("q98_topk_per_group")(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for TopKByScore in:\n$p")
+    assert(!p.contains("Window"), s"ranking window would shuffle every document:\n$p")
+  }
+
   test("q41: LSH band join is an equi-join over the persisted bands relation") {
     val p = planString(SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -124,9 +131,10 @@ class PlanSpec extends AnyFunSuite {
     // count aggregates (1×1), q53 crosses every vector with the 8-row
     // broadcast quantizer, q70 crosses the 1-row corpus count into the
     // tf⋈df relation. Everything else must stay equi/broadcast.
-    // (q75/q88 cross a 1-row corpus-stats aggregate, like q70.)
+    // (q75/q88/q103 cross a 1-row corpus-stats aggregate, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
-      "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets")
+      "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
+      "q103_bigram_lm")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
