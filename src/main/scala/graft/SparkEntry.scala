@@ -27,7 +27,8 @@ object SparkEntry {
     parity.ParityQueries.all ++ ops.Relational.all ++ ops.Sessions.all ++
       ops.TextDedup.all ++ ops.Similarity.all ++ ops.TextStats.all ++
       ops.Multimodal.all ++ ops.AsOf.all ++ ops.Analytic.all ++
-      ops.Corpus.all ++ ops.Behavioral.all ++ ops.Quality.all ++ ops.Layout.all
+      ops.Corpus.all ++ ops.Behavioral.all ++ ops.Quality.all ++
+      ops.Layout.all ++ ops.MerkleDiff.all ++ ops.CorpusPrep.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
       ops.Sessions.oracle ++ ops.TextDedup.oracle ++ ops.Similarity.oracle ++
       ops.TextStats.oracle ++ ops.Multimodal.oracle ++ ops.AsOf.oracle ++
       ops.Analytic.oracle ++ ops.Corpus.oracle ++ ops.Behavioral.oracle ++
-      ops.Quality.oracle ++ ops.Layout.oracle
+      ops.Quality.oracle ++ ops.Layout.oracle ++ ops.MerkleDiff.oracle ++
+      ops.CorpusPrep.oracle
 }

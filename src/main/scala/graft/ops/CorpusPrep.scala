@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+
+/** Corpus-preparation operators for the LLM-data-pipeline layer: blocked
+  * fuzzy matching, RAG chunking, collocation mining, exact-substring
+  * contamination pairs, and tokenizer-vocabulary construction.
+  *
+  * Scale discipline shared by the suite: nothing is ever all-pairs — fuzzy
+  * matching joins within small blocking keys, substring-pair mining joins
+  * on the 13-gram with a document-frequency cap so no posting list explodes,
+  * and every per-document computation stays map-side inside one codegen
+  * stage. Cross-engine float discipline follows SURVEY §5: doubles are
+  * integer-quantized (`round(x*1e7)::BIGINT`) before any cross-row use.
+  */
+object CorpusPrep {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q106 — blocked fuzzy match (edit-distance record linkage): candidate
+    * pairs share a cheap blocking key (p_size, last name token), then the
+    * exact `levenshtein` threshold runs on candidates only. The classic
+    * dedup shape for entity resolution: at 100 TB the block key bounds the
+    * quadratic term to (rows/blocks)² per block, and the per-pair kernel is
+    * a codegen'd built-in (no UDF). Both engines implement standard
+    * Levenshtein, so the oracle replays the same algorithm.
+    */
+  private val q106: Q = (s, dir) => {
+    val p = Tables.spread(Tables.part(s, dir)).select(
+      col("p_partkey"), col("p_name"), col("p_size"),
+      element_at(split(col("p_name"), " "), -1).as("noun"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("p_size"), col("noun"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("p_size"), col("noun"))
+    a.join(b, Seq("p_size", "noun"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q106Sql =
+    """WITH p AS (SELECT p_partkey, p_name, p_size,
+      |  string_split(p_name, ' ')[-1] AS noun FROM part)
+      |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.p_size = b.p_size AND a.noun = b.noun
+      |WHERE a.p_partkey < b.p_partkey
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q107 — RAG chunking: split each document into overlapping word windows
+    * (40 tokens, stride 30) — the retrieval-corpus prep every embedding
+    * pipeline runs before vectorizing. Entirely map-side: the start offsets
+    * come from `sequence`, the chunk from `slice`, all inside one codegen
+    * stage; output size is rows × ceil(len/stride), no shuffle at all.
+    */
+  /** Chunking kernel: overlapping word windows of `win` tokens every
+    * `stride` tokens (callers want `stride < win` for overlap). One row per
+    * (doc, window); no shuffle.
+    */
+  private[ops] def chunk(docs: DataFrame, win: Int, stride: Int): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("words"),
+        posexplode(sequence(lit(0), size(col("words")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_word"),
+        size(slice(col("words"), col("col") + 1, lit(win))).cast("long").as("n_tokens"),
+        array_join(slice(col("words"), col("col") + 1, lit(win)), " ").as("chunk_text"))
+
+  private val q107: Q = (s, dir) =>
+    chunk(Tables.spread(Tables.documents(s, dir)), win = 40, stride = 30)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q107Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |st AS (SELECT doc_id, words,
+      |  unnest(generate_series(0, len(words)-1, 30)) AS s FROM w)
+      |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_idx,
+      |  CAST(s AS BIGINT) AS start_word,
+      |  CAST(len(list_slice(words, s+1, s+40)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(words, s+1, s+40), ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q108 — collocation mining by pointwise mutual information:
+    * PMI(w1,w2) = log2( p(w1 w2) / (p(w1) p(w2)) ) over corpus bigrams,
+    * reported for pairs seen ≥ 5 times. Two narrow count aggregations
+    * (bigram, unigram) plus two hash joins of the small bigram-count
+    * relation against unigram counts; the corpus totals are 1-row
+    * broadcasts. The log term is integer-quantized before emission so both
+    * engines order and print identically.
+    */
+  private val q108: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+    val bg = docs.select(explode(expr(TextDedup.shinglesExpr(2))).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val uni = docs.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val nb = cb.agg(sum("cb").as("nb"))
+    val nu = uni.agg(sum("cu").as("nu"))
+    cb.filter(col("cb") >= 5)
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nu))
+      .withColumn("pmi_q", expr(
+        """CAST(round(log2((CAST(cb AS DOUBLE) * nu * nu) /
+          |  (CAST(nb AS DOUBLE) * cu1 * cu2)) * 1e7) AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("cb").as("pair_count"),
+        (col("pmi_q").cast("double") / lit(1e7)).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+  }
+
+  private val q108Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |bg AS (SELECT unnest(CASE WHEN len(words) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-1), i ->
+      |      words[i] || ' ' || words[i+1]) END) AS bg FROM w),
+      |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+      |uni AS (SELECT w1, count(*) AS cu FROM
+      |  (SELECT unnest(words) AS w1 FROM w) GROUP BY 1),
+      |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb),
+      |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni)
+      |SELECT string_split(cb.bg, ' ')[1] AS w1, string_split(cb.bg, ' ')[2] AS w2,
+      |  CAST(cb.cb AS BIGINT) AS pair_count,
+      |  CAST(CAST(round(log2((CAST(cb.cb AS DOUBLE) * nu.nu * nu.nu) /
+      |    (CAST(nb.nb AS DOUBLE) * u1.cu * u2.cu)) * 1e7) AS BIGINT) AS DOUBLE) / 1e7 AS pmi
+      |FROM cb
+      |JOIN uni u1 ON u1.w1 = string_split(cb.bg, ' ')[1]
+      |JOIN uni u2 ON u2.w1 = string_split(cb.bg, ' ')[2]
+      |CROSS JOIN nb CROSS JOIN nu
+      |WHERE cb.cb >= 5
+      |ORDER BY pmi DESC, w1, w2""".stripMargin
+
+  /** q109 — exact-substring contamination pairs (the 13-gram exact dedup of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better"): document pairs sharing at least one 13-token run, with the
+    * shared-gram count. Shape at scale: explode to distinct (doc, gram),
+    * drop grams with document frequency outside [2, 50] — df=1 grams can't
+    * pair, and the cap bounds every posting list so the within-gram
+    * self-join never goes quadratic on boilerplate — then equi-join on the
+    * gram and count per pair. No all-pairs comparison anywhere.
+    */
+  /** Substring-pair kernel: distinct (doc, k-gram) postings, df-capped at
+    * `maxDf`, self-joined on the gram.
+    */
+  private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
+    val g = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(k))).as("gram"))
+      .distinct()
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf").between(2, maxDf))
+    val gk = g.join(keep.select("gram"), "gram")
+    gk.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(gk.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  private val q109: Q = (s, dir) =>
+    substringPairs(Tables.spread(Tables.documents(s, dir)), k = 13, maxDf = 50)
+      .orderBy("doc_a", "doc_b")
+
+  private val q109Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g0 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 13 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-12), i ->
+      |      array_to_string(list_slice(words, i, i+12), ' ')) END) AS gram FROM w),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |keep AS (SELECT gram FROM
+      |  (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
+      |  WHERE gdf BETWEEN 2 AND 50),
+      |gk AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS shared_grams
+      |FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q110 — tokenizer-vocabulary build: per-token document frequency,
+    * pruned to `min_df ≤ df ≤ 80% of docs` (the scikit/`min_df`/`max_df`
+    * convention), with contiguous ids assigned by (df desc, token). The df
+    * aggregation is one map-side-combinable shuffle on the token; the
+    * ranking window is single-partition but runs over the POST-PRUNE
+    * vocabulary only — small by construction at any corpus scale (at 100 TB
+    * one would range-partition the rank by df-bucket and offset; the
+    * dataflow up to the rank is unchanged).
+    */
+  private val q110: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val dfTok = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    dfTok.crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+      .filter(col("df") >= 5 && col("df") * 5 <= col("nd") * 4)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("df").desc, col("token"))).cast("long"))
+      .select(col("token"), col("df"), col("token_id"))
+      .orderBy("token_id")
+  }
+
+  private val q110Sql =
+    """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT count(*) AS nd FROM documents)
+      |SELECT token, df,
+      |  CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS token_id
+      |FROM dfx CROSS JOIN nd
+      |WHERE df >= 5 AND df * 5 <= nd * 4
+      |ORDER BY token_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q106_fuzzy_match" -> q106,
+    "q107_chunk_split" -> q107,
+    "q108_pmi_colloc" -> q108,
+    "q109_substring_pairs" -> q109,
+    "q110_vocab_build" -> q110)
+
+  val oracle: Map[String, String] = Map(
+    "q106_fuzzy_match" -> q106Sql,
+    "q107_chunk_split" -> q107Sql,
+    "q108_pmi_colloc" -> q108Sql,
+    "q109_substring_pairs" -> q109Sql,
+    "q110_vocab_build" -> q110Sql)
+}

@@ -50,6 +50,43 @@ object Layout {
       |  FROM embeddings)
       |ORDER BY zcode, vec_id""".stripMargin
 
-  val all: Map[String, Q] = Map("q104_zorder" -> q104)
-  val oracle: Map[String, String] = Map("q104_zorder" -> q104Sql)
+  /** q111 — run-length compressibility estimate: for events laid out in
+    * (user_id, ts) order, how many runs of equal `event_type` exist per
+    * user, and the resulting RLE ratio (`n_events / n_runs`). This is the
+    * measurement that justifies a sort order before writing: a column that
+    * RLEs 10× under a candidate layout is the column to sort by. One
+    * window pass (shuffle on user_id, the same partitioning the write
+    * would use) + one map-side-combinable aggregate; run detection is a
+    * `lag` comparison, deterministic via the (ts, event_id) tiebreak.
+    */
+  private val q111: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          col("event_type") =!= lag("event_type", 1).over(w), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("chg").as("n_runs"))
+      .select(col("user_id"), col("n_events"), col("n_runs"),
+        (col("n_events").cast("double") / col("n_runs")).as("rle_ratio"))
+      .orderBy("user_id")
+  }
+
+  private val q111Sql =
+    """WITH r AS (SELECT user_id,
+      |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(chg) AS BIGINT) AS n_runs,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(chg) AS BIGINT) AS rle_ratio
+      |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q104_zorder" -> q104,
+    "q111_rle_estimate" -> q111)
+  val oracle: Map[String, String] = Map(
+    "q104_zorder" -> q104Sql,
+    "q111_rle_estimate" -> q111Sql)
 }

@@ -131,10 +131,11 @@ class PlanSpec extends AnyFunSuite {
     // count aggregates (1×1), q53 crosses every vector with the 8-row
     // broadcast quantizer, q70 crosses the 1-row corpus count into the
     // tf⋈df relation. Everything else must stay equi/broadcast.
-    // (q75/q88/q103 cross a 1-row corpus-stats aggregate, like q70.)
+    // (q75/q88/q103/q108/q110 cross a 1-row corpus-stats aggregate, like
+    // q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
-      "q103_bigram_lm")
+      "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -144,6 +145,14 @@ class PlanSpec extends AnyFunSuite {
           s"$name degraded to BroadcastNestedLoopJoin:\n$p")
       }
     }
+  }
+
+  test("q105: bucket fingerprints aggregate partial then final (map-side combine)") {
+    val p = planString(SparkEntry.queries("q105_bucket_diff")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final hash aggregate for fingerprints in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket compare must stay an equi join in:\n$p")
   }
 
   test("whole-stage codegen covers the scalar suite (no codegen fallback operators)") {
