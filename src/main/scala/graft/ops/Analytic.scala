@@ -426,7 +426,51 @@ object Analytic {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q112 — per-group z-score outlier detection with EXACT integer
+    * moments: `value` is quantized to 0.001 once, then n/Σq/Σq² are exact
+    * BIGINT aggregates — so mean and variance are derived from integers
+    * and the z computation is the same IEEE expression on both engines, no
+    * float-accumulation-order sensitivity (`stddev_samp` would differ
+    * between engines at the last ulp). One map-side-combinable aggregate
+    * per user + one hash join back to the events; groups with zero
+    * variance are excluded by an integer comparison (s2·n > s1²), not a
+    * float guard. Quantization headroom: |q| ≤ 1e3·|value|, so Σq² stays
+    * below 2⁶³ for any group under ~10⁹ rows at |value| ≤ 3000.
+    */
+  private val q112: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("q"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"), sum(expr("q*q")).as("s2"))
+      .filter(col("n") >= 10)
+    ev.join(stats, "user_id")
+      .filter(col("s2") * col("n") > col("s1") * col("s1"))
+      .withColumn("z", expr(
+        """(CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE)/n) /
+          |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))"""
+          .stripMargin))
+      .filter(abs(col("z")) > 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q112Sql =
+    """WITH ev AS (SELECT event_id, user_id, value,
+      |  CAST(round(value*1000) AS BIGINT) AS q FROM events),
+      |st AS (SELECT user_id, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+      |  CAST(sum(q*q) AS BIGINT) AS s2 FROM ev GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT user_id, event_id, value,
+      |  (CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE)/n) /
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1)) AS z
+      |FROM ev JOIN st USING (user_id)
+      |WHERE st.s2 * st.n > st.s1 * st.s1
+      |  AND abs((CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE)/n) /
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))) > 3
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q112_value_outliers" -> q112,
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
     "q84_window_range_frame" -> q84,
@@ -444,6 +488,7 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q112_value_outliers" -> q112Sql,
     "q65_grouping_sets" -> q65Sql,
     "q82_setops_multiset" -> q82Sql,
     "q84_window_range_frame" -> q84Sql,

@@ -156,10 +156,14 @@ object CorpusPrep {
     * `maxDf`, self-joined on the gram.
     */
   private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    val g = docs
+    // The postings relation feeds the df aggregate AND both sides of the
+    // pair join — persist it once (drained by Bench/Verify after the
+    // query's action) instead of re-running the explode+distinct three
+    // times.
+    val g = graft.util.QueryCaches.tracked(docs
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(k))).as("gram"))
-      .distinct()
+      .distinct())
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf").between(2, maxDf))
     val gk = g.join(keep.select("gram"), "gram")

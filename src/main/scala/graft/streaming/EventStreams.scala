@@ -103,6 +103,16 @@ object EventStreams {
       .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
   }
 
+  /** Stream-STATIC enrichment join: decorate each streamed event with a
+    * slowly-changing dimension (user → nation/segment). Stateless — the
+    * static side is re-planned per micro-batch (so dimension updates are
+    * picked up between batches) and broadcast when small, exactly the
+    * dimension-enrichment every event pipeline runs before sinking. No
+    * watermark needed: nothing is buffered across batches.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -156,4 +156,23 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((7L, 1L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq((1L, "fr"), (2L, "de")).toDF("user_id", "nation")
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      // user 3 has no dim row — left join must keep it with a null nation
+      input.addData(ev(1, ts(10), user = 1L), ev(2, ts(10, 5), user = 3L))
+      runAll(q)
+      val got = spark.table("enriched")
+        .select("event_id", "nation").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("fr"), 2L -> None))
+    } finally q.stop()
+  }
 }
