@@ -40,6 +40,9 @@ object MerkleDiff {
     (conv(substring(md5(id), 1, 2), 16, 10).cast("long") % NumBuckets)
       .as("bucket")
 
+  private def rowHash(id: Column, ver: Column): Column =
+    conv(substring(md5(concat_ws(":", id, ver)), 3, 8), 16, 10).cast("long")
+
   /** Per-bucket fingerprint of a (resource_id, version_id) snapshot:
     * row count + order-insensitive digest sum. Entirely map-side until the
     * final `n_buckets`-row aggregate.
@@ -47,10 +50,39 @@ object MerkleDiff {
   private[ops] def fingerprint(snapshot: DataFrame): DataFrame =
     snapshot.select(
       bucketOf(col("resource_id")),
-      conv(substring(md5(concat_ws(":", col("resource_id"), col("version_id"))), 3, 8), 16, 10)
-        .cast("long").as("rh"))
+      rowHash(col("resource_id"), col("version_id")).as("rh"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("rh").as("digest"))
+
+  /** Incremental fingerprint maintenance: because the digest is an ABELIAN
+    * SUM, the fingerprint of the post-sync snapshot is derivable from the
+    * pre-sync fingerprint plus the delta alone — `digest' = digest +
+    * Σ hash(added) − Σ hash(removed)` per bucket (updates contribute both
+    * terms). A CDC-fed mirror therefore never recomputes fingerprints over
+    * the full corpus: maintenance cost is O(|delta|), not O(|table|),
+    * which is what makes nightly anti-entropy affordable at 100 TB. The
+    * delta here is derived from the same full-outer diff as q05; in the
+    * CDC pipeline it arrives for free as the applied change set.
+    */
+  private[ops] def incrementalFingerprint(oldSnap: DataFrame,
+                                          newSnap: DataFrame): DataFrame = {
+    val j = newSnap.select(col("resource_id"), col("version_id").as("nv"))
+      .join(oldSnap.select(col("resource_id"), col("version_id").as("ov")),
+        Seq("resource_id"), "full_outer")
+    val delta = j.select(
+      bucketOf(col("resource_id")),
+      when(col("ov").isNull, 1L).when(col("nv").isNull, -1L).otherwise(0L).as("dn"),
+      (when(col("nv").isNotNull && (col("ov").isNull || col("ov") =!= col("nv")),
+        rowHash(col("resource_id"), col("nv"))).otherwise(lit(0L)) -
+        when(col("ov").isNotNull && (col("nv").isNull || col("ov") =!= col("nv")),
+          rowHash(col("resource_id"), col("ov"))).otherwise(lit(0L))).as("dd"))
+      .groupBy("bucket").agg(sum("dn").as("dn"), sum("dd").as("dd"))
+    fingerprint(oldSnap).join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("digest"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("digest"))
+      .filter(col("n") > 0)
+  }
 
   /** q105 — compare source and target fingerprints; emit every bucket with
     * both row counts and whether it is clean. The dirty buckets are the
@@ -94,7 +126,80 @@ object MerkleDiff {
        |FROM sfp FULL OUTER JOIN tfp ON sfp.bucket = tfp.bucket
        |ORDER BY bucket""".stripMargin
 
-  val all: Map[String, Q] = Map("q105_bucket_diff" -> q105)
+  /** q113 — JSON schema-drift profile of the resource corpus: per JSON
+    * path, how many rows carry the field and how many parse as an integer.
+    * This is the audit that catches the reference's silent data dirt
+    * (resources missing `id`, non-numeric `meta.versionId` — skipped
+    * without trace at `/root/reference/src/main.rs:41-45`) BEFORE a sync
+    * quietly drops them. One scan: all paths are extracted from the shared
+    * `from_json` projection in a single map stage, pivoted to
+    * (path, value) rows by an inline explode — path count × rows output,
+    * never a second pass over the corpus.
+    */
+  private val q113: Q = (s, dir) => {
+    // ONE shared from_json per row (not a get_json_object re-parse per
+    // path — same discipline as diff/Reconcile.scala's extraction).
+    val ex = ParityData.sourceResources(s, dir)
+      .select(from_json(col("resource"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, resourceType STRING, status STRING, meta STRUCT<versionId: STRING>"))
+        .as("j"))
+      .select(col("j.id").as("$.id"),
+        col("j.meta.versionId").as("$.meta.versionId"),
+        col("j.resourceType").as("$.resourceType"),
+        col("j.status").as("$.status"))
+    val paths = Seq("$.id", "$.meta.versionId", "$.resourceType", "$.status")
+    ex.select(explode(array(
+        paths.map(p => struct(lit(p).as("path"), col(s"`$p`").as("v"))): _*)).as("e"))
+      .select(col("e.path").as("path"), col("e.v").as("v"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_present"),
+        sum(when(expr("try_cast(v AS BIGINT)").isNotNull, 1L).otherwise(0L)).as("n_numeric"))
+      .orderBy("path")
+  }
 
-  val oracle: Map[String, String] = Map("q105_bucket_diff" -> q105Sql)
+  private val q113Sql =
+    s"""WITH ${ParityData.resourcesSql},
+       |u AS (
+       |  SELECT '$$.id' AS path, json_extract_string(resource, '$$.id') AS v FROM res
+       |  UNION ALL SELECT '$$.meta.versionId', json_extract_string(resource, '$$.meta.versionId') FROM res
+       |  UNION ALL SELECT '$$.resourceType', json_extract_string(resource, '$$.resourceType') FROM res
+       |  UNION ALL SELECT '$$.status', json_extract_string(resource, '$$.status') FROM res)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       |  CAST(sum(CASE WHEN TRY_CAST(v AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+       |FROM u GROUP BY 1 ORDER BY path""".stripMargin
+
+  /** q114 — incremental fingerprint maintenance, cross-checked through the
+    * oracle: Spark derives the post-sync fingerprints INCREMENTALLY
+    * (target fingerprint + the diff's delta, [[incrementalFingerprint]]);
+    * the DuckDB oracle recomputes them DIRECTLY from the source snapshot.
+    * A hash match proves digest additivity end-to-end — the property that
+    * lets a 100 TB mirror maintain its anti-entropy fingerprints at
+    * O(|delta|) per sync.
+    */
+  private val q114: Q = (s, dir) =>
+    incrementalFingerprint(
+      ParityData.target(s, dir).select("resource_id", "version_id"),
+      ParityData.source(s, dir))
+      .orderBy("bucket")
+
+  private val q114Sql =
+    s"""WITH ${ParityData.srcSql}
+       |SELECT ('0x'||substr(md5(resource_id),1,2))::BIGINT % $NumBuckets AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(('0x'||substr(md5(resource_id || ':' || CAST(version_id AS VARCHAR)),3,8))::BIGINT) AS BIGINT) AS digest
+       |FROM src GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q105_bucket_diff" -> q105,
+    "q113_json_profile" -> q113,
+    "q114_bucket_delta" -> q114)
+
+  val oracle: Map[String, String] = Map(
+    "q105_bucket_diff" -> q105Sql,
+    "q113_json_profile" -> q113Sql,
+    "q114_bucket_delta" -> q114Sql)
 }

@@ -52,6 +52,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(fb.values.sum === fa.values.sum + 1)
   }
 
+  test("incrementalFingerprint(old + delta) equals a direct fingerprint of new") {
+    val spark2 = spark
+    import spark2.implicits._
+    // old: ids 1..100; new: 5 deleted, 5 inserted, 7 version-bumped
+    val old_ = (1 to 100).map(i => (s"id-$i", i.toLong))
+    val neu = (6 to 105).map { i =>
+      (s"id-$i", if (i % 13 == 0) i.toLong + 2 else i.toLong)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inc = key(MerkleDiff.incrementalFingerprint(
+      old_.toDF("resource_id", "version_id"), neu.toDF("resource_id", "version_id")))
+    val direct = key(MerkleDiff.fingerprint(neu.toDF("resource_id", "version_id")))
+    assert(inc === direct)
+  }
+
+  test("q113 profile surfaces the corpus dirt: ids and versions partially absent/non-numeric") {
+    val rows = MerkleDiff.all("q113_json_profile")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nRows, idPresent, _) = rows("$.id")
+    val (_, verPresent, verNumeric) = rows("$.meta.versionId")
+    assert(idPresent < nRows)        // l_orderkey % 97 == 0 rows lack id
+    assert(verNumeric < verPresent)  // l_orderkey % 89 == 0 rows carry 'x'
+    assert(rows("$.resourceType") === ((nRows, nRows, 0L)))
+  }
+
   // ---- chunking (q107 kernel) ----
 
   test("chunk: windows tile the document and reconstruct it via stride concat") {
