@@ -193,13 +193,72 @@ object MerkleDiff {
        |FROM src GROUP BY 1
        |ORDER BY bucket""".stripMargin
 
+  /** q116 — the composed two-phase reconcile: fingerprint compare (q105)
+    * picks the dirty buckets, then the row-level diff (q05's classify)
+    * runs ONLY over rows living in those buckets, emitting the actionable
+    * changes. On this fixture most buckets are dirty so the prefilter
+    * saves little — but the plan shape is the 100 TB one: the expensive
+    * full-outer join's two inputs are each semi-joined down to dirty
+    * buckets first (the bucket relation is `n_buckets` rows, broadcast),
+    * so a quiet nightly sync diffs a sliver of the corpus instead of all
+    * of it.
+    */
+  private val q116: Q = (s, dir) => {
+    val src = ParityData.source(s, dir)
+    val tgt = ParityData.target(s, dir).select("resource_id", "version_id")
+    val dirty = q105(s, dir).filter(!col("clean")).select("bucket")
+    def inDirty(snap: DataFrame): DataFrame =
+      snap.withColumn("bucket", bucketOf(col("resource_id")))
+        .join(broadcast(dirty), Seq("bucket"), "left_semi")
+        .drop("bucket")
+    graft.diff.Reconcile.classify(inDirty(src), inDirty(tgt))
+      .filter(col("action") =!= graft.diff.Reconcile.Noop)
+      .orderBy("resource_id")
+  }
+
+  private val q116Sql =
+    s"""WITH ${ParityData.srcSql},
+       |${ParityData.tgtSql},
+       |sfp AS (
+       |  SELECT ('0x'||substr(md5(resource_id),1,2))::BIGINT % $NumBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS src_n,
+       |    CAST(sum(('0x'||substr(md5(resource_id || ':' || CAST(version_id AS VARCHAR)),3,8))::BIGINT) AS BIGINT) AS src_digest
+       |  FROM src GROUP BY 1),
+       |tfp AS (
+       |  SELECT ('0x'||substr(md5(resource_id),1,2))::BIGINT % $NumBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tgt_n,
+       |    CAST(sum(('0x'||substr(md5(resource_id || ':' || CAST(version_id AS VARCHAR)),3,8))::BIGINT) AS BIGINT) AS tgt_digest
+       |  FROM tgt GROUP BY 1),
+       |dirty AS (
+       |  SELECT coalesce(sfp.bucket, tfp.bucket) AS bucket
+       |  FROM sfp FULL OUTER JOIN tfp ON sfp.bucket = tfp.bucket
+       |  WHERE NOT (coalesce(src_n, 0) = coalesce(tgt_n, 0)
+       |    AND coalesce(src_digest, 0) = coalesce(tgt_digest, 0))),
+       |srcd AS (SELECT src.* FROM src WHERE
+       |  ('0x'||substr(md5(resource_id),1,2))::BIGINT % $NumBuckets IN (SELECT bucket FROM dirty)),
+       |tgtd AS (SELECT tgt.* FROM tgt WHERE
+       |  ('0x'||substr(md5(resource_id),1,2))::BIGINT % $NumBuckets IN (SELECT bucket FROM dirty))
+       |SELECT coalesce(s.resource_id, t.resource_id) AS resource_id,
+       |       s.version_id AS src_version,
+       |       t.version_id AS tgt_version,
+       |       CASE WHEN t.resource_id IS NULL THEN 'insert'
+       |            WHEN s.resource_id IS NULL THEN 'delete'
+       |            WHEN s.version_id <> t.version_id THEN 'update'
+       |            ELSE 'noop' END AS action
+       |FROM srcd s FULL OUTER JOIN tgtd t ON s.resource_id = t.resource_id
+       |WHERE NOT (s.resource_id IS NOT NULL AND t.resource_id IS NOT NULL
+       |  AND s.version_id = t.version_id)
+       |ORDER BY resource_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q105_bucket_diff" -> q105,
     "q113_json_profile" -> q113,
-    "q114_bucket_delta" -> q114)
+    "q114_bucket_delta" -> q114,
+    "q116_pruned_diff" -> q116)
 
   val oracle: Map[String, String] = Map(
     "q105_bucket_diff" -> q105Sql,
     "q113_json_profile" -> q113Sql,
-    "q114_bucket_delta" -> q114Sql)
+    "q114_bucket_delta" -> q114Sql,
+    "q116_pruned_diff" -> q116Sql)
 }

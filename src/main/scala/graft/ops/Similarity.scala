@@ -319,7 +319,52 @@ object Similarity {
       |FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  /** q115 — centroid-separation matrix: pairwise Euclidean distance
+    * between per-label centroids, the cluster-quality audit run before
+    * trusting labels for blocking (q44) or IVF routing (q53). Everything
+    * reduces BEFORE any pairing: vectors → per-(label, dim) integer sums
+    * (one shuffle over (label, dim) keys, partial map-side combine), so
+    * the pairwise stage sees `labels × dims` rows, never vectors — at
+    * 100 TB the quadratic term is over the handful of labels only.
+    * Determinism: per-element values are quantized to ints before the sum;
+    * means are exact-int ratios; each dim's squared difference is
+    * re-quantized before the cross-dim sum — no float-order sensitivity
+    * anywhere (SURVEY §5).
+    */
+  private val q115: Q = (s, dir) => {
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1e7) AS BIGINT)").as("xq"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
+      .withColumn("mean", expr("CAST(s1q AS DOUBLE) / (n * 1e7)"))
+    val a = cent.select(col("label").as("label_a"), col("dim"), col("mean").as("ma"))
+    val b = cent.select(col("label").as("label_b"), col("dim"), col("mean").as("mb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("dq", expr("CAST(round((ma - mb) * (ma - mb) * 1e12) AS BIGINT)"))
+      .groupBy("label_a", "label_b")
+      .agg(sum("dq").as("sq"))
+      .select(col("label_a"), col("label_b"),
+        expr("sqrt(CAST(sq AS DOUBLE) / 1e12)").as("dist"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val q115Sql =
+    """WITH e AS (SELECT label, CAST(i AS INTEGER) AS dim,
+      |  CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT) AS xq
+      |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      |c AS (SELECT label, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s1q
+      |  FROM e GROUP BY 1, 2),
+      |m AS (SELECT label, dim, CAST(s1q AS DOUBLE) / (n * 1e7) AS mean FROM c)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  sqrt(CAST(CAST(sum(CAST(round((a.mean - b.mean) * (a.mean - b.mean) * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS dist
+      |FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+      |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q115_centroid_separation" -> q115,
     "q44_embed_neardup" -> q44,
     "q45_simsearch_topk" -> q45,
     "q46_simsearch_lsh" -> q46,
@@ -329,6 +374,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_centroid_separation" -> q115Sql,
     "q44_embed_neardup" -> q44Sql,
     "q45_simsearch_topk" -> q45Sql,
     "q46_simsearch_lsh" -> q46Sql,
