@@ -136,13 +136,88 @@ object Behavioral {
       | AND abs(epoch_us(a.ts) // 1000000 - epoch_us(b.ts) // 1000000) <= 300
       |GROUP BY 1 ORDER BY a.user_id""".stripMargin
 
+  /** q119 — cumulative distinct users by day (the growth curve): exact
+    * running distinct WITHOUT a running `count(distinct)` — each user
+    * contributes on their FIRST day only (one `user_id`-keyed min
+    * aggregate), daily news are a tiny per-day count, and the cumulative
+    * sum is a window over the days relation, whose cardinality is days,
+    * not events. The standard rewrite that turns an intractable
+    * distinct-over-growing-window into two cheap aggregates at any scale.
+    * Day arithmetic on exact epoch-µs integers (`div`, q94's hazard note).
+    */
+  private val q119: Q = (s, dir) => {
+    val firstDay = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+    firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  private val q119Sql =
+    """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+      |SELECT CAST(day AS BIGINT) AS day, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  /** q120 — week-over-week churn: per week, active users, users entering
+    * (not active the week before), users churning out of the previous
+    * week. One distinct on (user, week), self-joined against itself
+    * shifted a week — both sides share the (user_id, week) clustering, so
+    * the full-outer is a co-partitioned join at any scale; the per-week
+    * rollup is a handful of rows.
+    */
+  private val q120: Q = (s, dir) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val fo = uw.withColumn("c", lit(1))
+      .join(uw.select(col("user_id"), (col("week") + 1).as("week"))
+        .withColumn("p", lit(1)), Seq("user_id", "week"), "full_outer")
+    fo.groupBy("week").agg(
+        sum(coalesce(col("c"), lit(0))).cast("long").as("n_active"),
+        sum(when(col("c").isNotNull && col("p").isNull, 1).otherwise(0))
+          .cast("long").as("n_entered"),
+        sum(when(col("p").isNotNull && col("c").isNull, 1).otherwise(0))
+          .cast("long").as("n_churned_prev"))
+      .join(uw.select("week").distinct(), Seq("week"), "left_semi")
+      .orderBy("week")
+  }
+
+  private val q120Sql =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |  epoch_us(ts) // 604800000000 AS week FROM events),
+      |fo AS (SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |    coalesce(c.week, p.week) AS week,
+      |    c.user_id IS NOT NULL AS is_c, p.user_id IS NOT NULL AS is_p
+      |  FROM uw c FULL OUTER JOIN
+      |    (SELECT user_id, week + 1 AS week FROM uw) p
+      |    ON c.user_id = p.user_id AND c.week = p.week)
+      |SELECT CAST(week AS BIGINT) AS week,
+      |  CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN is_c AND NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+      |  CAST(sum(CASE WHEN is_p AND NOT is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_prev
+      |FROM fo
+      |WHERE week IN (SELECT week FROM uw)
+      |GROUP BY 1 ORDER BY week""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q96_funnel" -> q96,
     "q97_transitions" -> q97,
-    "q102_overlap_pairs" -> q102)
+    "q102_overlap_pairs" -> q102,
+    "q119_cumulative_users" -> q119,
+    "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
     "q96_funnel" -> q96Sql,
     "q97_transitions" -> q97Sql,
-    "q102_overlap_pairs" -> q102Sql)
+    "q102_overlap_pairs" -> q102Sql,
+    "q119_cumulative_users" -> q119Sql,
+    "q120_churn" -> q120Sql)
 }

@@ -516,7 +516,61 @@ object Corpus {
       |           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q117 — capped inverted-index postings: per token, the document
+    * frequency and the first 5 postings (smallest doc_ids), emitted as a
+    * joined string (the harness can't sort array columns — q51's lesson).
+    * The retrieval-index build step after vocabulary pruning (q110): one
+    * shuffle on the token; `collect_set` is order-insensitive, the sort +
+    * cap happen per token AFTER aggregation, so no posting list larger
+    * than the cap ever leaves the aggregate. At 100 TB the cap is the
+    * point: impact-ordered prefix postings bound both shuffle width and
+    * index size regardless of how hot a token is.
+    */
+  private val q117: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"),
+        col("doc_id"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 5), ",")
+          .as("first_postings"))
+      .orderBy("token")
+
+  private val q117Sql =
+    """SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ',')
+      |    AS first_postings
+      |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  /** q118 — dup-graph degree histogram: how many documents participate in
+    * 1, 2, … near-duplicate pairs (q41's LSH candidates). The
+    * observability metric behind cluster resolution (q56): a heavy tail
+    * here means a boilerplate template is about to glue thousands of docs
+    * into one component. Two narrow aggregations over the pair relation —
+    * at scale both shuffle (doc, count) pairs only.
+    */
+  private val q118: Q = (s, dir) => {
+    val pairs = TextDedup.all("q41_dedup_minhash_lsh")(s, dir)
+    pairs.select(col("doc_a").as("doc"))
+      .unionAll(pairs.select(col("doc_b").as("doc")))
+      .groupBy("doc").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  private def q118Sql =
+    s"""WITH pairs AS (${TextDedup.oracle("q41_dedup_minhash_lsh")}),
+       |deg AS (SELECT doc, count(*) AS degree FROM (
+       |  SELECT doc_a AS doc FROM pairs
+       |  UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q117_postings" -> q117,
+    "q118_degree_hist" -> q118,
     "q70_tfidf" -> q70,
     "q79_contamination" -> q79,
     "q83_source_stats" -> q83,
@@ -533,6 +587,8 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q117_postings" -> q117Sql,
+    "q118_degree_hist" -> q118Sql,
     "q70_tfidf" -> q70Sql,
     "q79_contamination" -> q79Sql,
     "q83_source_stats" -> q83Sql,
