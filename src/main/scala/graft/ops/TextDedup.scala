@@ -55,24 +55,33 @@ object TextDedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin
 
-  /** q41 — MinHash + LSH candidate pairs. 8 hash functions h_j(s) =
-    * md5(j || '|' || s); signature = per-j min over 3-shingles; 4 bands of
-    * 2 rows; docs sharing a band bucket are candidates.
+  /** q41 — MinHash + LSH candidate pairs. Base hash u(s) = first 8 md5
+    * hex digits of the shingle mod p (p = 2^31−1); 8 hash functions are the
+    * affine family h_j(u) = ((2j+3)·u + 7919·(j+1)) mod p — one md5 per
+    * shingle instead of eight, the rest exact integer arithmetic;
+    * signature = per-j min over 3-shingles; 4 bands of 2 rows; docs
+    * sharing a band bucket are candidates.
     */
   private val q41: Q = (s, dir) => {
     val sig = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr(3)))
       .filter(size(col("shingles")) > 0)
+      // ONE md5 per shingle (the 100 TB cost driver: the old form hashed
+      // every shingle 8x), then an affine rehash family over the 31-bit
+      // base value: h_j(u) = ((2j+3)·u + 7919·(j+1)) mod p, p = 2^31−1.
+      // Exact integer arithmetic — the oracle replays it verbatim.
+      .withColumn("us", expr(
+        "transform(shingles, s -> CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2147483647)"))
       .withColumn("mh", expr(
         """transform(sequence(0,7), j ->
-          |  array_min(transform(shingles, s ->
-          |    md5(cast(j AS string) || '|' || s))))""".stripMargin))
+          |  array_min(transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647)))"""
+          .stripMargin))
       .select(col("doc_id"), col("mh"))
     val bands = sig
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0,3), b ->
-          |  struct(b AS b, md5(element_at(mh, 2*b+1) || element_at(mh, 2*b+2)) AS bh))"""
+          |  struct(b AS b, concat(element_at(mh, 2*b+1), ':', element_at(mh, 2*b+2)) AS bh))"""
           .stripMargin)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
       // self-joined below: one signature computation, not two
@@ -93,11 +102,14 @@ object TextDedup {
       |    list_transform(generate_series(1, len(words)-2), i ->
       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
       |  FROM w),
+      |us AS (SELECT doc_id,
+      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
+      |  FROM sh WHERE len(shingles) > 0),
       |sig AS (SELECT doc_id,
       |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
-      |  FROM sh WHERE len(shingles) > 0),
-      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
+      |  FROM us),
+      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
       |  FROM sig, unnest(generate_series(0,3)) AS t(b))
       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |FROM bands a JOIN bands c
@@ -134,11 +146,14 @@ object TextDedup {
       |    list_transform(generate_series(1, len(words)-2), i ->
       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
       |  FROM w),
+      |us AS (SELECT doc_id,
+      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
+      |  FROM sh WHERE len(shingles) > 0),
       |sig AS (SELECT doc_id,
       |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
-      |  FROM sh WHERE len(shingles) > 0),
-      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
+      |  FROM us),
+      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
       |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |  FROM bands a JOIN bands c
@@ -407,11 +422,14 @@ object TextDedup {
       |    list_transform(generate_series(1, len(words)-2), i ->
       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
       |  FROM w),
+      |us AS (SELECT doc_id,
+      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
+      |  FROM sh WHERE len(shingles) > 0),
       |sig AS (SELECT doc_id,
       |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
-      |  FROM sh WHERE len(shingles) > 0),
-      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
+      |  FROM us),
+      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
       |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |  FROM bands a JOIN bands c

@@ -111,16 +111,18 @@ class SkewAndPropertySpec extends AnyFunSuite {
     import spark2.implicits._
     // min over a multiset ignores duplicates: repeating the text's tail
     // cannot change any per-hash minimum that the original already attains
-    def sig(text: String): Seq[String] =
+    def sig(text: String): Seq[Long] =
       Seq(text).toDF("text")
         .withColumn("words", split(col("text"), " "))
         .selectExpr(
           """transform(sequence(0,7), j ->
             |  array_min(transform(
-            |    transform(sequence(1, size(words)-2), i ->
-            |      element_at(words,i) || ' ' || element_at(words,i+1) || ' ' || element_at(words,i+2)),
-            |    s -> md5(cast(j AS string) || '|' || s)))) AS mh""".stripMargin)
-        .collect()(0).getSeq[String](0)
+            |    transform(
+            |      transform(sequence(1, size(words)-2), i ->
+            |        element_at(words,i) || ' ' || element_at(words,i+1) || ' ' || element_at(words,i+2)),
+            |      s -> CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2147483647),
+            |    u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh""".stripMargin)
+        .collect()(0).getSeq[Long](0)
     val t = "a b c d e f g"
     // extending the doc can only ADD shingles; each per-hash minimum is
     // therefore monotone non-increasing (the containment property LSH
