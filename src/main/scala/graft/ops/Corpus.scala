@@ -267,10 +267,14 @@ object Corpus {
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(TextDedup.shinglesExpr(3)))
       .filter(size(col("shingles")) > 0)
+      // same base-hash + affine rehash family as TextDedup.q41: one md5
+      // per shingle, h_j(u) = ((2j+3)*u + 7919*(j+1)) mod (2^31 - 1)
+      .withColumn("us", expr(
+        "transform(shingles, s -> CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2147483647)"))
       .withColumn("mh", expr(
         """transform(sequence(0,7), j ->
-          |  array_min(transform(shingles, s ->
-          |    md5(cast(j AS string) || '|' || s))))""".stripMargin))
+          |  array_min(transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647)))"""
+          .stripMargin))
       .select(col("doc_id"), col("mh"))
       .transform(graft.util.QueryCaches.tracked)
     TextDedup.all("q41b_dedup_lsh_verified")(s, dir)
@@ -290,11 +294,14 @@ object Corpus {
       |    list_transform(generate_series(1, len(words)-2), i ->
       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
       |  FROM w),
+      |us AS (SELECT doc_id,
+      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
+      |  FROM sh WHERE len(shingles) > 0),
       |sig AS (SELECT doc_id,
       |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)))) AS mh
-      |  FROM sh WHERE len(shingles) > 0),
-      |bands AS (SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bh
+      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
+      |  FROM us),
+      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
       |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       |  FROM bands a JOIN bands c
