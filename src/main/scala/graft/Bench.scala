@@ -80,30 +80,43 @@ object Bench {
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
     }.toMap
 
-    // The driver captures only the LAST 2000 characters of output and parses
-    // the JSON line out of that tail (BENCH_r01-r03 all came back
-    // `parsed: null` because the full 94-entry per-query dict pushed the line
-    // past 2000 chars and its head was truncated). So the line must stay
-    // comfortably under the buffer: per-query timings are rounded to
-    // milliseconds and only a fixed HEADLINE subset — one or two
-    // representative queries per suite — is itemized. `value` still totals
-    // ALL declared queries (the bench-gate semantics are unchanged);
-    // `nq` records how many queries that total covers.
-    val headline = Seq(
-      "q01_scan", "q05_diff_fullouter", "q08_insert", "q11_reconcile",
-      "q20_join_inner", "q23_groupby_agg", "q26_window_rank", "q28_topk",
-      "q33_session_window", "q40_dedup_exact", "q41_dedup_minhash_lsh",
-      "q43_dedup_ngram_jaccard", "q45_simsearch_topk", "q46_simsearch_lsh",
-      "q50_multimodal_meta", "q53_ann_ivf", "q55_token_count",
-      "q56_dedup_clusters", "q70_tfidf", "q75_bm25", "q91_sequence_pack",
-      "q94_cohort_retention", "q96_funnel", "q104_zorder")
+    println(summaryLine(results, errors, pass, sfDir))
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
+  }
+
+  /** Builds the one-line JSON summary. Factored out (and pinned by
+    * `BenchProtocolSpec`) because the line has a hard length contract: the
+    * driver captures only the LAST 2000 characters of output and parses
+    * the JSON line out of that tail (BENCH_r01-r03 all came back
+    * `parsed: null` because the full per-query dict pushed the line past
+    * 2000 chars and its head was truncated). So the line must stay
+    * comfortably under the buffer: per-query timings are rounded to
+    * milliseconds and only the fixed HEADLINE subset — one or two
+    * representative queries per suite — is itemized. `value` still totals
+    * ALL declared queries (the bench-gate semantics are unchanged); `nq`
+    * records how many queries that total covers. Errors must not blow the
+    * tail either: at most 4 are itemized, truncated, plus a count.
+    */
+  private[graft] val headline = Seq(
+    "q01_scan", "q05_diff_fullouter", "q08_insert", "q11_reconcile",
+    "q20_join_inner", "q23_groupby_agg", "q26_window_rank", "q28_topk",
+    "q33_session_window", "q40_dedup_exact", "q41_dedup_minhash_lsh",
+    "q43_dedup_ngram_jaccard", "q45_simsearch_topk", "q46_simsearch_lsh",
+    "q50_multimodal_meta", "q53_ann_ivf", "q55_token_count",
+    "q56_dedup_clusters", "q70_tfidf", "q75_bm25", "q91_sequence_pack",
+    "q94_cohort_retention", "q96_funnel", "q104_zorder")
+
+  private[graft] def summaryLine(results: Map[String, Double],
+                                 errors: collection.Map[String, String],
+                                 reps: Int, sfDir: String): String = {
     def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${ms3(v)}"))
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Full JSON string escaping — backslash, quote, and the entire control
-    // range (an exception message can carry any byte; a stray control char must
-    // not corrupt the one-line protocol).
+    // range (an exception message can carry any byte; a stray control char
+    // must not corrupt the one-line protocol).
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -113,8 +126,6 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // Errors must not blow the 2000-char tail either: itemize at most 4,
-    // truncated, plus a count of the rest.
     val errJson =
       if (errors.isEmpty) ""
       else {
@@ -125,8 +136,6 @@ object Bench {
           if (errors.size > 4) s""",\"_more_errors\":${errors.size - 4}""" else ""
         shown.mkString(",\"errors\":{", ",", "}") + more
       }
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$pass,"nq":${results.size},"queries":$qs$errJson,"sf":"$sfDir"}""")
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(2)
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":${results.size},"queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 }

@@ -26,16 +26,25 @@ object Behavioral {
     * coalesces the exchanges); nothing is ever materialized per event
     * beyond the per-user anchor row.
     */
-  private[graft] def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  private[graft] def funnel(events: DataFrame, stages: Seq[String],
+                            maxGapUs: Option[Long] = None): DataFrame = {
     val e = events.select("user_id", "event_type", "ts")
     // anchors(i): user_id, t = earliest stage-i event at-or-after anchors(i-1)
+    // (and, when maxGapUs is set, within that many µs of it — the
+    // conversion-window form: "purchased within 24 h of clicking")
     val anchors = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val mine = e.filter(col("event_type") === stage)
         val gated = prev match {
           case None      => mine
-          case Some(anc) => mine.join(anc.select(col("user_id"), col("t").as("t_prev")), "user_id")
-            .filter(col("ts") >= col("t_prev"))
+          case Some(anc) =>
+            val within = maxGapUs match {
+              case None    => lit(true)
+              case Some(g) =>
+                unix_micros(col("ts")) - unix_micros(col("t_prev")) <= g
+            }
+            mine.join(anc.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .filter(col("ts") >= col("t_prev") && within)
         }
         Some(gated.groupBy("user_id").agg(min("ts").as("t")))
     }.flatten
@@ -207,7 +216,40 @@ object Behavioral {
       |WHERE week IN (SELECT week FROM uw)
       |GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** q122 — funnel with a CONVERSION WINDOW: each stage must occur within
+    * 24 h of the previous stage's anchor, the form product analytics
+    * actually reports ("viewed within a day of signing up"). Same
+    * user_id-clustered join chain as q96; the window is one more codegen'd
+    * filter on exact epoch-µs integers.
+    */
+  private val q122: Q = (s, dir) =>
+    funnel(Tables.events(s, dir), Seq("signup", "view", "click", "purchase"),
+      maxGapUs = Some(86400000000L))
+
+  private val q122Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+      |        AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+      |        AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000
+      |       WHERE event_type = 'click' GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(ts) AS t FROM events e
+      |       JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+      |        AND epoch_us(e.ts) - epoch_us(s3.t) <= 86400000000
+      |       WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_no, 'signup' AS stage, count(*) AS users FROM s1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      |ORDER BY stage_no""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q122_funnel_windowed" -> q122,
     "q96_funnel" -> q96,
     "q97_transitions" -> q97,
     "q102_overlap_pairs" -> q102,
@@ -215,6 +257,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q122_funnel_windowed" -> q122Sql,
     "q96_funnel" -> q96Sql,
     "q97_transitions" -> q97Sql,
     "q102_overlap_pairs" -> q102Sql,

@@ -83,10 +83,75 @@ object Layout {
       |  CAST(count(*) AS DOUBLE) / CAST(sum(chg) AS BIGINT) AS rle_ratio
       |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** q121 — Z-order EFFECTIVENESS audit ("measure, don't guess"): chunk
+    * the relation into 64-row files under two candidate orderings —
+    * insertion order vs the q104 Morton key — and total each chunk's
+    * (max−min) span per quantized dimension. Smaller spans = tighter
+    * min/max file statistics = more files pruned by a range predicate on
+    * either dimension; the number a layout decision should be based on.
+    * All-integer. The global `row_number` stands in for file assignment
+    * at test scale; a cluster job gets the identical chunking from
+    * `repartitionByRange(sortKey)` + per-partition indices, with no
+    * single-partition window.
+    */
+  private val q121: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("q0", expr(
+        "least(greatest(CAST(floor((element_at(v, 1) + 1.0D) * 128) AS INT), 0), 255)"))
+      .withColumn("q1", expr(
+        "least(greatest(CAST(floor((element_at(v, 2) + 1.0D) * 128) AS INT), 0), 255)"))
+      .withColumn("zcode", expr(
+        """aggregate(sequence(0, 7), 0, (acc, j) ->
+          |  acc + shiftleft(shiftright(q0, j) % 2, 2*j)
+          |      + shiftleft(shiftright(q1, j) % 2, 2*j + 1))""".stripMargin))
+    def spans(orderCol: String, name: String) =
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col(orderCol), col("vec_id"))))
+        .withColumn("chunk", expr("CAST((rk - 1) div 64 AS BIGINT)"))
+        .groupBy("chunk")
+        .agg((max("q0") - min("q0")).as("s0"), (max("q1") - min("q1")).as("s1"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("s0").cast("long").as("sum_q0_span"),
+          sum("s1").cast("long").as("sum_q1_span"))
+        .select(lit(name).as("ordering"), col("n_chunks"),
+          col("sum_q0_span"), col("sum_q1_span"))
+    spans("vec_id", "insertion").unionByName(spans("zcode", "zorder"))
+      .orderBy("ordering")
+  }
+
+  private val q121Sql =
+    """WITH q AS (SELECT vec_id,
+      |  least(greatest(CAST(floor((embedding[1]::DOUBLE + 1.0::DOUBLE) * 128) AS INTEGER), 0), 255) AS q0,
+      |  least(greatest(CAST(floor((embedding[2]::DOUBLE + 1.0::DOUBLE) * 128) AS INTEGER), 0), 255) AS q1
+      |  FROM embeddings),
+      |z AS (SELECT vec_id, q0, q1,
+      |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
+      |    ((q0 >> j) % 2) * (1 << (2*j)) + ((q1 >> j) % 2) * (1 << (2*j + 1))))
+      |    AS INTEGER) AS zcode FROM q),
+      |byi AS (SELECT *, (row_number() OVER (ORDER BY vec_id, vec_id) - 1) // 64 AS chunk FROM z),
+      |byz AS (SELECT *, (row_number() OVER (ORDER BY zcode, vec_id) - 1) // 64 AS chunk FROM z),
+      |ci AS (SELECT chunk, max(q0) - min(q0) AS s0, max(q1) - min(q1) AS s1
+      |  FROM byi GROUP BY 1),
+      |cz AS (SELECT chunk, max(q0) - min(q0) AS s0, max(q1) - min(q1) AS s1
+      |  FROM byz GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'insertion' AS ordering, CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(s0) AS BIGINT) AS sum_q0_span, CAST(sum(s1) AS BIGINT) AS sum_q1_span
+      |  FROM ci
+      |  UNION ALL
+      |  SELECT 'zorder', CAST(count(*) AS BIGINT), CAST(sum(s0) AS BIGINT),
+      |    CAST(sum(s1) AS BIGINT) FROM cz)
+      |ORDER BY ordering""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_zorder" -> q104,
-    "q111_rle_estimate" -> q111)
+    "q111_rle_estimate" -> q111,
+    "q121_zorder_audit" -> q121)
   val oracle: Map[String, String] = Map(
     "q104_zorder" -> q104Sql,
-    "q111_rle_estimate" -> q111Sql)
+    "q111_rle_estimate" -> q111Sql,
+    "q121_zorder_audit" -> q121Sql)
 }
