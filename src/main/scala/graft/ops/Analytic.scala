@@ -469,7 +469,57 @@ object Analytic {
       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1))) > 3
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q123 — the star-schema join (TPC-H Q5 shape): local-supplier revenue
+    * by nation for one region and one order-date year. Five joins; the
+    * plan the optimizer should pick — and PlanSpec pins — is fact-table
+    * pipelines with every dimension BROADCAST (region→nation filters to a
+    * handful of rows, supplier/customer are dimension-sized) so the only
+    * shuffle is orders⋈lineitem on the orderkey, with the region filter
+    * and date range pushed into the scans. Revenue is quantized to cents
+    * PER ROW before the sum (the per-row double product is bit-identical
+    * cross-engine; only accumulation order isn't).
+    */
+  private val q123: Q = (s, dir) => {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("cents", expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      .groupBy("n_name")
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue_cents"), col("n_name"))
+  }
+
+  private val q123Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
     "q65_grouping_sets" -> q65,
     "q82_setops_multiset" -> q82,
@@ -488,6 +538,7 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,
     "q65_grouping_sets" -> q65Sql,
     "q82_setops_multiset" -> q82Sql,

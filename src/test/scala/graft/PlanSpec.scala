@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q123: star join broadcasts every dimension; only the fact join shuffles") {
+    val p = planString(SparkEntry.queries("q123_star_join")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast dimension joins in:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"expected the order-date range pushed to the orders scan in:\n$p")
+  }
+
   test("q105: bucket fingerprints aggregate partial then final (map-side combine)") {
     val p = planString(SparkEntry.queries("q105_bucket_diff")(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
