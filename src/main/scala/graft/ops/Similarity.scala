@@ -363,7 +363,69 @@ object Similarity {
       |FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
       |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
 
+  /** q124 — one Lloyd (k-means) iteration, the training step behind q53's
+    * coarse quantizer: assign every vector to its nearest seed centroid
+    * (broadcast 8-row quantizer + map-side argmax, exactly q53's
+    * assignment), recompute each cell's centroid from exact per-(cell,dim)
+    * integer sums, and report the per-cell member count and centroid
+    * SHIFT (distance seed → new centroid — the convergence signal a
+    * training loop watches). Dataflow per iteration: one broadcast join +
+    * two narrow aggregations; nothing quadratic, nothing driver-side, so
+    * iterating to convergence at 100 TB is this same job in a loop.
+    * Determinism: q115's discipline — means from integer sums, each
+    * squared difference re-quantized before the cross-dim sum.
+    */
+  private val q124: Q = (s, dir) => {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+    val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cell"),
+        round(expr(cosExpr("v", "cv")), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("v")).as("v"))
+    val dims = assign.select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).as("dim"),
+        expr("CAST(round(col * 1e7) AS BIGINT)").as("xq"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
+      .withColumn("mean", expr("CAST(s1q AS DOUBLE) / (n * 1e7)"))
+    val seed = cent.select(col("cell"), posexplode(col("cv")))
+      .select(col("cell"), (col("pos") + 1).as("dim"), col("col").as("sv"))
+    dims.join(seed, Seq("cell", "dim"))
+      .withColumn("dq", expr("CAST(round((mean - sv) * (mean - sv) * 1e12) AS BIGINT)"))
+      .groupBy("cell")
+      .agg(max("n").as("n_members"), sum("dq").as("sq"))
+      .select(col("cell"), col("n_members"),
+        expr("sqrt(CAST(sq AS DOUBLE) / 1e12)").as("shift"))
+      .orderBy("cell")
+  }
+
+  private val q124Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+      |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |dims AS (SELECT cell, CAST(i AS INTEGER) AS dim,
+      |  CAST(round(v[i] * 1e7) AS BIGINT) AS xq
+      |  FROM assign, unnest(generate_series(1, 64)) AS t(i)),
+      |cd AS (SELECT cell, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s1q
+      |  FROM dims GROUP BY 1, 2),
+      |m AS (SELECT cell, dim, n, CAST(s1q AS DOUBLE) / (n * 1e7) AS mean FROM cd),
+      |sd AS (SELECT cell, CAST(i AS INTEGER) AS dim, cv[i] AS sv
+      |  FROM cent, unnest(generate_series(1, 64)) AS t(i))
+      |SELECT m.cell AS cell, CAST(max(m.n) AS BIGINT) AS n_members,
+      |  sqrt(CAST(CAST(sum(CAST(round((m.mean - sd.sv) * (m.mean - sd.sv) * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS shift
+      |FROM m JOIN sd ON m.cell = sd.cell AND m.dim = sd.dim
+      |GROUP BY m.cell ORDER BY cell""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q124_kmeans_step" -> q124,
     "q115_centroid_separation" -> q115,
     "q44_embed_neardup" -> q44,
     "q45_simsearch_topk" -> q45,
@@ -374,6 +436,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_kmeans_step" -> q124Sql,
     "q115_centroid_separation" -> q115Sql,
     "q44_embed_neardup" -> q44Sql,
     "q45_simsearch_topk" -> q45Sql,
