@@ -424,7 +424,61 @@ object Similarity {
       |FROM m JOIN sd ON m.cell = sd.cell AND m.dim = sd.dim
       |GROUP BY m.cell ORDER BY cell""".stripMargin
 
+  /** q125 — ANN recall audit: per query, how many of the EXACT top-5
+    * neighbors (q45's brute force, the ground truth) the IVF index (q53)
+    * actually returned — recall@5, the accuracy number that decides
+    * nprobe/ncells before an index ships. Pure composition: both result
+    * relations are tiny (queries × 5 rows), the join is on (query_id,
+    * vec_id), and the expensive inputs are the already-bounded pipelines
+    * themselves. Recall is an exact small-integer ratio.
+    */
+  private val q125: Q = (s, dir) => {
+    val exact = q45(s, dir).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val ann = q53(s, dir).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val q125Sql = {
+    // rename q45's CTEs (e/q/scored collide with q53's) and inline both
+    val exactCte =
+      """ex_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex_q AS (SELECT vec_id AS query_id, v AS qv FROM ex_e WHERE vec_id < 5),
+        |ex_scored AS (
+        |  SELECT ex_q.query_id, ex_e.vec_id,
+        |         round(list_dot_product(ex_q.qv, ex_e.v)
+        |           / (sqrt(list_dot_product(ex_q.qv, ex_q.qv)) * sqrt(list_dot_product(ex_e.v, ex_e.v))), 6)
+        |           AS cos_sim
+        |  FROM ex_q JOIN ex_e ON ex_e.vec_id <> ex_q.query_id),
+        |exact AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ex_scored) t
+        |  WHERE rank <= 5)""".stripMargin
+    val annCte = q53Sql
+      .replaceFirst("^WITH ", "")
+      .replace("WHERE rank <= 5 ORDER BY query_id, rank", "WHERE rank <= 5)")
+      .replace("\nSELECT query_id, vec_id, cell, cos_sim, rank FROM (",
+        ",\nann0 AS (SELECT query_id, vec_id, cell, cos_sim, rank FROM (")
+    s"""WITH $exactCte,
+       |$annCte,
+       |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM ann0 WHERE rank <= 5)
+       |SELECT exact.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(coalesce(ann.hit, 0)) AS BIGINT) AS hits,
+       |  CAST(sum(coalesce(ann.hit, 0)) AS DOUBLE) / count(*) AS recall
+       |FROM exact LEFT JOIN ann
+       |  ON exact.query_id = ann.query_id AND exact.vec_id = ann.vec_id
+       |GROUP BY exact.query_id
+       |ORDER BY exact.query_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q125_ann_recall" -> q125,
     "q124_kmeans_step" -> q124,
     "q115_centroid_separation" -> q115,
     "q44_embed_neardup" -> q44,
@@ -436,6 +490,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_ann_recall" -> q125Sql,
     "q124_kmeans_step" -> q124Sql,
     "q115_centroid_separation" -> q115Sql,
     "q44_embed_neardup" -> q44Sql,

@@ -138,7 +138,7 @@ class PlanSpec extends AnyFunSuite {
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
-      "q124_kmeans_step")
+      "q124_kmeans_step", "q125_ann_recall")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
