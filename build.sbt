@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the one-line JSON summary out of the LAST 2000
+// characters of `sbt runMain` output. Two things defeated that for four
+// straight rounds: sbt's logger wrapped the forked app's stdout as
+// "[info] {...}" (not raw JSON), and sbt's own "[success] Total time ..."
+// status line trailed it. StdoutOutput passes the forked process's streams
+// through verbatim; showSuccess drops the trailing status line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// the unused-key lint is a false positive.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,5 +82,69 @@ def main():
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
+def parse_bench_tail(text, tail_chars=2000):
+    """Replica of the round driver's bench capture: keep the last
+    `tail_chars` characters, then try to json-parse each line — raw first,
+    then with a leading "[level] " logger prefix stripped — and return the
+    last object that looks like the Bench summary ({"metric": ...}).
+
+    Returns the parsed dict or None (the driver's `parsed` field).
+    """
+    import re
+    tail = text[-tail_chars:]
+    hit = None
+    for line in tail.splitlines():
+        for cand in (line, re.sub(r"^\[\w+\]\s*", "", line)):
+            cand = cand.strip()
+            if not cand.startswith("{"):
+                continue
+            try:
+                obj = json.loads(cand)
+            except Exception:
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                hit = obj
+            break
+    return hit
+
+
+def bench_tail_main(path):
+    """`verify_local.py --bench-tail <file>`: file holds a captured
+    `sbt "runMain graft.Bench"` output (or a BENCH_rN.json whose `tail`
+    field to check). Prints the parsed summary or fails loudly.
+    """
+    with open(path) as f:
+        text = f.read()
+    # Accept a driver BENCH_rN.json directly: parse its `tail` field.
+    try:
+        as_json = json.loads(text)
+        if isinstance(as_json, dict) and "tail" in as_json:
+            text = as_json["tail"]
+    except Exception:
+        pass
+    parsed = parse_bench_tail(text)
+    if parsed is None:
+        print("parsed: null — the driver would NOT extract a bench number")
+        sys.exit(1)
+    print(json.dumps({"parsed": parsed}, indent=2))
+    # Strict-mode check: would it also parse with NO prefix-stripping and
+    # only the raw lines (the most conservative driver implementation)?
+    raw_only = None
+    for line in text[-2000:].splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+                if isinstance(obj, dict) and "metric" in obj:
+                    raw_only = obj
+            except Exception:
+                pass
+    print(f"raw-line-only parse: {'OK' if raw_only else 'FAIL — line still prefixed/truncated'}")
+    sys.exit(0 if raw_only else 1)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--bench-tail":
+        bench_tail_main(sys.argv[2])
+    else:
+        main()

@@ -80,9 +80,23 @@ object Bench {
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
     }.toMap
 
-    println(summaryLine(results, errors, pass, sfDir))
+    val line = summaryLine(results, errors, pass, sfDir)
+    // Stop Spark FIRST, then emit: the summary must be the process's last
+    // stdout so it sits raw and final in the driver's 2000-char tail (with
+    // build.sbt's StdoutOutput + showSuccess=false nothing trails it).
+    // Shutdown-hook logging is already silenced (log4j2.properties WARN
+    // root + setLogLevel(ERROR) above).
     spark.stop()
+    emit(line)
     if (errors.nonEmpty) sys.exit(2)
+  }
+
+  /** Single point of emission for the summary line — printed exactly once,
+    * flushed, nothing after it (pinned by `BenchProtocolSpec`).
+    */
+  private[graft] def emit(line: String): Unit = {
+    Console.out.println(line)
+    Console.out.flush()
   }
 
   /** Builds the one-line JSON summary. Factored out (and pinned by
@@ -136,6 +150,12 @@ object Bench {
           if (errors.size > 4) s""",\"_more_errors\":${errors.size - 4}""" else ""
         shown.mkString(",\"errors\":{", ",", "}") + more
       }
-    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":${results.size},"queries":$qs$errJson,"sf":"$sfDir"}"""
+    // nq counts only the queries the total actually covers (successes);
+    // failed queries carry the -1 sentinel and are excluded from `value`,
+    // so they must not inflate nq either. nfail makes the gap explicit.
+    val nOk = results.values.count(_ >= 0)
+    val nFail = results.size - nOk
+    val failJson = if (nFail > 0) s""","nfail":$nFail""" else ""
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 }

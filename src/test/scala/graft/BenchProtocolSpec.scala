@@ -35,13 +35,64 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!line.contains("\"qa\""))
   }
 
-  test("failed queries (-1 sentinel) are excluded from the total") {
+  test("failed queries (-1 sentinel) are excluded from the total AND nq") {
     val line = Bench.summaryLine(
       Map("qa" -> 2.0, "qb" -> -1.0),
       scala.collection.mutable.LinkedHashMap("qb" -> "ArithmeticException: x"),
       reps = 1, sfDir = "/sf")
     assert(line.contains(""""value":2.000"""))
+    // nq must match the total's coverage (successes only); the failure is
+    // surfaced separately so the gap is explicit, not hidden.
+    assert(line.contains(""""nq":1"""))
+    assert(line.contains(""""nfail":1"""))
     assert(line.contains(""""errors":{"qb":"ArithmeticException: x"}"""))
+  }
+
+  // --- driver-tail contract -------------------------------------------
+  // The round driver keeps the last 2000 chars of the run's output and
+  // tries json-parsing it line by line. These tests replicate that with a
+  // strict JSON parser (Jackson, from the Spark classpath) against the
+  // exact emission path Bench.main uses.
+
+  private def strictParse(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+    catch { case _: Exception => None }
+
+  test("summary line is strict JSON with the gate fields") {
+    val line = Bench.summaryLine(
+      Bench.headline.map(_ -> 0.5).toMap ++ Map("qx" -> -1.0),
+      scala.collection.mutable.LinkedHashMap("qx" -> "boom \"quoted\"\npath"),
+      reps = 3, sfDir = "/root/testdata/sf0.1")
+    val node = strictParse(line).getOrElse(fail(s"not strict JSON: $line"))
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").isNumber)
+    assert(node.get("nq").asInt == Bench.headline.size)
+    assert(node.get("queries").get("q01_scan").isNumber)
+  }
+
+  test("emit writes the line exactly once, flushed, nothing else") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Bench.emit("""{"metric":"total"}""")
+    }
+    assert(bos.toString("UTF-8") == "{\"metric\":\"total\"}\n")
+  }
+
+  test("raw summary line survives a 2000-char tail and parses; [info]-wrapped does not") {
+    val line = Bench.summaryLine(
+      Bench.headline.map(_ -> 1.234).toMap, // full headline = worst-case length
+      scala.collection.mutable.LinkedHashMap.empty[String, String],
+      reps = 3, sfDir = "/root/testdata/sf0.1")
+    // Emission order as of round 5: Spark log noise, then the raw line,
+    // then NOTHING (StdoutOutput passes it through, showSuccess=false
+    // drops sbt's trailer). The parseable line must be in the tail.
+    val noise = (1 to 40).map(i => s"26/08/13 01:32:41 WARN Something: line $i").mkString("\n")
+    val tail = (noise + "\n" + line + "\n").takeRight(2000)
+    val hits = tail.linesIterator.flatMap(strictParse).filter(n => n.has("metric")).toSeq
+    assert(hits.size == 1 && hits.head.get("metric").asText == "total")
+    // The round-1..4 failure mode, pinned as a negative: an sbt-logger
+    // wrapped line is NOT raw JSON and must never be the emission path.
+    assert(strictParse(s"[info] $line").isEmpty)
   }
 
   test("error messages are escaped and truncated; overflow is counted") {
