@@ -62,27 +62,40 @@ object TextDedup {
     * signature = per-j min over 3-shingles; 4 bands of 2 rows; docs
     * sharing a band bucket are candidates.
     */
-  private val q41: Q = (s, dir) => {
-    val sig = Tables.spread(Tables.documents(s, dir))
+  /** Sort-free candidate pairs — shared by q41 (which adds the oracle's
+    * total ORDER BY) and the downstream q41b/q56 consumers, where a global
+    * sort is pure cost: the range-partitioner's sampling pass re-runs the
+    * input plan, so an inherited ORDER BY doubles the pipeline.
+    */
+  private def candPairs(s: SparkSession, dir: String): DataFrame = {
+    // ONE md5 per shingle (the 100 TB cost driver: the old form hashed
+    // every shingle 8x), then an affine rehash family over the 31-bit
+    // base value: h_j(u) = ((2j+3)·u + 7919·(j+1)) mod p, p = 2^31−1.
+    // Exact integer arithmetic — the oracle replays it verbatim.
+    //
+    // Shape: explode(shingles) → codegen'd md5 per row → groupBy(doc_id)
+    // with 8 min aggregates. The earlier nested-higher-order-function form
+    // (transform(sequence(0,7), j -> array_min(transform(us, ...)))) ran
+    // INTERPRETED per lambda element (HOFs are outside whole-stage
+    // codegen) and was the q41/q56 bench hotspot; this form keeps every
+    // expression codegen'd, and the map-side partial min means the shuffle
+    // carries ~one 8-long row per (doc, partition) — signatures still never
+    // materialize the shingle set.
+    val p = 2147483647L
+    val us = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(shinglesExpr(3)))
-      .filter(size(col("shingles")) > 0)
-      // ONE md5 per shingle (the 100 TB cost driver: the old form hashed
-      // every shingle 8x), then an affine rehash family over the 31-bit
-      // base value: h_j(u) = ((2j+3)·u + 7919·(j+1)) mod p, p = 2^31−1.
-      // Exact integer arithmetic — the oracle replays it verbatim.
-      .withColumn("us", expr(
-        "transform(shingles, s -> CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2147483647)"))
-      .withColumn("mh", expr(
-        """transform(sequence(0,7), j ->
-          |  array_min(transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647)))"""
-          .stripMargin))
-      .select(col("doc_id"), col("mh"))
+      .select(col("doc_id"), explode(expr(shinglesExpr(3))).as("sh"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % p).as("u"))
+    val sig = us.groupBy("doc_id").agg(
+      min((col("u") * 3 + 7919L) % p).as("h0"),
+      (1 until 8).map(j =>
+        min((col("u") * (2 * j + 3) + 7919L * (j + 1)) % p).as(s"h$j")): _*)
     val bands = sig
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0,3), b ->
-          |  struct(b AS b, concat(element_at(mh, 2*b+1), ':', element_at(mh, 2*b+2)) AS bh))"""
-          .stripMargin)).as("band"))
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat(col(s"h${2 * b}").cast("string"), lit(":"),
+            col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
       // self-joined below: one signature computation, not two
       .transform(graft.util.QueryCaches.tracked)
@@ -92,8 +105,9 @@ object TextDedup {
         col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  private val q41: Q = (s, dir) => candPairs(s, dir).orderBy("doc_a", "doc_b")
 
   private val q41Sql =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
@@ -124,11 +138,14 @@ object TextDedup {
     * corpus, so this stage costs two hash joins against the shingle-set
     * relation plus per-candidate set intersection.
     */
-  private val q41b: Q = (s, dir) => {
-    val cand = q41(s, dir)
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = candPairs(s, dir)
+    // The shingle-set relation feeds BOTH sides of the pair join; persist
+    // it so the scan + shingle build runs once, not twice.
     val sets = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
+      .transform(graft.util.QueryCaches.tracked)
     val inter = size(array_intersect(col("sha"), col("shb")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -136,8 +153,9 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"),
         round(inter.cast("double") /
           (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  private val q41b: Q = (s, dir) => verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
 
   private val q41bSql =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
@@ -375,20 +393,32 @@ object TextDedup {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nl").as("mn"))
+      // Persist the propagation step: it is read again below (convergence
+      // probe, then BOTH sides of the pointer-jump self-join). Without the
+      // persist each consumer re-runs the join+groupBy — the r4 bench
+      // showed that as a 2.6x regression on q56.
       val step = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
-      // Pointer jumping: follow label -> label(label). Every label IS a
-      // doc_id present in `labels` (it entered as some node's min), so the
-      // lookup is a self-join on the same relation.
-      val jumped = step
-        .join(step.select(col("doc_id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("label") =!= col("old")).isEmpty
-      labels = jumped.select("doc_id", "label")
+        .persist(MEMORY_AND_DISK)
+      // Convergence is decidable BEFORE the jump: if propagation changed no
+      // label we are at the min-propagation fixpoint, where labels are
+      // already idempotent (label(label(v)) == label(v)) — the jump and its
+      // checkpoint are pure cost on the final round, so skip them and keep
+      // the previous (already checkpointed) labels.
+      converged = step.filter(col("label") =!= col("old")).isEmpty
+      if (!converged) {
+        // Pointer jumping: follow label -> label(label). Every label IS a
+        // doc_id present in `labels` (it entered as some node's min), so
+        // the lookup is a self-join on the same (persisted) relation.
+        labels = step
+          .join(step.select(col("doc_id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint(true)
+      }
+      step.unpersist()
       iter += 1
     }
     sym.unpersist()
@@ -407,7 +437,10 @@ object TextDedup {
     * marks the survivor each cluster keeps.
     */
   private val q56: Q = (s, dir) => {
-    val edges = q41b(s, dir).filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    // Sort-free internals: q41b's declared ORDER BY (oracle determinism)
+    // would cost a full extra pipeline pass here (range-sort sampling).
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
     connectedComponents(edges)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("label") === col("doc_id")).as("is_canonical"))
