@@ -45,13 +45,27 @@ object Similarity {
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
-  /** q44 — embedding-cosine near-duplicates within label blocks. */
+  /** q44 — embedding-cosine near-duplicates within label blocks, LSH-
+    * bounded: the pair join's block key is (label, hyperplane bucket), an
+    * equi-join on a composite key whose per-block size the HASH bounds
+    * (16-way here; add planes to shrink further), never the label alone.
+    * A bare `label` block is scale-risky — one dominant label makes the
+    * block quadratic at 100×. Label stays in the key because "near-dups
+    * within a class" is the declared semantics; the bucket is what makes
+    * it safe. The unlabeled twin is q57; the recall trade (bucket-split
+    * true pairs) is intrinsic to LSH blocking and audited by q125's
+    * recall harness on the ANN side.
+    */
   private val q44: Q = (s, dir) => {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      // self-joined: bucket signatures computed once
+      .transform(graft.util.QueryCaches.tracked)
     val a = e.as("a")
     val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr(cosExpr("a.v", "b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
@@ -59,11 +73,24 @@ object Similarity {
   }
 
   private val q44Sql =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.label, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round($duckCos, 6) AS cos_sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+       |  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+       |                    AND a.vec_id < b.vec_id) t
        |WHERE cos_sim >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
@@ -198,17 +225,54 @@ object Similarity {
     * [[graft.functions.TopKTagged]] aggregation. No all-pairs scoring
     * anywhere — the brute-force q45 becomes a probed subset scan.
     */
-  private val q53: Q = (s, dir) => {
-    val topkCells = udaf(new graft.functions.TopKByScore(2))
-    val topk = udaf(new graft.functions.TopKTagged(5))
-    val e = Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), expr(vd).as("v"))
-    val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
-    val assign = e.join(broadcast(cent))
+  /** Embedding relation (vec_id, v: double[64]) shared by the IVF family. */
+  private def embVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir)).select(col("vec_id"), expr(vd).as("v"))
+
+  /** Seed quantizer: the first 8 vectors — the deterministic untrained
+    * stand-in a pipeline starts from before any Lloyd iterations.
+    */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
+
+  /** Nearest-cell assignment under a broadcast quantizer: map-side argmax
+    * (`max_by` over a (cos, -cell) struct — partial-aggregated, the shuffle
+    * carries one row per vector). Shared by q53/q124/q126.
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cell"),
         round(expr(cosExpr("v", "cv")), 6).as("cs"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
-        first(col("v")).as("v"))
+        first(col("v")).as("v"), max(col("cs")).as("cs"))
+
+  /** One Lloyd step from the seed quantizer: per-(cell,dim) exact integer
+    * means (q115's determinism discipline), re-assembled into centroid
+    * vectors. This IS q124's training math — q126 feeds it back into the
+    * index, closing the train → index → audit loop.
+    */
+  private def trainedCentroids(e: DataFrame): DataFrame =
+    assignCells(e, seedCentroids(e))
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).as("dim"),
+        expr("CAST(round(col * 1e7) AS BIGINT)").as("xq"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
+      .select(col("cell"), col("dim"), expr("CAST(s1q AS DOUBLE) / (n * 1e7)").as("mean"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("dm"))
+      .select(col("cell"), expr("transform(dm, x -> x.mean)").as("cv"))
+
+  /** IVF search given a quantizer relation: assign → probe the 2 nearest
+    * cells per query → exact re-rank of candidates only (bounded
+    * [[graft.functions.TopKTagged]]). The quantizer is always tiny and
+    * broadcast; no all-pairs scoring anywhere.
+    */
+  private def ivfTopK(e: DataFrame, cent: DataFrame): DataFrame = {
+    val topkCells = udaf(new graft.functions.TopKByScore(2))
+    val topk = udaf(new graft.functions.TopKTagged(5))
+    val assign = assignCells(e, cent)
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = q.join(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -228,9 +292,31 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  private val q53Sql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+  private val q53: Q = (s, dir) => {
+    val e = embVecs(s, dir)
+    ivfTopK(e, seedCentroids(e))
+  }
+
+  /** q126 — the composed pipeline: IVF search over the quantizer q124
+    * TRAINED (one Lloyd step), not the raw seed vectors. Same bounded
+    * dataflow as q53 — the trained quantizer is still a ≤8-row broadcast;
+    * only the cell geometry improved. q127 audits the recall gain.
+    */
+  private val q126: Q = (s, dir) => {
+    val e = embVecs(s, dir)
+    ivfTopK(e, trainedCentroids(e))
+  }
+
+  /** Composable IVF CTE chain: embedding scan → quantizer → assignment →
+    * probes → exact re-rank, ending in the ranked `ann0` relation (top-5
+    * per query). `centDefs` must end by defining `cent(cell, cv)` — the
+    * seed quantizer or the trained one. q53/q125/q126/q127 all compose
+    * this one block, so the oracle can never drift from the pipeline
+    * (replaces the earlier fragile string-replace surgery on q53Sql).
+    */
+  private def ivfCteBlock(centDefs: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$centDefs,
        |assign AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT e.vec_id, e.v, c.cell,
@@ -247,12 +333,38 @@ object Similarity {
        |scored AS (
        |  SELECT p.query_id, a.vec_id, a.cell,
        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
-       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)
-       |SELECT query_id, vec_id, cell, cos_sim, rank FROM (
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ann0 AS (SELECT query_id, vec_id, cell, cos_sim, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored) t
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  FROM scored) t WHERE rank <= 5)""".stripMargin
+
+  private val seedCentSql =
+    "cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8)"
+
+  /** One Lloyd step in SQL — the exact twin of [[trainedCentroids]]:
+    * seed-assign, per-(cell,dim) integer-sum means, vectors re-assembled
+    * in dim order.
+    */
+  private val trainedCentSql =
+    """tr_assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+      |    FROM e CROSS JOIN (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8) c) t
+      |  WHERE rn = 1),
+      |tr_m AS (SELECT cell, CAST(i AS INTEGER) AS dim,
+      |    CAST(CAST(sum(CAST(round(v[i] * 1e7) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |      / (count(*) * 1e7) AS mean
+      |  FROM tr_assign, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(mean ORDER BY dim) AS cv FROM tr_m GROUP BY cell)""".stripMargin
+
+  private val ivfSelect =
+    "SELECT query_id, vec_id, cell, cos_sim, rank FROM ann0 ORDER BY query_id, rank"
+
+  private val q53Sql = s"WITH ${ivfCteBlock(seedCentSql)}\n$ivfSelect"
+  private val q126Sql = s"WITH ${ivfCteBlock(trainedCentSql)}\n$ivfSelect"
 
   /** q57 — embedding near-duplicates within LSH buckets: q44's semantics
     * with the label block replaced by the seeded hyperplane bucket — the
@@ -376,15 +488,9 @@ object Similarity {
     * squared difference re-quantized before the cross-dim sum.
     */
   private val q124: Q = (s, dir) => {
-    val e = Tables.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), expr(vd).as("v"))
-    val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
-    val assign = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cell"),
-        round(expr(cosExpr("v", "cv")), 6).as("cs"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
-        first(col("v")).as("v"))
+    val e = embVecs(s, dir)
+    val cent = seedCentroids(e)
+    val assign = assignCells(e, cent)
     val dims = assign.select(col("cell"), posexplode(col("v")))
       .select(col("cell"), (col("pos") + 1).as("dim"),
         expr("CAST(round(col * 1e7) AS BIGINT)").as("xq"))
@@ -432,12 +538,13 @@ object Similarity {
     * vec_id), and the expensive inputs are the already-bounded pipelines
     * themselves. Recall is an exact small-integer ratio.
     */
-  private val q125: Q = (s, dir) => {
+  /** Recall@5 of an ANN result against the exact brute-force top-5. */
+  private def recallAudit(s: SparkSession, dir: String, ann: DataFrame): DataFrame = {
     val exact = q45(s, dir).filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"))
-    val ann = q53(s, dir).filter(col("rank") <= 5)
+    val hits = ann.filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
-    exact.join(ann, Seq("query_id", "vec_id"), "left")
+    exact.join(hits, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .select(col("query_id"), col("k"), col("hits"),
@@ -445,8 +552,19 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  private val q125Sql = {
-    // rename q45's CTEs (e/q/scored collide with q53's) and inline both
+  private val q125: Q = (s, dir) => recallAudit(s, dir, q53(s, dir))
+
+  /** q127 — recall audit of the TRAINED index (q126): the number that
+    * proves the q124 → q53 composition pays for itself. `IvfRecallSpec`
+    * pins trained-mean-recall ≥ seed-mean-recall on the fixture.
+    */
+  private val q127: Q = (s, dir) => recallAudit(s, dir, q126(s, dir))
+
+  /** Recall-audit SQL over a composed [[ivfCteBlock]] — the exact ground
+    * truth (ex_-prefixed CTEs, no name collision with the IVF chain) left-
+    * joined to the index's ranked `ann0`.
+    */
+  private def recallSql(centDefs: String): String = {
     val exactCte =
       """ex_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex_q AS (SELECT vec_id AS query_id, v AS qv FROM ex_e WHERE vec_id < 5),
@@ -460,14 +578,9 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ex_scored) t
         |  WHERE rank <= 5)""".stripMargin
-    val annCte = q53Sql
-      .replaceFirst("^WITH ", "")
-      .replace("WHERE rank <= 5 ORDER BY query_id, rank", "WHERE rank <= 5)")
-      .replace("\nSELECT query_id, vec_id, cell, cos_sim, rank FROM (",
-        ",\nann0 AS (SELECT query_id, vec_id, cell, cos_sim, rank FROM (")
     s"""WITH $exactCte,
-       |$annCte,
-       |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM ann0 WHERE rank <= 5)
+       |${ivfCteBlock(centDefs)},
+       |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM ann0)
        |SELECT exact.query_id, CAST(count(*) AS BIGINT) AS k,
        |  CAST(sum(coalesce(ann.hit, 0)) AS BIGINT) AS hits,
        |  CAST(sum(coalesce(ann.hit, 0)) AS DOUBLE) / count(*) AS recall
@@ -477,7 +590,55 @@ object Similarity {
        |ORDER BY exact.query_id""".stripMargin
   }
 
+  private val q125Sql = recallSql(seedCentSql)
+  private val q127Sql = recallSql(trainedCentSql)
+
+  /** q128 — quantizer quality audit: average best-cell cosine under the
+    * seed vs the trained quantizer. This is (the cosine form of) the
+    * k-means objective — the quantity Lloyd actually improves — so the
+    * training gain is pinned by a monotone metric, where recall@5 on a
+    * tiny fixture can wobble by a boundary neighbor. Exact integer-sum
+    * averaging (cs is already rounded to 6dp, so round(cs·1e6) is exact)
+    * keeps the cross-engine hash stable under Spark's parallel reduction.
+    */
+  private val q128: Q = (s, dir) => {
+    // consumed by both variants (and the trained path re-assigns): one scan
+    val e = embVecs(s, dir).transform(graft.util.QueryCaches.tracked)
+    def score(cent: DataFrame, tag: String): DataFrame =
+      assignCells(e, cent)
+        .agg(sum(expr("CAST(round(cs * 1e6) AS BIGINT)")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(lit(tag).as("variant"),
+          expr("CAST(sq AS DOUBLE) / (n * 1e6)").as("avg_best_cos"))
+    score(seedCentroids(e), "seed")
+      .unionByName(score(trainedCentroids(e), "trained"))
+      .orderBy("variant")
+  }
+
+  private val q128Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+       |$trainedCentSql,
+       |sbest AS (
+       |  SELECT e.vec_id, max(round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)) AS cs
+       |  FROM e CROSS JOIN sc c GROUP BY e.vec_id),
+       |tbest AS (
+       |  SELECT e.vec_id, max(round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)) AS cs
+       |  FROM e CROSS JOIN cent c GROUP BY e.vec_id)
+       |SELECT variant, avg_best_cos FROM (
+       |  SELECT 'seed' AS variant,
+       |    CAST(CAST(sum(CAST(round(cs * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS avg_best_cos
+       |  FROM sbest
+       |  UNION ALL
+       |  SELECT 'trained' AS variant,
+       |    CAST(CAST(sum(CAST(round(cs * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS avg_best_cos
+       |  FROM tbest) u
+       |ORDER BY variant""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q128_quantizer_quality" -> q128,
+    "q127_ann_recall_trained" -> q127,
+    "q126_ann_ivf_trained" -> q126,
     "q125_ann_recall" -> q125,
     "q124_kmeans_step" -> q124,
     "q115_centroid_separation" -> q115,
@@ -490,6 +651,9 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_quantizer_quality" -> q128Sql,
+    "q127_ann_recall_trained" -> q127Sql,
+    "q126_ann_ivf_trained" -> q126Sql,
     "q125_ann_recall" -> q125Sql,
     "q124_kmeans_step" -> q124Sql,
     "q115_centroid_separation" -> q115Sql,

@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), s"expected the tagged-side union in:\n$p")
   }
 
+  test("q44: near-dup block key is (label, bucket) — hash-bounded, not label alone") {
+    val df = SparkEntry.queries("q44_embed_neardup")(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must not degrade to all-pairs:\n$p")
+    // the bucket column must be part of the join key: a data-dependent
+    // label block alone goes quadratic at 100x on a dominant label
+    val joinKeys = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }.mkString
+    assert(joinKeys.contains("bucket") && joinKeys.contains("label"),
+      s"expected (label, bucket) composite equi-key, got: $joinKeys")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bucketed relation must be persisted once for the self-join:\n$p")
+  }
+
   test("q57: LSH near-dup pairs come from an equi-join on the bucket id") {
     val p = planString(SparkEntry.queries("q57_embed_neardup_lsh")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -133,12 +150,13 @@ class PlanSpec extends AnyFunSuite {
     // tf⋈df relation. Everything else must stay equi/broadcast.
     // (q75/q88/q103/q108/q110 cross a 1-row corpus-stats aggregate, like
     // q70.)
-    // (q124 crosses every vector with the 8-row broadcast quantizer —
-    // the same deliberate shape as q53's assignment.)
+    // (q124/q126/q127 cross every vector with the ≤8-row broadcast
+    // quantizer — the same deliberate shape as q53's assignment.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
-      "q124_kmeans_step", "q125_ann_recall")
+      "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
+      "q127_ann_recall_trained", "q128_quantizer_quality")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -146,6 +164,32 @@ class PlanSpec extends AnyFunSuite {
       withClue(s"$name: ") {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name degraded to BroadcastNestedLoopJoin:\n$p")
+      }
+    }
+  }
+
+  test("q115: pair join sees scalar (label, dim, mean) rows, never vectors") {
+    val df = SparkEntry.queries("q115_centroid_separation")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected the dim-keyed pair join")
+    joins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector columns must not cross the pair join (labels×dims rows only): $arrays")
+    }
+  }
+
+  test("q124/q126: quantizer assignment is a broadcast, never a shuffled cross") {
+    Seq("q124_kmeans_step", "q126_ann_ivf_trained").foreach { name =>
+      val p = planString(SparkEntry.queries(name)(spark, dir))
+      withClue(s"$name: ") {
+        assert(p.contains("BroadcastExchange"),
+          s"expected the ≤8-row quantizer broadcast in:\n$p")
+        assert(!p.contains("CartesianProduct"),
+          s"assignment must broadcast the quantizer, not shuffle a cross:\n$p")
       }
     }
   }
