@@ -70,6 +70,34 @@ object BlazeTableProvider {
     Class.forName(className).getDeclaredConstructor().newInstance()
       .asInstanceOf[PageFetcher]
 
+  /** Bounded in-fetch retry with doubling backoff — reference
+    * `db_utils.rs:35-59` semantics (retry the connection, don't fail the
+    * sync on a transient hiccup) scoped to one page: without it a single
+    * failed page fetch escalates to a full Spark TASK retry, which
+    * re-pays scheduling and re-fetches from scratch; with it the retry
+    * stays inside the partition reader. Attempts are bounded so a dead
+    * server still fails loudly (then Spark's task-level retry — and
+    * ultimately the job — surfaces it).
+    */
+  def fetchWithRetry(fetcher: PageFetcher, url: String, attempts: Int,
+                     backoffMs: Long, sleep: Long => Unit = Thread.sleep): String = {
+    var attempt = 1
+    var delay = backoffMs
+    while (true) {
+      try return fetcher.fetch(url)
+      catch {
+        case e: Exception =>
+          if (attempt >= attempts)
+            throw new java.io.IOException(
+              s"page fetch failed after $attempts attempts: $url", e)
+          sleep(delay)
+          delay *= 2
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One page's entries, parsed with Jackson (executor-side). */
   def parseEntries(body: String): Iterator[String] = {
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -100,6 +128,8 @@ private[v2] class BlazeTable(props: Map[String, String])
       private val pageSize = props.getOrElse("pagesize", "5000").toInt
       private val fetcherClass =
         props.getOrElse("fetcher", classOf[HttpPageFetcher].getName)
+      private val retryAttempts = props.getOrElse("retries", "3").toInt
+      private val retryBackoffMs = props.getOrElse("retrybackoffms", "200").toLong
       private var countPushed = false
       private var pushedLimit: Option[Int] = None
 
@@ -141,8 +171,9 @@ private[v2] class BlazeTable(props: Map[String, String])
 
       override def planInputPartitions(): Array[InputPartition] = {
         // driver-side: one _count=0 probe, zero resource rows transferred
-        val probe = BlazeTableProvider.makeFetcher(fetcherClass)
-          .fetch(s"$baseUrl/fhir/$resourceType?_count=0")
+        val probe = BlazeTableProvider.fetchWithRetry(
+          BlazeTableProvider.makeFetcher(fetcherClass),
+          s"$baseUrl/fhir/$resourceType?_count=0", retryAttempts, retryBackoffMs)
         val total = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(probe).path("total").asLong(0L)
         if (countPushed) {
@@ -163,7 +194,7 @@ private[v2] class BlazeTable(props: Map[String, String])
 
       override def createReaderFactory(): PartitionReaderFactory =
         if (countPushed) new BlazeCountReaderFactory
-        else new BlazeReaderFactory(fetcherClass)
+        else new BlazeReaderFactory(fetcherClass, retryAttempts, retryBackoffMs)
     }
 }
 
@@ -187,15 +218,19 @@ private[v2] class BlazeCountReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private[v2] class BlazeReaderFactory(fetcherClass: String)
+private[v2] class BlazeReaderFactory(fetcherClass: String,
+                                     retryAttempts: Int, retryBackoffMs: Long)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val url = partition.asInstanceOf[BlazePagePartition].url
     new PartitionReader[InternalRow] {
-      // fetcher + parse lazily on first next(): executor-side IO
+      // fetcher + parse lazily on first next(): executor-side IO, with
+      // bounded in-reader retry before Spark's task retry gets involved
       private lazy val it: Iterator[String] = BlazeTableProvider
-        .parseEntries(BlazeTableProvider.makeFetcher(fetcherClass).fetch(url))
+        .parseEntries(BlazeTableProvider.fetchWithRetry(
+          BlazeTableProvider.makeFetcher(fetcherClass), url,
+          retryAttempts, retryBackoffMs))
       private var current: String = _
       override def next(): Boolean = {
         if (it.hasNext) { current = it.next(); true } else false

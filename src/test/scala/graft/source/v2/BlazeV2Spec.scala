@@ -82,6 +82,84 @@ class BlazeV2Spec extends AnyFunSuite {
     assert(pages.length === 1 && pages.head.contains("_getpagesoffset=0"),
       s"limit(5) at pageSize 10 must fetch exactly page 0, got: $pages")
   }
+
+  test("transient page failures are retried in-reader, not escalated to task retry") {
+    FlakyFetcher.reset(failuresPerUrl = 2) // each URL fails twice, then heals
+    val df = spark.read.format("blaze")
+      .option("baseUrl", "http://fixture")
+      .option("resourceType", "Patient")
+      .option("pageSize", "10")
+      .option("fetcher", classOf[FlakyFetcher].getName)
+      .option("retries", "3")
+      .option("retryBackoffMs", "1")
+      .load()
+    // collect (not count — count pushes down to the probe alone) so the
+    // page readers run; succeeds on the 3rd in-reader attempt per URL
+    assert(df.collect().length === 23)
+    // every PAGE url was attempted exactly `failures + 1` times — the
+    // retries happened inside the reader (a Spark task retry would re-run
+    // the whole partition: more attempts). The _count=0 probe is excluded:
+    // Spark calls planInputPartitions more than once per action.
+    import scala.jdk.CollectionConverters._
+    val pageCounts = FlakyFetcher.attempts.asScala
+      .collect { case (url, n) if url.contains("_getpagesoffset") => n.intValue }
+    assert(pageCounts.size == 3 && pageCounts.forall(_ == 3),
+      s"expected 3 attempts per page url, got: ${FlakyFetcher.attempts}")
+  }
+
+  test("a dead server still fails loudly after the attempt budget") {
+    FlakyFetcher.reset(failuresPerUrl = Int.MaxValue)
+    val df = spark.read.format("blaze")
+      .option("baseUrl", "http://fixture")
+      .option("resourceType", "Patient")
+      .option("pageSize", "10")
+      .option("fetcher", classOf[FlakyFetcher].getName)
+      .option("retries", "2")
+      .option("retryBackoffMs", "1")
+      .load()
+    val e = intercept[Exception](df.count())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("after 2 attempts"), s"expected bounded-retry failure, got: $msgs")
+  }
+
+  test("fetchWithRetry backs off with doubling delays between attempts") {
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val flaky = new PageFetcher {
+      override def fetch(url: String): String = {
+        calls += 1
+        if (calls < 4) throw new RuntimeException("boom")
+        "ok"
+      }
+    }
+    val out = BlazeTableProvider.fetchWithRetry(
+      flaky, "http://x", attempts = 4, backoffMs = 100, sleep = delays.append(_))
+    assert(out == "ok" && delays.toSeq == Seq(100L, 200L, 400L))
+  }
+}
+
+/** [[FixtureFetcher]] that fails each URL a configured number of times
+  * before serving it — exercises the in-reader bounded retry. Static
+  * state works because local-mode executors share the JVM.
+  */
+class FlakyFetcher extends FixtureFetcher {
+  override def fetch(url: String): String = {
+    val n: Int = FlakyFetcher.attempts.merge(url, 1,
+      (a: Integer, b: Integer) => Integer.valueOf(a + b))
+    if (n <= FlakyFetcher.failuresPerUrl)
+      throw new java.io.IOException(s"transient failure $n for $url")
+    super.fetch(url)
+  }
+}
+
+object FlakyFetcher {
+  @volatile var failuresPerUrl: Int = 0
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def reset(failuresPerUrl: Int): Unit = {
+    this.failuresPerUrl = failuresPerUrl
+    attempts.clear()
+  }
 }
 
 /** [[FixtureFetcher]] that records every URL fetched — local-mode
