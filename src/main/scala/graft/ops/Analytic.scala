@@ -377,9 +377,9 @@ object Analytic {
     val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
     ev.join(first, "user_id")
       .select(col("user_id"),
-        expr("unix_micros(first_ts) div 604800000000").as("cohort_week"),
-        expr("(unix_micros(ts) div 604800000000) - " +
-          "(unix_micros(first_ts) div 604800000000)").as("week_offset"))
+        expr(graft.util.SqlArith.floorDiv("unix_micros(first_ts)", 604800000000L)).as("cohort_week"),
+        expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 604800000000L) + " - " +
+          graft.util.SqlArith.floorDiv("unix_micros(first_ts)", 604800000000L)).as("week_offset"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_week", "week_offset")
@@ -440,7 +440,13 @@ object Analytic {
   private val q112: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"),
-        expr("CAST(round(value * 1000) AS BIGINT)").as("q"))
+        // Loud envelope guard: past |value| <= 3000 the Σq² BIGINT could
+        // overflow, which Spark WRAPS silently while DuckDB raises — so
+        // both engines must fail identically, at the quantization step.
+        expr("""CASE WHEN abs(value) <= 3000
+               |  THEN CAST(round(value * 1000) AS BIGINT)
+               |  ELSE CAST(raise_error('q112: value outside quantization envelope (|value| > 3000)') AS BIGINT)
+               |END""".stripMargin).as("q"))
     val stats = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("q").as("s1"), sum(expr("q*q")).as("s2"))
       .filter(col("n") >= 10)
@@ -457,7 +463,9 @@ object Analytic {
 
   private val q112Sql =
     """WITH ev AS (SELECT event_id, user_id, value,
-      |  CAST(round(value*1000) AS BIGINT) AS q FROM events),
+      |  CASE WHEN abs(value) <= 3000 THEN CAST(round(value*1000) AS BIGINT)
+      |       ELSE CAST(error('q112: value outside quantization envelope (|value| > 3000)') AS BIGINT)
+      |  END AS q FROM events),
       |st AS (SELECT user_id, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
       |  CAST(sum(q*q) AS BIGINT) AS s2 FROM ev GROUP BY 1 HAVING count(*) >= 10)
       |SELECT user_id, event_id, value,

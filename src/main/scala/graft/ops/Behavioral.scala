@@ -122,8 +122,8 @@ object Behavioral {
   private val q102: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
-        expr("unix_micros(ts) div 1000000").as("tsec"))
-      .withColumn("bucket", expr("tsec div 300"))
+        expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 1000000L)).as("tsec"))
+      .withColumn("bucket", expr(graft.util.SqlArith.floorDiv("tsec", 300L)))
     val l = ev.select(col("user_id"), col("event_id").as("id_a"),
         col("tsec").as("ta"),
         explode(array(col("bucket"), col("bucket") + 1)).as("jb"))
@@ -156,7 +156,7 @@ object Behavioral {
     */
   private val q119: Q = (s, dir) => {
     val firstDay = Tables.events(s, dir)
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .select(col("user_id"), expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 86400000000L)).as("day"))
       .groupBy("user_id").agg(min("day").as("day"))
     firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
       .withColumn("cum_users",
@@ -184,7 +184,7 @@ object Behavioral {
     */
   private val q120: Q = (s, dir) => {
     val uw = Tables.events(s, dir)
-      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .select(col("user_id"), expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 604800000000L)).as("week"))
       .distinct()
     val fo = uw.withColumn("c", lit(1))
       .join(uw.select(col("user_id"), (col("week") + 1).as("week"))

@@ -4,9 +4,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
-class CorpusPrepSpec extends AnyFunSuite {
+class CorpusPrepSpec extends AnyFunSuite
+  with org.scalatest.BeforeAndAfterEach {
 
   private val spark = SparkTestSession.spark
+
+  // Kernels under test persist intra-query intermediates via
+  // QueryCaches.tracked; outside the Bench/Verify drivers nothing drains
+  // them, so repeated invocations here would accumulate cached frames for
+  // the session's lifetime.
+  override def afterEach(): Unit = graft.util.QueryCaches.drain()
 
   // ---- merkle fingerprint (q105 kernel) ----
 
