@@ -155,7 +155,10 @@ object TextDedup {
           (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
   }
 
-  private val q41b: Q = (s, dir) => verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
+  private val q41b: Q = (s, dir) =>
+    // persisted: the declared ORDER BY's range sampling otherwise re-runs
+    // the whole verification pipeline as its sampling pass
+    graft.util.QueryCaches.tracked(verifiedPairs(s, dir)).orderBy("doc_a", "doc_b")
 
   private val q41bSql =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
@@ -286,20 +289,21 @@ object TextDedup {
     * `(doc_id, lang, lb, sh: array<string>)` with `sh` distinct.
     */
   private[graft] def jaccardPrefixJoin(blocked: DataFrame, t: Double): DataFrame = {
+    // n (the doc's distinct-shingle count) rides along from the map side —
+    // size(sh) is free before the explode, where a count(*) window after
+    // it would re-sort every token row per doc partition.
     val tok = blocked.select(col("doc_id"), col("lang"), col("lb"),
-      explode(col("sh")).as("shingle"))
+      size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
     // global document frequency: the rare-first order that makes prefixes
     // selective; one groupBy over the narrow token relation
     val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val prefix = tok.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "lang", "lb", "shingle")
-      // self-joined below: the df join + ranking windows run once, not twice
+      // self-joined below: the df join + ranking window run once, not twice
       .transform(graft.util.QueryCaches.tracked)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -316,6 +320,9 @@ object TextDedup {
         round(inter.cast("double") /
           (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= t)
+      // persisted so the global sort's range-sampling pass reads the tiny
+      // verified relation from cache instead of re-running the pipeline
+      .transform(graft.util.QueryCaches.tracked)
       .orderBy("doc_a", "doc_b")
   }
 
