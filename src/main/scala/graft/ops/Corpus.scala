@@ -48,6 +48,9 @@ object Corpus {
         round(col("tf").cast("double") *
           log((col("n_docs") + 1).cast("double") / (col("df_docs") + 1)), 4)
           .as("tfidf"))
+      // cached so the sort's range sampling reads the small scored
+      // relation instead of re-running the joins
+      .transform(graft.util.QueryCaches.tracked)
       .orderBy("doc_id", "term")
   }
 
@@ -200,6 +203,8 @@ object Corpus {
       .join(dfRel, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), round(score, 4).as("bm25"))
+      // cached: same sort-sampling economics as q70
+      .transform(graft.util.QueryCaches.tracked)
       .orderBy("doc_id", "term")
   }
 
