@@ -372,7 +372,10 @@ object Similarity {
     * equi-join on the 16-way bucket id, so block sizes are bounded by the
     * hash (add planes to shrink them), never by a data-dependent label.
     */
-  private val q57: Q = (s, dir) => {
+  /** Sort-free LSH-bucketed near-dup pairs — q57 adds the oracle's total
+    * ORDER BY; q129 consumes the pairs as cluster edges.
+    */
+  private def bucketNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
       .withColumn("bucket", expr(hyperplaneBucket("v")))
@@ -383,7 +386,26 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(expr(cosExpr("a.v", "b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  private val q57: Q = (s, dir) =>
+    bucketNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
+
+  /** q129 — embedding-dedup cluster resolution: the survivor-selection
+    * stage over q57's verified near-dup pairs, the same composition q56
+    * runs on the text side — connected components (min-label propagation
+    * with pointer jumping, [[TextDedup.connectedComponents]]) over the
+    * cos ≥ 0.4 edge set (a tighter bar than q57's 0.35 retrieval threshold); `is_canonical` marks the vector each cluster
+    * keeps. Same scale shape as q56: edges persisted once, two narrow
+    * equi-joins + a groupBy-min per O(log d) round.
+    */
+  private val q129: Q = (s, dir) => {
+    val edges = bucketNearDupPairs(s, dir)
+      .filter(col("cos_sim") >= 0.4).select("vec_a", "vec_b")
+    TextDedup.connectedComponents(edges)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),
+        (col("label") === col("doc_id")).as("is_canonical"))
+      .orderBy("vec_id")
   }
 
   private val q57Sql =
@@ -593,6 +615,37 @@ object Similarity {
   private val q125Sql = recallSql(seedCentSql)
   private val q127Sql = recallSql(trainedCentSql)
 
+  private val q129Sql =
+    s"""WITH RECURSIVE
+       |planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
+       |edges AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |           round($duckCos, 6) AS cos_sim
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+       |  WHERE cos_sim >= 0.4),
+       |sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
+       |        UNION SELECT vec_b, vec_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |)
+       |SELECT a AS vec_id, min(b) AS cluster_id, (min(b) = a) AS is_canonical
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+
   /** q128 — quantizer quality audit: average best-cell cosine under the
     * seed vs the trained quantizer. This is (the cosine form of) the
     * k-means objective — the quantity Lloyd actually improves — so the
@@ -636,6 +689,7 @@ object Similarity {
        |ORDER BY variant""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
     "q127_ann_recall_trained" -> q127,
     "q126_ann_ivf_trained" -> q126,
@@ -651,6 +705,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,
     "q127_ann_recall_trained" -> q127Sql,
     "q126_ann_ivf_trained" -> q126Sql,
