@@ -258,6 +258,72 @@ object Corpus {
       |FROM documents d JOIN r ON d.lang = r.lang
       |GROUP BY d.lang, r.pct ORDER BY d.lang""".stripMargin
 
+  /** q130 — mixture sampling plan: the data-MIXING step of a pretraining
+    * pipeline. q76's rates are given; here they are DERIVED — from a
+    * target language mixture (broadcast weights), a token budget (half
+    * the corpus), and the measured per-language token counts — then
+    * applied with the same deterministic digest-mod predicate and audited
+    * in one pass. rate_pct = floor(budget·w / lang_tokens) capped at 100:
+    * all exact integer arithmetic (non-negative, so Spark `div` == floor
+    * == DuckDB `//`), hash-stable across engines. Dataflow: one narrow
+    * token-count aggregate, a broadcast join of the 5-row plan back onto
+    * the corpus, one conditional aggregate — two shuffles total, nothing
+    * driver-side, so the same job plans a 100 TB mixture.
+    */
+  private val q130: Q = (s, dir) => {
+    import s.implicits._
+    val weights = Seq(("en", 40), ("de", 25), ("fr", 15), ("es", 10), ("zh", 10))
+      .toDF("lang", "w_pct")
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      // consumed twice: the per-lang stats and the sampling audit
+      .transform(graft.util.QueryCaches.tracked)
+    val langTok = docs.groupBy("lang").agg(sum("tok").as("lang_tokens"))
+    val budget = docs.agg(expr("sum(tok) div 2").as("budget"))
+    val plan = langTok.join(broadcast(weights), "lang")
+      .crossJoin(broadcast(budget))
+      .select(col("lang"), col("lang_tokens"),
+        least(lit(100L),
+          expr("(budget * w_pct) div lang_tokens")).as("rate_pct"))
+      .withColumn("expected_tokens",
+        expr("(lang_tokens * rate_pct) div 100"))
+    docs.join(broadcast(plan), "lang")
+      .groupBy("lang", "lang_tokens", "rate_pct", "expected_tokens")
+      .agg(
+        sum(when(expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4)," +
+          " 16, 10) AS INT) % 100") < col("rate_pct"), 1L).otherwise(0L))
+          .as("sampled_docs"),
+        sum(when(expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4)," +
+          " 16, 10) AS INT) % 100") < col("rate_pct"), col("tok"))
+          .otherwise(0L)).as("sampled_tokens"))
+      .orderBy("lang")
+  }
+
+  private val q130Sql =
+    """WITH w AS (SELECT * FROM (VALUES ('en',40),('de',25),('fr',15),
+      |                                 ('es',10),('zh',10)) AS t(lang, w_pct)),
+      |d AS (SELECT lang, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+      |      FROM documents),
+      |lt AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS lang_tokens FROM d GROUP BY 1),
+      |b AS (SELECT CAST(sum(tok) AS BIGINT) // 2 AS budget FROM d),
+      |plan AS (
+      |  SELECT lt.lang, lt.lang_tokens,
+      |    least(100, (b.budget * w.w_pct) // lt.lang_tokens) AS rate_pct,
+      |    (lt.lang_tokens * least(100, (b.budget * w.w_pct) // lt.lang_tokens)) // 100
+      |      AS expected_tokens
+      |  FROM lt JOIN w USING (lang) CROSS JOIN b)
+      |SELECT d.lang, p.lang_tokens, p.rate_pct, p.expected_tokens,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))
+      |                          AS INTEGER) % 100 < p.rate_pct
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))
+      |                          AS INTEGER) % 100 < p.rate_pct
+      |           THEN d.tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM d JOIN plan p USING (lang)
+      |GROUP BY d.lang, p.lang_tokens, p.rate_pct, p.expected_tokens
+      |ORDER BY d.lang""".stripMargin
+
   /** q78 — MinHash estimator accuracy audit: for every verified LSH
     * candidate pair (q41b), the signature-agreement Jaccard estimate
     * (matching positions / 8) next to the exact candidate-only Jaccard.
@@ -595,6 +661,7 @@ object Corpus {
     "q74_embed_quantize" -> q74,
     "q75_bm25" -> q75,
     "q76_stratified_sample" -> q76,
+    "q130_mixture_sample" -> q130,
     "q78_minhash_est" -> q78
   )
 
@@ -613,6 +680,7 @@ object Corpus {
     "q74_embed_quantize" -> q74Sql,
     "q75_bm25" -> q75Sql,
     "q76_stratified_sample" -> q76Sql,
+    "q130_mixture_sample" -> q130Sql,
     "q78_minhash_est" -> q78Sql
   )
 }

@@ -148,15 +148,16 @@ class PlanSpec extends AnyFunSuite {
     // count aggregates (1×1), q53 crosses every vector with the 8-row
     // broadcast quantizer, q70 crosses the 1-row corpus count into the
     // tf⋈df relation. Everything else must stay equi/broadcast.
-    // (q75/q88/q103/q108/q110 cross a 1-row corpus-stats aggregate, like
-    // q70.)
+    // (q75/q88/q103/q108/q110/q130 cross a 1-row corpus-stats aggregate,
+    // like q70.)
     // (q124/q126/q127 cross every vector with the ≤8-row broadcast
     // quantizer — the same deliberate shape as q53's assignment.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
-      "q127_ann_recall_trained", "q128_quantizer_quality")
+      "q127_ann_recall_trained", "q128_quantizer_quality",
+      "q130_mixture_sample")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
