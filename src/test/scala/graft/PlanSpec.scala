@@ -195,6 +195,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q130: mixture plan broadcasts back onto the corpus; aggregates are partial+final") {
+    val p = planString(SparkEntry.queries("q130_mixture_sample")(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"the 5-row mixture plan must broadcast, not shuffle the corpus:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregates in:\n$p")
+  }
+
   test("q123: star join broadcasts every dimension; only the fact join shuffles") {
     val p = planString(SparkEntry.queries("q123_star_join")(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
