@@ -52,6 +52,31 @@ class PlanSpec extends AnyFunSuite {
       s"round-robin repartition must not widen the scan:\n$p")
   }
 
+  test("declared documents/embeddings queries prune their scans (never read all columns)") {
+    // representative text + vector pipelines: each touches a strict
+    // subset of its table's columns, and that subset must reach the
+    // parquet ReadSchema — at 100 TB an unpruned documents scan drags
+    // the full text corpus through queries that need two columns.
+    val cases = Seq(
+      "q55_token_count" -> "documents",   // doc_id + text (+lang?)
+      "q40_dedup_exact" -> "documents",   // doc_id + text
+      "q45_simsearch_topk" -> "embeddings") // vec_id + embedding
+    val fullWidth = Map("documents" -> 5, "embeddings" -> 3)
+    cases.foreach { case (name, table) =>
+      val p = planString(SparkEntry.queries(name)(spark, dir))
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      withClue(s"$name on $table: ") {
+        assert(reads.nonEmpty, s"no parquet ReadSchema found in:\n$p")
+        reads.foreach { rs =>
+          val nCols = rs.count(_ == ':')
+          assert(nCols < fullWidth(table),
+            s"scan reads all $nCols columns (ReadSchema: struct<$rs>):\n$p")
+        }
+      }
+    }
+  }
+
   test("q23: aggregation is partial then final (map-side combine)") {
     val df = SparkEntry.queries("q23_groupby_agg")(spark, dir)
     val p = planString(df)
