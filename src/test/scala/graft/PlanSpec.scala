@@ -52,26 +52,27 @@ class PlanSpec extends AnyFunSuite {
       s"round-robin repartition must not widen the scan:\n$p")
   }
 
-  test("declared documents/embeddings queries prune their scans (never read all columns)") {
-    // representative text + vector pipelines: each touches a strict
-    // subset of its table's columns, and that subset must reach the
-    // parquet ReadSchema — at 100 TB an unpruned documents scan drags
-    // the full text corpus through queries that need two columns.
-    val cases = Seq(
-      "q55_token_count" -> "documents",   // doc_id + text (+lang?)
-      "q40_dedup_exact" -> "documents",   // doc_id + text
-      "q45_simsearch_topk" -> "embeddings") // vec_id + embedding
-    val fullWidth = Map("documents" -> 5, "embeddings" -> 3)
-    cases.foreach { case (name, table) =>
+  test("no declared query scans a table at full width (column pruning sweep)") {
+    // Every parquet scan in every declared plan must read a strict subset
+    // of its table's columns — at 100 TB an unpruned documents scan drags
+    // the full text corpus through a two-column query. The one exemption
+    // is justified: q30's scalar suite deliberately exercises every
+    // events column (incl. the JSON props blob).
+    val fullWidth = Map("documents" -> 5, "embeddings" -> 3, "events" -> 6,
+      "lineitem" -> 16, "orders" -> 9, "customer" -> 8, "part" -> 9,
+      "supplier" -> 7, "nation" -> 4, "region" -> 3)
+    val exempt = Set("q30_scalar_suite")
+    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
+      val scans = "Location:.*?/(\\w+)\\.parquet".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
-      withClue(s"$name on $table: ") {
-        assert(reads.nonEmpty, s"no parquet ReadSchema found in:\n$p")
-        reads.foreach { rs =>
-          val nCols = rs.count(_ == ':')
-          assert(nCols < fullWidth(table),
-            s"scan reads all $nCols columns (ReadSchema: struct<$rs>):\n$p")
+      reads.zipAll(scans, "", "?").foreach { case (rs, table) =>
+        val nCols = rs.count(_ == ':')
+        withClue(s"$name scanning $table: ") {
+          assert(fullWidth.get(table).forall(nCols < _),
+            s"scan reads all $nCols columns (ReadSchema: struct<$rs>)")
         }
       }
     }
