@@ -70,6 +70,12 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(node.get("queries").get("q01_scan").isNumber)
   }
 
+  test("every headline entry is a declared query (renames can't silently drop itemization)") {
+    val declared = SparkEntry.queries.keySet
+    val missing = Bench.headline.filterNot(declared)
+    assert(missing.isEmpty, s"headline names not in SparkEntry.queries: $missing")
+  }
+
   test("emit writes the line exactly once, flushed, nothing else") {
     val bos = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
