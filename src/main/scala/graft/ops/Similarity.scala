@@ -141,7 +141,7 @@ object Similarity {
     * "trained" LSH model a real deployment would broadcast — keeping
     * bucketing map-side with zero per-row hashing.
     */
-  private[graft] lazy val hyperplaneLit: String = {
+  private[graft] lazy val planeLits: Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until 4).map { p =>
       (1 to 64).map { j =>
@@ -149,16 +149,22 @@ object Similarity {
         val hex = md.digest(s"${p}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
         if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) "1.0D" else "-1.0D"
       }.mkString("array(", ",", ")")
-    }.mkString("array(", ",", ")")
+    }
   }
 
+  private[graft] lazy val hyperplaneLit: String =
+    planeLits.mkString("array(", ",", ")")
+
   /** Sign-bit bucket of a 64-dim double vector column under
-    * [[hyperplaneLit]]: bit p = (v · plane_p) > 0.
+    * [[planeLits]]: bit p = (v · plane_p) > 0. Both norms are positive,
+    * so sign(dot) == sign(cosine) — computed through the native codegen'd
+    * `cosine_sim` expression instead of interpreted zip_with/aggregate
+    * lambdas (4×64 lambda dispatches per row on the old form; one
+    * primitive loop per plane now).
     */
   private[graft] def hyperplaneBucket(vcol: String): String =
-    s"""array_join(transform(sequence(0,3), p ->
-       |  IF(aggregate(zip_with($vcol, element_at($hyperplaneLit, p+1),
-       |       (x, y) -> x*y), 0D, (a, x) -> a + x) > 0, '1', '0')), '')""".stripMargin
+    planeLits.map(pl => s"IF(cosine_sim($vcol, $pl) > 0, '1', '0')")
+      .mkString("concat(", ", ", ")")
 
   /** q46 — LSH-bucketed ANN: bucket = sign bits under 4 seeded random
     * hyperplanes (16 buckets); candidates share the query's bucket; top-5
