@@ -151,7 +151,7 @@ object Corpus {
     */
   private val q74: Q = (s, dir) =>
     Tables.spread(Tables.embeddings(s, dir))
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("CAST(embedding AS array<double>)"))
       .withColumn("lo", array_min(col("v")))
       .withColumn("hi", array_max(col("v")))
       .withColumn("scale", (col("hi") - col("lo")) / 255)

@@ -27,7 +27,7 @@ object Layout {
   private val q104: Q = (s, dir) =>
     Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("q0", expr(
         "least(greatest(CAST(floor((element_at(v, 1) + 1.0D) * 128) AS INT), 0), 255)"))
       .withColumn("q1", expr(
@@ -98,7 +98,7 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val q = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("q0", expr(
         "least(greatest(CAST(floor((element_at(v, 1) + 1.0D) * 128) AS INT), 0), 255)"))
       .withColumn("q1", expr(

@@ -32,7 +32,8 @@ object Similarity {
   /** Double-cast vector column (float32 → float64 before any arithmetic,
     * matching the oracle's `embedding::DOUBLE[]`).
     */
-  private val vd = "transform(embedding, x -> cast(x AS double))"
+  // CAST on the array is codegen'd; a transform() lambda is not
+  private val vd = "CAST(embedding AS array<double>)"
 
   /** The engine's native codegen'd expression (registered by
     * [[graft.plans.GraftExtensions]]); semantically identical to the
