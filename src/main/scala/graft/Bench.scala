@@ -80,6 +80,14 @@ object Bench {
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
     }.toMap
 
+    // Dev-only: full per-query medians to a file (the driver line itemizes
+    // only the fixed headline subset to fit the 2000-char tail).
+    sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
+      val body = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    }
     val line = summaryLine(results, errors, pass, sfDir)
     // Stop Spark FIRST, then emit: the summary must be the process's last
     // stdout so it sits raw and final in the driver's 2000-char tail (with

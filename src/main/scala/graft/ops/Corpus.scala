@@ -334,21 +334,14 @@ object Corpus {
     * only, never all pairs.
     */
   private val q78: Q = (s, dir) => {
-    val sig = Tables.spread(Tables.documents(s, dir))
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(TextDedup.shinglesExpr(3)))
-      .filter(size(col("shingles")) > 0)
-      // same base-hash + affine rehash family as TextDedup.q41: one md5
-      // per shingle, h_j(u) = ((2j+3)*u + 7919*(j+1)) mod (2^31 - 1)
-      .withColumn("us", expr(
-        "transform(shingles, s -> CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2147483647)"))
-      .withColumn("mh", expr(
-        """transform(sequence(0,7), j ->
-          |  array_min(transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647)))"""
-          .stripMargin))
-      .select(col("doc_id"), col("mh"))
+    // Signatures come from TextDedup's codegen'd explode+groupBy-min path
+    // (this query's old private copy ran the 8-function family as
+    // interpreted nested lambdas); pairs come from the sort-free
+    // verifiedPairs — the declared q41b's ORDER BY would cost a full
+    // extra pipeline pass here.
+    val sig = TextDedup.minhashSignatures(s, dir)
       .transform(graft.util.QueryCaches.tracked)
-    TextDedup.all("q41b_dedup_lsh_verified")(s, dir)
+    TextDedup.verifiedPairs(s, dir)
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -404,20 +397,29 @@ object Corpus {
     * ever outgrew broadcast).
     */
   private val q79: Q = (s, dir) => {
-    val docs = Tables.spread(Tables.documents(s, dir))
+    // The cached relation is the FLAT (doc_id, hashed shingle) token
+    // stream, not per-doc string arrays: columnar-caching an
+    // array<string> column measured ~3.5 s/pass to build, while the flat
+    // long pairs cache in a fraction of that — and the 60-bit md5 hash
+    // (q43's discipline, replayed by the oracle) shrinks the join keys.
+    val tok = Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
-        array_distinct(expr(TextDedup.shinglesExpr(3))).as("sh"))
-      .filter(size(col("sh")) > 0)
+        explode(array_distinct(expr(TextDedup.shinglesExpr(3)))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("shingle"))
       .transform(graft.util.QueryCaches.tracked)
-    val test = docs.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("test_id"), size(col("sh")).as("test_size"),
-        explode(col("sh")).as("shingle"))
-    val train = docs.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+    val testSizes = tok.filter(col("doc_id") % 50 === 0)
+      .groupBy(col("doc_id").as("test_id"))
+      .agg(count(lit(1)).as("test_size"))
+    val test = tok.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("test_id"), col("shingle"))
+    val train = tok.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
     train.join(broadcast(test), "shingle")
-      .groupBy("train_id", "test_id", "test_size")
+      .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(testSizes), "test_id")
       .filter(col("n_common").cast("double") / col("test_size") >= 0.5)
       .select(col("train_id"), col("test_id"),
         round(col("n_common").cast("double") / col("test_size"), 4)
@@ -432,16 +434,19 @@ object Corpus {
       |    list_transform(generate_series(1, len(words)-2), i ->
       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
       |  FROM w),
-      |s2 AS (SELECT * FROM sh WHERE len(sh) > 0),
-      |test AS (SELECT doc_id AS test_id, len(sh) AS test_size,
-      |         unnest(sh) AS shingle FROM s2 WHERE doc_id % 50 = 0),
-      |train AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
-      |          FROM s2 WHERE doc_id % 50 <> 0),
-      |j AS (SELECT train_id, test_id, test_size, count(*) AS n_common
-      |      FROM train JOIN test USING (shingle) GROUP BY 1, 2, 3)
+      |tok AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS shingle
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+      |ts AS (SELECT doc_id AS test_id, count(*) AS test_size
+      |       FROM tok WHERE doc_id % 50 = 0 GROUP BY 1),
+      |test AS (SELECT doc_id AS test_id, shingle FROM tok WHERE doc_id % 50 = 0),
+      |train AS (SELECT doc_id AS train_id, shingle FROM tok WHERE doc_id % 50 <> 0),
+      |j AS (SELECT train_id, test_id, count(*) AS n_common
+      |      FROM train JOIN test USING (shingle) GROUP BY 1, 2)
       |SELECT train_id, test_id,
       |       round(n_common::DOUBLE / test_size, 4) AS containment
-      |FROM j WHERE n_common::DOUBLE / test_size >= 0.5
+      |FROM j JOIN ts USING (test_id)
+      |WHERE n_common::DOUBLE / test_size >= 0.5
       |ORDER BY train_id, test_id""".stripMargin
 
   /** q83 — source-reputation audit: per (source, lang), volume, size and
@@ -630,7 +635,9 @@ object Corpus {
     * at scale both shuffle (doc, count) pairs only.
     */
   private val q118: Q = (s, dir) => {
-    val pairs = TextDedup.all("q41_dedup_minhash_lsh")(s, dir)
+    // sort-free candidates: the declared q41's ORDER BY would re-run the
+    // band pipeline as the range partitioner's sampling pass
+    val pairs = TextDedup.candPairs(s, dir)
     pairs.select(col("doc_a").as("doc"))
       .unionAll(pairs.select(col("doc_b").as("doc")))
       .groupBy("doc").agg(count(lit(1)).as("degree"))

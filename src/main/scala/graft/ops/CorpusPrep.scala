@@ -160,9 +160,14 @@ object CorpusPrep {
     // pair join — persist it once (drained by Bench/Verify after the
     // query's action) instead of re-running the explode+distinct three
     // times.
+    // Grams are hashed to 60-bit longs before any shuffle (q43's
+    // discipline, replayed by the oracle): a 13-gram string is ~80 bytes
+    // through distinct + df + the pair join; the hash is 8.
     val g = graft.util.QueryCaches.tracked(docs
       .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(k))).as("gram"))
+      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(k))).as("g0"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g0")), 1, 15), 16, 10).cast("long").as("gram"))
       .distinct())
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf").between(2, maxDf))
@@ -182,8 +187,9 @@ object CorpusPrep {
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |g0 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 13 THEN [] ELSE
       |    list_transform(generate_series(1, len(words)-12), i ->
-      |      array_to_string(list_slice(words, i, i+12), ' ')) END) AS gram FROM w),
-      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |      array_to_string(list_slice(words, i, i+12), ' ')) END) AS gs FROM w),
+      |g AS (SELECT DISTINCT doc_id,
+      |  CAST(('0x' || substr(md5(gs), 1, 15)) AS BIGINT) AS gram FROM g0),
       |keep AS (SELECT gram FROM
       |  (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
       |  WHERE gdf BETWEEN 2 AND 50),

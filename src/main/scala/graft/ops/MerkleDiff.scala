@@ -213,6 +213,9 @@ object MerkleDiff {
         .drop("bucket")
     graft.diff.Reconcile.classify(inDirty(src), inDirty(tgt))
       .filter(col("action") =!= graft.diff.Reconcile.Noop)
+      // cached: the declared sort's range sampling otherwise re-runs the
+      // pruned full-outer classify as a second input pass
+      .transform(graft.util.QueryCaches.tracked)
       .orderBy("resource_id")
   }
 

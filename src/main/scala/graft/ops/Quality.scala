@@ -81,19 +81,19 @@ object Quality {
 
   /** q100 — intra-document repetition: the occurrence count of the most
     * repeated word 3-gram, and its share of all 3-grams. High repetition
-    * flags templated/generated text. Map-side only (same shape as q99);
-    * the 100 TB note is that a sort+run-length per doc replaces the
-    * quadratic distinct×filter scan for pathological document lengths —
-    * the dataflow (zero shuffles) is identical.
+    * flags templated/generated text. Explode + two partial-aggregated
+    * shuffles (multiplicity per (doc, gram), then max/sum per doc) — the
+    * earlier per-doc distinct×filter lambda scan was quadratic in doc
+    * length AND interpreted; this shape is codegen'd, linear, and safe
+    * for pathological document lengths at 100 TB.
     */
   private val q100: Q = (s, dir) =>
     Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
-      .withColumn("sh", expr(TextDedup.shinglesExpr(3)))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        expr("CAST(array_max(transform(array_distinct(sh), g -> size(filter(sh, x -> x = g)))) AS BIGINT)")
-          .as("max_repeat"))
+      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(3))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"), max("c").as("max_repeat"))
       .withColumn("repeat_ratio",
         col("max_repeat").cast("double") / col("n_shingles"))
       .orderBy("doc_id")

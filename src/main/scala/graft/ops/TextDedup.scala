@@ -67,7 +67,7 @@ object TextDedup {
     * sort is pure cost: the range-partitioner's sampling pass re-runs the
     * input plan, so an inherited ORDER BY doubles the pipeline.
     */
-  private def candPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def candPairs(s: SparkSession, dir: String): DataFrame = {
     // ONE md5 per shingle (the 100 TB cost driver: the old form hashed
     // every shingle 8x), then an affine rehash family over the 31-bit
     // base value: h_j(u) = ((2j+3)·u + 7919·(j+1)) mod p, p = 2^31−1.
@@ -81,16 +81,7 @@ object TextDedup {
     // expression codegen'd, and the map-side partial min means the shuffle
     // carries ~one 8-long row per (doc, partition) — signatures still never
     // materialize the shingle set.
-    val p = 2147483647L
-    val us = Tables.spread(Tables.documents(s, dir))
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(shinglesExpr(3))).as("sh"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % p).as("u"))
-    val sig = us.groupBy("doc_id").agg(
-      min((col("u") * 3 + 7919L) % p).as("h0"),
-      (1 until 8).map(j =>
-        min((col("u") * (2 * j + 3) + 7919L * (j + 1)) % p).as(s"h$j")): _*)
+    val sig = sigCols(s, dir)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
@@ -106,6 +97,31 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Per-doc MinHash values as 8 columns (doc_id, h0..h7) — the
+    * codegen'd explode → md5 → groupBy-min shape shared by candPairs and
+    * [[minhashSignatures]].
+    */
+  private def sigCols(s: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    val us = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesExpr(3))).as("sh"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % p).as("u"))
+    us.groupBy("doc_id").agg(
+      min((col("u") * 3 + 7919L) % p).as("h0"),
+      (1 until 8).map(j =>
+        min((col("u") * (2 * j + 3) + 7919L * (j + 1)) % p).as(s"h$j")): _*)
+  }
+
+  /** Signature relation (doc_id, mh: array<long>[8]) for estimator
+    * audits (q78) — same values as the band pipeline, assembled into an
+    * array AFTER the aggregate (array() of columns is codegen'd).
+    */
+  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    sigCols(s, dir).select(col("doc_id"),
+      array((0 until 8).map(j => col(s"h$j")): _*).as("mh"))
 
   private val q41: Q = (s, dir) => candPairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -138,7 +154,7 @@ object TextDedup {
     * corpus, so this stage costs two hash joins against the shingle-set
     * relation plus per-candidate set intersection.
     */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val cand = candPairs(s, dir)
     // The shingle-set relation feeds BOTH sides of the pair join; persist
     // it so the scan + shingle build runs once, not twice.
@@ -192,14 +208,26 @@ object TextDedup {
     * map-side (no shuffle until the final orderBy): each word hashed once,
     * each of 16 nibble-high-bits voted ±1, majority forms the bit.
     */
-  private val q42: Q = (s, dir) =>
+  /** Per-doc simhash bit votes: explode(words) → codegen'd md5 → ONE
+    * grouped aggregate with `bits` sum columns (map-side combined).
+    * v_j > 0 ⇔ bit j set. The earlier nested-lambda form
+    * (aggregate(sequence(1,n), aggregate(hs, ...))) evaluated
+    * n × words interpreted dispatches per document.
+    */
+  private def bitVotes(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    def vote(j: Int) = sum(when(substring(col("h"), j, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
     Tables.spread(Tables.documents(s, dir))
-      .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(1,16), j ->
-          |  IF(aggregate(hs, 0, (acc, h) ->
-          |       acc + IF(substring(h, j, 1) IN ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
-          |     '1', '0')), '')""".stripMargin).as("simhash"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      .groupBy("doc_id")
+      .agg(vote(1).as("v1"), (2 to bits).map(j => vote(j).as(s"v$j")): _*)
+  }
+
+  private val q42: Q = (s, dir) =>
+    bitVotes(s, dir, 16).select(col("doc_id"),
+      concat((1 to 16).map(j =>
+        when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
       .orderBy("doc_id")
 
   private val q42Sql =
@@ -241,13 +269,9 @@ object TextDedup {
     // one machine instruction — the string-per-bit formulation shuffled
     // 64 chars of fingerprint text per candidate and compared 32
     // substrings per pair (GC pressure measured at 50×+ query cost).
-    val fp = Tables.spread(Tables.documents(s, dir))
-      .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(1,32), 0L, (acc, j) ->
-          |  acc + IF(aggregate(hs, 0, (a2, h) ->
-          |       a2 + IF(substring(h, j, 1) IN ('8','9','a','b','c','d','e','f'), 1, -1)) > 0,
-          |     shiftleft(1L, 32-j), 0L))""".stripMargin).as("simhash"))
+    val fp = bitVotes(s, dir, 32).select(col("doc_id"),
+      (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
+        .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
     val bands = fp.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
         .as("band"))
