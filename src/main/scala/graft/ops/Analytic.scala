@@ -434,8 +434,13 @@ object Analytic {
     * between engines at the last ulp). One map-side-combinable aggregate
     * per user + one hash join back to the events; groups with zero
     * variance are excluded by an integer comparison (s2·n > s1²), not a
-    * float guard. Quantization headroom: |q| ≤ 1e3·|value|, so Σq² stays
-    * below 2⁶³ for any group under ~10⁹ rows at |value| ≤ 3000.
+    * float guard. Quantization headroom: |q| ≤ 1e3·|value| ≤ 3e6, so the
+    * envelope bounds the PER-ROW term (q² ≤ 9e12) — it does NOT bound the
+    * aggregate: Σq² can still exceed 2⁶³ once a single group holds more
+    * than ~10⁶ max-magnitude rows (9.2e18 / 9e12 ≈ 1.02e6), where Spark
+    * wraps silently and DuckDB raises. The fixture's groups are far
+    * smaller; a deployment with billion-row users must widen s2 to
+    * DECIMAL(38,0) before trusting the variance.
     */
   private val q112: Q = (s, dir) => {
     val ev = Tables.events(s, dir)

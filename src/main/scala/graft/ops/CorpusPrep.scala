@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.source.Tables
 
@@ -202,21 +201,22 @@ object CorpusPrep {
   /** q110 — tokenizer-vocabulary build: per-token document frequency,
     * pruned to `min_df ≤ df ≤ 80% of docs` (the scikit/`min_df`/`max_df`
     * convention), with contiguous ids assigned by (df desc, token). The df
-    * aggregation is one map-side-combinable shuffle on the token; the
-    * ranking window is single-partition but runs over the POST-PRUNE
-    * vocabulary only — small by construction at any corpus scale (at 100 TB
-    * one would range-partition the rank by df-bucket and offset; the
-    * dataflow up to the rank is unchanged).
+    * aggregation is one map-side-combinable shuffle on the token; id
+    * assignment is a GLOBAL rank over the pruned vocabulary, computed
+    * scale-safely by [[GlobalRank]] (range-partition on (df desc, token) +
+    * per-range local ranks + broadcast cumulative offsets) — min_df=5 at
+    * corpus scale still leaves an enormous token tail, so no
+    * single-partition ranking window may appear in the plan.
     */
   private val q110: Q = (s, dir) => {
     val docs = Tables.spread(Tables.documents(s, dir))
     val dfTok = docs
       .select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    dfTok.crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+    val pruned = dfTok
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
       .filter(col("df") >= 5 && col("df") * 5 <= col("nd") * 4)
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("df").desc, col("token"))).cast("long"))
+    GlobalRank.rowNumber(pruned, "token_id", Seq(col("df").desc, col("token")))
       .select(col("token"), col("df"), col("token_id"))
       .orderBy("token_id")
   }

@@ -89,13 +89,13 @@ object Layout {
     * (max−min) span per quantized dimension. Smaller spans = tighter
     * min/max file statistics = more files pruned by a range predicate on
     * either dimension; the number a layout decision should be based on.
-    * All-integer. The global `row_number` stands in for file assignment
-    * at test scale; a cluster job gets the identical chunking from
-    * `repartitionByRange(sortKey)` + per-partition indices, with no
-    * single-partition window.
+    * All-integer. File assignment is a GLOBAL row number over each
+    * candidate ordering — computed scale-safely by [[GlobalRank]]
+    * (`repartitionByRange` on the sort key + per-range local ranks +
+    * broadcast offsets), so the plan has NO single-partition window; the
+    * only global stage left is the final 2-row union's sort.
     */
   private val q121: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val q = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"),
         expr("CAST(embedding AS array<double>)").as("v"))
@@ -108,8 +108,7 @@ object Layout {
           |  acc + shiftleft(shiftright(q0, j) % 2, 2*j)
           |      + shiftleft(shiftright(q1, j) % 2, 2*j + 1))""".stripMargin))
     def spans(orderCol: String, name: String) =
-      q.withColumn("rk",
-          row_number().over(Window.orderBy(col(orderCol), col("vec_id"))))
+      GlobalRank.rowNumber(q, "rk", Seq(col(orderCol), col("vec_id")))
         .withColumn("chunk", expr("CAST((rk - 1) div 64 AS BIGINT)"))
         .groupBy("chunk")
         .agg((max("q0") - min("q0")).as("s0"), (max("q1") - min("q1")).as("s1"))

@@ -157,14 +157,18 @@ object Similarity {
     planeLits.mkString("array(", ",", ")")
 
   /** Sign-bit bucket of a 64-dim double vector column under
-    * [[planeLits]]: bit p = (v · plane_p) > 0. Both norms are positive,
-    * so sign(dot) == sign(cosine) — computed through the native codegen'd
-    * `cosine_sim` expression instead of interpreted zip_with/aggregate
-    * lambdas (4×64 lambda dispatches per row on the old form; one
-    * primitive loop per plane now).
+    * [[planeLits]]: bit p = (v · plane_p) > 0. For non-zero vectors the
+    * plane norms are positive, so sign(dot) == sign(cosine) — computed
+    * through the native codegen'd `cosine_sim` expression instead of
+    * interpreted zip_with/aggregate lambdas (4×64 lambda dispatches per
+    * row on the old form; one primitive loop per plane now). A ZERO-norm
+    * vector makes cosine_sim 0/0 = NaN, and Spark orders NaN above every
+    * number (so `NaN > 0` is true) while the dot-product oracle yields 0
+    * — the explicit isnan guard forces bit '0' on both engines.
     */
   private[graft] def hyperplaneBucket(vcol: String): String =
-    planeLits.map(pl => s"IF(cosine_sim($vcol, $pl) > 0, '1', '0')")
+    planeLits.map(pl =>
+        s"IF(NOT isnan(cosine_sim($vcol, $pl)) AND cosine_sim($vcol, $pl) > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
 
   /** q46 — LSH-bucketed ANN: bucket = sign bits under 4 seeded random

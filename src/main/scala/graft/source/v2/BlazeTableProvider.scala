@@ -84,9 +84,14 @@ object BlazeTableProvider {
     var attempt = 1
     var delay = backoffMs
     while (true) {
+      // Retry ONLY transient IO failures (timeouts, resets — all
+      // IOException subtypes), mirroring the reference's connection-retry
+      // scope: a deterministic error (auth, malformed URL, parse bug)
+      // would fail identically `attempts` times per partition, so it is
+      // rethrown immediately and keeps its original class for the caller.
       try return fetcher.fetch(url)
       catch {
-        case e: Exception =>
+        case e: java.io.IOException =>
           if (attempt >= attempts)
             throw new java.io.IOException(
               s"page fetch failed after $attempts attempts: $url", e)

@@ -57,22 +57,37 @@ class PlanSpec extends AnyFunSuite {
     // of its table's columns — at 100 TB an unpruned documents scan drags
     // the full text corpus through a two-column query. The one exemption
     // is justified: q30's scalar suite deliberately exercises every
-    // events column (incl. the JSON props blob).
+    // events column (incl. the JSON props blob), and q44's labeled
+    // near-dup genuinely consumes all 3 embeddings columns (vec_id,
+    // embedding, label) — full width IS the pruned width there.
     val fullWidth = Map("documents" -> 5, "embeddings" -> 3, "events" -> 6,
       "lineitem" -> 16, "orders" -> 9, "customer" -> 8, "part" -> 9,
       "supplier" -> 7, "nation" -> 4, "region" -> 3)
-    val exempt = Set("q30_scalar_suite")
+    val exempt = Set("q30_scalar_suite", "q44_embed_neardup")
+    // Structural, not textual: the plan's toString TRUNCATES wide
+    // ReadSchema strings ("struct<...,l_returnflag:s..." with no closing
+    // '>'), so the old regex parse silently skipped exactly the wide
+    // scans the sweep exists to police. Collecting FileSourceScanExec
+    // nodes (recursing through AQE wrappers and cached relations) and
+    // reading requiredSchema directly cannot be fooled by formatting.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case i: InMemoryTableScanExec => fileScans(i.relation.cachedPlan)
+    }.flatten
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
-      val p = planString(SparkEntry.queries(name)(spark, dir))
-      val scans = "Location:.*?/(\\w+)\\.parquet".r
-        .findAllMatchIn(p).map(_.group(1)).toSeq
-      val reads = "ReadSchema: struct<([^>]*)>".r
-        .findAllMatchIn(p).map(_.group(1)).toSeq
-      reads.zipAll(scans, "", "?").foreach { case (rs, table) =>
-        val nCols = rs.count(_ == ':')
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      fileScans(plan).foreach { f =>
+        val table = f.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        val nCols = f.requiredSchema.size
         withClue(s"$name scanning $table: ") {
-          assert(fullWidth.get(table).forall(nCols < _),
-            s"scan reads all $nCols columns (ReadSchema: struct<$rs>)")
+          assert(fullWidth.contains(table),
+            s"table '$table' missing from the fullWidth map — add it")
+          assert(nCols < fullWidth(table),
+            s"scan reads all $nCols columns (${f.requiredSchema.simpleString})")
         }
       }
     }
@@ -243,6 +258,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final hash aggregate for fingerprints in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bucket compare must stay an equi join in:\n$p")
+  }
+
+  test("q121/q110: global ranking plans with NO single-partition window") {
+    // The GlobalRank rewrite must hold: every Window in these plans is
+    // partitioned (by the range-partition id), so no full-relation
+    // single-reducer stage exists. Checked structurally on WindowExec
+    // nodes, not plan text, so a partition-spec regression cannot hide.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    Seq("q121_zorder_audit", "q110_vocab_build").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val wins = windows(df.queryExecution.executedPlan)
+      assert(wins.nonEmpty, s"$name: expected the per-range ranking windows")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name: single-partition Window (full-relation single reducer):\n$w")
+      }
+    }
   }
 
   test("whole-stage codegen covers the scalar suite (no codegen fallback operators)") {

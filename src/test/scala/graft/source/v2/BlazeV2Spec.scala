@@ -129,13 +129,27 @@ class BlazeV2Spec extends AnyFunSuite {
     val flaky = new PageFetcher {
       override def fetch(url: String): String = {
         calls += 1
-        if (calls < 4) throw new RuntimeException("boom")
+        if (calls < 4) throw new java.io.IOException("boom")
         "ok"
       }
     }
     val out = BlazeTableProvider.fetchWithRetry(
       flaky, "http://x", attempts = 4, backoffMs = 100, sleep = delays.append(_))
     assert(out == "ok" && delays.toSeq == Seq(100L, 200L, 400L))
+  }
+
+  test("fetchWithRetry rethrows non-IO (deterministic) errors immediately") {
+    var calls = 0
+    val broken = new PageFetcher {
+      override def fetch(url: String): String = {
+        calls += 1
+        throw new IllegalArgumentException("malformed URL")
+      }
+    }
+    val e = intercept[IllegalArgumentException](BlazeTableProvider.fetchWithRetry(
+      broken, "http://x", attempts = 4, backoffMs = 100,
+      sleep = _ => fail("must not back off on a deterministic error")))
+    assert(e.getMessage == "malformed URL" && calls == 1)
   }
 }
 
