@@ -80,13 +80,22 @@ object Bench {
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
     }.toMap
 
-    // Dev-only: full per-query medians to a file (the driver line itemizes
-    // only the fixed headline subset to fit the 2000-char tail).
-    sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
-      val body = results.toSeq.sortBy(-_._2)
+    // Per-round artifact: ALL per-query medians to a file, always (the
+    // stdout line fits only the headline subset in the driver's 2000-char
+    // tail; round-5's full dump surfaced six hidden tail hotspots, so the
+    // complete breakdown must be auditable every round, not on request).
+    // Path overridable for dev runs; default lands in the working dir
+    // (the repo root under the driver), sorted slowest-first.
+    locally {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+      val qs = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
         .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      val body =
+        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"queries":$qs}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] full-dump write failed: ${e.getMessage}") }
     }
     val line = summaryLine(results, errors, pass, sfDir)
     // Stop Spark FIRST, then emit: the summary must be the process's last

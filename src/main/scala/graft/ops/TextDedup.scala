@@ -321,13 +321,22 @@ object TextDedup {
     // global document frequency: the rare-first order that makes prefixes
     // selective; one groupBy over the narrow token relation
     val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // Per-doc prefix via a BOUNDED aggregate, not a ranking window: the
+    // window form re-shuffled every (doc, shingle, df) row by doc_id and
+    // SORTED it just to keep the first `n - ceil(n·t) + 1` rows per doc.
+    // Collecting (df, shingle) per doc and sorting in the aggregation
+    // buffer does the same selection with a hash aggregate — no
+    // Sort+Window pass — and the buffer is bounded by the doc's own
+    // distinct-shingle count, the same array `blocked` already carries.
     val prefix = tok.join(dfreq, "shingle")
-      .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "lang", "lb", "shingle")
-      // self-joined below: the df join + ranking window run once, not twice
+      .groupBy(col("doc_id"), col("lang"), col("lb"), col("n"))
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("ds"))
+      .select(col("doc_id"), col("lang"), col("lb"),
+        explode(expr(
+          s"slice(array_sort(ds), 1, CAST(n - ceil(n * $t) + 1 AS INT))"))
+          .as("p"))
+      .select(col("doc_id"), col("lang"), col("lb"), col("p.shingle").as("shingle"))
+      // self-joined below: the df join + prefix aggregate run once, not twice
       .transform(graft.util.QueryCaches.tracked)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -351,29 +360,40 @@ object TextDedup {
   }
 
   private val q43: Q = (s, dir) => {
-    // Shingles are hashed to 60-bit longs (md5 prefix — IDENTICAL in both
-    // engines, so a collision, were one to happen, produces the same
-    // result everywhere): the candidate join shuffles 8-byte keys instead
-    // of bigram text, and the verification intersects long arrays instead
-    // of string arrays.
+    // Shingles are hashed to longs (md5 — IDENTICAL in both engines, so a
+    // collision, were one to happen, produces the same result
+    // everywhere): the candidate join shuffles 8-byte keys instead of
+    // bigram text, and the verification intersects long arrays instead of
+    // string arrays. md5 runs once per WORD, not once per bigram — a
+    // bigram's hash is the arithmetic combine of its two word hashes
+    // ((h1 mod 2^39)·8388593 + h2 < 2^62 + 2^60, so no BIGINT overflow in
+    // either engine) — which halves the bytes digested per document and
+    // was the dominant per-pass cost of this query (the shingle relation
+    // is rebuilt every bench rep by the drain protocol).
     val blocked = Tables.spread(Tables.documents(s, dir))
-      .withColumn("words", split(col("text"), " "))
+      .withColumn("wh", expr("transform(split(text, ' '), " +
+        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("lb"),
-        expr(s"transform(array_distinct(${shinglesExpr(2)}), " +
-          "s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))").as("sh"))
+        expr("""array_distinct(CASE WHEN size(wh) < 2 THEN array()
+               |ELSE transform(sequence(1, size(wh)-1), i ->
+               |  (element_at(wh, i) % 549755813888L) * 8388593L
+               |    + element_at(wh, i+1))
+               |END)""".stripMargin).as("sh"))
       .transform(graft.util.QueryCaches.tracked)
     jaccardPrefixJoin(blocked, t = 0.1)
   }
 
   private val q43Sql =
-    """WITH s AS (SELECT doc_id, lang, n_chars // 100 AS lb,
-      |  list_transform(
-      |    list_distinct(CASE WHEN len(string_split(text,' ')) < 2 THEN [] ELSE
-      |      list_transform(generate_series(1, len(string_split(text,' '))-1), i ->
-      |        string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END),
-      |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
-      |  FROM documents)
+    """WITH w AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+      |  list_transform(string_split(text,' '),
+      |    w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS wh
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, lb,
+      |  list_distinct(CASE WHEN len(wh) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(wh)-1), i ->
+      |      (wh[i] % 549755813888) * 8388593 + wh[i+1]) END) AS sh
+      |  FROM w)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -406,18 +426,31 @@ object TextDedup {
     val sym = e.toDF("src", "dst")
       .union(e.toDF("dst", "src").select("src", "dst"))
       .persist(MEMORY_AND_DISK)
-    // Eager localCheckpoint per round: iterative plans otherwise NEST — the
+    // Eager checkpoint per round: iterative plans otherwise NEST — the
     // optimizer re-analyzes and re-codegens an O(iteration)-deep tree every
     // round (quadratic planning cost, unbounded lineage on failure
     // recovery). Truncating to the materialized partitions keeps each round
-    // a constant two-shuffle job; a cluster deployment would use
-    // `checkpoint()` to reliable storage instead.
+    // a constant two-shuffle job. `truncateLineage` picks the storage:
+    // executor-local by default (fast, fine single-JVM), RELIABLE when
+    // `spark.graft.checkpointDir` is set — on a real cluster a lost
+    // executor takes its localCheckpoint blocks with it and the truncated
+    // lineage cannot recompute them, so cluster deployments must set the
+    // dir (HDFS/S3) and take the write-through cost.
     // Init already folds the first propagation round in: label(v) =
     // min(v, min neighbor) — one aggregation instead of distinct + a round.
-    var labels = sym.groupBy(col("src"))
+    def truncateLineage(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      spark.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(dir)
+          df.checkpoint(eager = true)
+        case None => df.localCheckpoint(eager = true)
+      }
+    }
+    var labels = truncateLineage(sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
-      .withColumnRenamed("src", "doc_id")
-      .localCheckpoint(true)
+      .withColumnRenamed("src", "doc_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -442,12 +475,11 @@ object TextDedup {
         // Pointer jumping: follow label -> label(label). Every label IS a
         // doc_id present in `labels` (it entered as some node's min), so
         // the lookup is a self-join on the same (persisted) relation.
-        labels = step
+        labels = truncateLineage(step
           .join(step.select(col("doc_id").as("label"), col("label").as("ll")),
             Seq("label"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       }
       step.unpersist()
       iter += 1

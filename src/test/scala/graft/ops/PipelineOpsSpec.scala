@@ -66,6 +66,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents checkpoints RELIABLY when spark.graft.checkpointDir is set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val got = TextDedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // Reliable checkpoint = RDD data written under the configured dir
+      // (localCheckpoint leaves it empty: blocks live only on executors).
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles = try stream.filter(java.nio.file.Files.isRegularFile(_)).count()
+                   finally stream.close()
+      assert(nFiles > 0, s"expected reliable checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
