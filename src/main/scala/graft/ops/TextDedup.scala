@@ -312,7 +312,11 @@ object TextDedup {
     * is unit-testable on arbitrary inputs. `blocked` carries
     * `(doc_id, lang, lb, sh: array<string>)` with `sh` distinct.
     */
-  private[graft] def jaccardPrefixJoin(blocked: DataFrame, t: Double): DataFrame = {
+  /** Candidate stage of [[jaccardPrefixJoin]], exposed separately so the
+    * skew stress spec can assert the prefix filter keeps candidate
+    * volume hash-bounded (never O(block²)) on adversarial fixtures.
+    */
+  private[graft] def jaccardPrefixCandidates(blocked: DataFrame, t: Double): DataFrame = {
     // n (the doc's distinct-shingle count) rides along from the map side —
     // size(sh) is free before the explode, where a count(*) window after
     // it would re-sort every token row per doc partition.
@@ -338,11 +342,15 @@ object TextDedup {
       .select(col("doc_id"), col("lang"), col("lb"), col("p.shingle").as("shingle"))
       // self-joined below: the df join + prefix aggregate run once, not twice
       .transform(graft.util.QueryCaches.tracked)
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private[graft] def jaccardPrefixJoin(blocked: DataFrame, t: Double): DataFrame = {
+    val cand = jaccardPrefixCandidates(blocked, t)
     // exact verification on candidates ONLY (cf. q41b): two hash joins
     // back to the (persisted) shingle sets, per-candidate intersection
     val inter = size(array_intersect(col("sha"), col("shb")))
@@ -359,18 +367,21 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val q43: Q = (s, dir) => {
-    // Shingles are hashed to longs (md5 — IDENTICAL in both engines, so a
-    // collision, were one to happen, produces the same result
-    // everywhere): the candidate join shuffles 8-byte keys instead of
-    // bigram text, and the verification intersects long arrays instead of
-    // string arrays. md5 runs once per WORD, not once per bigram — a
-    // bigram's hash is the arithmetic combine of its two word hashes
-    // ((h1 mod 2^39)·8388593 + h2 < 2^62 + 2^60, so no BIGINT overflow in
-    // either engine) — which halves the bytes digested per document and
-    // was the dominant per-pass cost of this query (the shingle relation
-    // is rebuilt every bench rep by the drain protocol).
-    val blocked = Tables.spread(Tables.documents(s, dir))
+  /** q43's blocked-shingle relation, exposed for the skew stress spec.
+    *
+    * Shingles are hashed to longs (md5 — IDENTICAL in both engines, so a
+    * collision, were one to happen, produces the same result
+    * everywhere): the candidate join shuffles 8-byte keys instead of
+    * bigram text, and the verification intersects long arrays instead of
+    * string arrays. md5 runs once per WORD, not once per bigram — a
+    * bigram's hash is the arithmetic combine of its two word hashes
+    * ((h1 mod 2^39)·8388593 + h2 < 2^62 + 2^60, so no BIGINT overflow in
+    * either engine) — which halves the bytes digested per document and
+    * was the dominant per-pass cost of this query (the shingle relation
+    * is rebuilt every bench rep by the drain protocol).
+    */
+  private[graft] def jaccardBlocked(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("wh", expr("transform(split(text, ' '), " +
         "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
       .select(col("doc_id"), col("lang"),
@@ -381,8 +392,8 @@ object TextDedup {
                |    + element_at(wh, i+1))
                |END)""".stripMargin).as("sh"))
       .transform(graft.util.QueryCaches.tracked)
-    jaccardPrefixJoin(blocked, t = 0.1)
-  }
+
+  private val q43: Q = (s, dir) => jaccardPrefixJoin(jaccardBlocked(s, dir), t = 0.1)
 
   private val q43Sql =
     """WITH w AS (SELECT doc_id, lang, n_chars // 100 AS lb,

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Adversarial-skew fixture shared by the dedup/LSH stress tests: one
+  * DOMINANT language (≈85% of documents) and one dominant embedding
+  * label (≈85% of vectors), so any kernel that blocks on lang/label
+  * alone would see a single giant block. Content is deterministic
+  * (seeded), drawn from a zipf-ish 400-word vocabulary so common words
+  * genuinely repeat across documents; 30 planted near-duplicate pairs
+  * give the pipelines true positives to find. Written once per JVM to a
+  * temp dir shaped like the driver's testdata (documents.parquet /
+  * embeddings.parquet), so the production kernels run on it unchanged.
+  */
+object SkewFixture {
+  val nBase = 1200
+  val nDup = 30
+  val n: Int = nBase + nDup
+
+  lazy val dir: String = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: low indices drawn far more often than the tail
+    def word(): String =
+      s"w${math.min((math.pow(rnd.nextDouble(), 2.5) * 400).toInt, 399)}"
+    val langs = Array("de", "fr", "es")
+    val base = (0 until nBase).map { id =>
+      val text = Seq.fill(30 + rnd.nextInt(30))(word()).mkString(" ")
+      val lang = if (rnd.nextDouble() < 0.85) "en" else langs(rnd.nextInt(3))
+      (id.toLong, text, lang, "skew", text.length.toLong)
+    }
+    // planted near-dups: doc 5000+i repeats doc i's text plus one word
+    val dups = (0 until nDup).map { i =>
+      val b = base(i)
+      val text = b._2 + " w0"
+      (5000L + i, text, b._3, "skew", text.length.toLong)
+    }
+    (base ++ dups).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val vrnd = new scala.util.Random(7)
+    val vecs = (0 until nBase).map { id =>
+      val v = Seq.fill(64)((vrnd.nextDouble() * 2 - 1).toFloat)
+      val label = if (vrnd.nextDouble() < 0.85) 0 else 1 + vrnd.nextInt(3)
+      (id.toLong, v, label)
+    }
+    val vdups = (0 until nDup).map { i =>
+      val b = vecs(i)
+      (5000L + i, b._2.map(x => x + 0.001f), b._3)
+    }
+    (vecs ++ vdups).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+}
+
+/** The 100 TB boundedness claims in the dedup/LSH Scaladoc, EXECUTED
+  * against adversarial skew instead of argued: on a fixture where one
+  * lang/label holds 85% of rows, candidate volume must stay hash-bounded
+  * (a small multiple of n), never revert to the O(n²) all-pairs of the
+  * dominant block.
+  */
+class SkewStressSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private def allPairs: Long = SkewFixture.n.toLong * (SkewFixture.n - 1) / 2
+
+  test("q41 minhash banding: candidates stay hash-bounded under 85% one-lang skew") {
+    val cands = TextDedup.candPairs(spark, SkewFixture.dir).count()
+    graft.util.QueryCaches.drain()
+    println(s"[skew] minhash candidates: $cands of $allPairs all-pairs")
+    assert(cands >= SkewFixture.nDup, "planted duplicates must collide in some band")
+    assert(cands < 16L * SkewFixture.n,
+      s"banded candidates must stay ~linear in n, got $cands")
+  }
+
+  test("q43 prefix filter: candidates a small fraction of the dominant block's pairs") {
+    val blocked = TextDedup.jaccardBlocked(spark, SkewFixture.dir)
+    val blockPairs = blocked.groupBy("lang", "lb").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0).toLong
+    val cands = TextDedup.jaccardPrefixCandidates(blocked, t = 0.1).count()
+    val found = TextDedup.jaccardPrefixJoin(blocked, t = 0.1)
+      .filter(col("doc_b") >= 5000L && col("doc_b") - 5000L === col("doc_a")).count()
+    // A planted pair is only in scope when the appended word didn't push
+    // the copy across an n_chars/100 block boundary — blocking is part of
+    // the query's semantics (the brute-force oracle joins on lb too).
+    val docs = spark.read.parquet(s"${SkewFixture.dir}/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") / 100).cast("long").as("lb"))
+    val expected = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 5000L && col("a.lb") === col("b.lb"))
+      .count()
+    graft.util.QueryCaches.drain()
+    println(s"[skew] q43 block-pairs: $blockPairs, candidates: $cands, " +
+      s"planted found: $found of $expected in-block")
+    assert(expected >= SkewFixture.nDup - 3, "fixture degenerated: too many pairs cross blocks")
+    assert(found == expected, "every in-block planted near-dup pair must verify")
+    assert(cands < blockPairs / 4,
+      s"prefix filter must prune the dominant block's pair space, got $cands of $blockPairs")
+    assert(cands < 40L * SkewFixture.n,
+      s"candidates must stay ~linear in n, got $cands")
+  }
+
+  test("q44/q57 hyperplane blocks: dominant label splits across buckets") {
+    val e = spark.read.parquet(s"${SkewFixture.dir}/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("CAST(embedding AS array<double>)").as("v"))
+      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v")))
+    val sizes = e.groupBy("label", "bucket").count()
+    val maxBlock = sizes.agg(max("count")).head.getLong(0)
+    val dominant = e.filter(col("label") === 0).count()
+    println(s"[skew] hyperplane max (label,bucket) block: $maxBlock of $dominant dominant-label rows")
+    // 4 hyperplanes = 16 buckets; even the dominant label must shatter.
+    // Bound = 4x the uniform share, far below the label-only block.
+    assert(maxBlock <= dominant / 4,
+      s"one (label,bucket) block holds $maxBlock of $dominant dominant-label vectors")
+  }
+
+  test("q61 simhash bands: candidate volume bounded, correlated content notwithstanding") {
+    // Re-derive the 32-bit fingerprint exactly as q61 does (bitVotes is
+    // fully private): votes over per-word md5 nibble high-bits.
+    def vote(j: Int) = sum(when(substring(col("h"), j, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+    val fp = spark.read.parquet(s"${SkewFixture.dir}/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      .groupBy("doc_id")
+      .agg(vote(1).as("v1"), (2 to 32).map(j => vote(j).as(s"v$j")): _*)
+      .select(col("doc_id"),
+        (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    val bands = fp.select(col("doc_id"), explode(expr(
+        "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
+        .as("x"))
+      .select(col("x.b").as("b"), col("x.nib").as("nib"))
+    val perBucket = bands.groupBy("b", "nib").count()
+    val joinRows = perBucket.agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0).toLong
+    println(s"[skew] simhash band join rows: $joinRows of $allPairs all-pairs")
+    // Content correlation concentrates simhash bytes more than minhash
+    // buckets — the verify-before-distinct design absorbs that — but the
+    // banded join must still examine well under the all-pairs volume.
+    assert(joinRows < allPairs / 4,
+      s"simhash banding degenerated to near-all-pairs: $joinRows of $allPairs")
+  }
+}
