@@ -120,6 +120,13 @@ object SyncPipeline {
     * sync saturates the cluster). `sourceFor`/`snapshotFor` are factories
     * so the scan itself is pluggable — see [[blazeV2Source]] (the scale
     * default) and [[blazeDriverSource]] (parity/fixture path).
+    *
+    * Keying contract: `sourceFor` receives the RESOURCE TYPE (it names a
+    * search URL); `snapshotFor` and `targetCount` receive the mirror
+    * TABLE name (lowercased — they name SQL identifiers). Passing the
+    * capitalized type into [[graft.source.Snapshot.forJdbc]] previously
+    * only worked because PostgreSQL case-folds unquoted identifiers; the
+    * SyncE2ESpec's case-sensitive target store caught it.
     */
   def runSync(spark: SparkSession,
               sourceFor: String => DataFrame,
@@ -127,7 +134,8 @@ object SyncPipeline {
               connect: () => (String => Unit, () => Unit),
               targetCount: String => Long): Seq[SyncResult] =
     Schemas.resourceTypes.map { t =>
-      syncOne(spark, t, sourceFor(t), snapshotFor(t), connect, targetCount)
+      syncOne(spark, t, sourceFor(t), snapshotFor(Schemas.tableName(t)),
+        connect, targetCount)
     }
 
   /** Scale-path source factory: the DSv2 `blaze` format — one

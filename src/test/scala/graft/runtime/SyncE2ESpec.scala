@@ -1,0 +1,183 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.source.Snapshot
+
+/** In-JVM mirror-table target that EXECUTES the exact SQL text the sink
+  * emits (insert / inline-VALUES update / delete, with dollar-quoted
+  * payloads), keyed by a SERIAL-style pk. The sandbox has no
+  * PostgreSQL-wire engine (Derby ships with Spark but has no JSONB /
+  * `->>` / plpgsql, so the production statements cannot run on it
+  * verbatim); interpreting the sink's own statement text is the honest
+  * alternative — it round-trips the dollar-quoting and pk addressing for
+  * real, executor-side, through the same `exec` transport production
+  * uses. Static state is shared with executor threads because local-mode
+  * executors live in this JVM (same pattern as FixtureFetcher).
+  */
+object PgLiteStore {
+  import scala.collection.mutable
+  private val tables =
+    mutable.Map[String, mutable.LinkedHashMap[Int, String]]()
+  private val serial = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def clear(): Unit = synchronized { tables.clear(); serial.set(0) }
+  def count(table: String): Long = synchronized {
+    tables.get(table).map(_.size.toLong).getOrElse(0L)
+  }
+  def rows(table: String): Map[Int, String] = synchronized {
+    tables.get(table).map(_.toMap).getOrElse(Map.empty)
+  }
+  def put(table: String, json: String): Int = synchronized {
+    val id = serial.incrementAndGet()
+    tables.getOrElseUpdate(table, mutable.LinkedHashMap())(id) = json
+    id
+  }
+  def delete(table: String, id: Int): Unit = synchronized {
+    tables.get(table).foreach(_.remove(id)); ()
+  }
+  def replace(table: String, id: Int, json: String): Unit = synchronized {
+    tables.get(table).filter(_.contains(id)).foreach(_(id) = json); ()
+  }
+
+  /** `$tag$payload$tag$` starting at or after `from` → (payload, index
+    * one past the closing tag).
+    */
+  private def dollar(s: String, from: Int): (String, Int) = {
+    val open = s.indexOf('$', from)
+    val tag = s.substring(open, s.indexOf('$', open + 1) + 1)
+    val start = open + tag.length
+    val end = s.indexOf(tag, start)
+    (s.substring(start, end), end + tag.length)
+  }
+
+  def exec(stmt: String): Unit = {
+    val insertRe = "^INSERT INTO (\\w+) \\(resource\\) VALUES ".r
+    val updateRe = "^UPDATE (\\w+) SET resource = data\\.resource::jsonb FROM \\(VALUES ".r
+    val deleteRe = "^DELETE FROM (\\w+) WHERE id IN \\(([^)]*)\\)$".r
+    stmt match {
+      case deleteRe(table, ids) =>
+        ids.split(",").map(_.trim.toInt).foreach(delete(table, _))
+      case _ => insertRe.findFirstMatchIn(stmt) match {
+        case Some(m) =>
+          var i = m.end
+          while (i < stmt.length && stmt.indexOf('$', i) >= 0) {
+            val (json, next) = dollar(stmt, i)
+            put(m.group(1), json)
+            i = next
+          }
+        case None => updateRe.findFirstMatchIn(stmt) match {
+          case Some(m) =>
+            var i = m.end
+            while (stmt.indexOf('(', i) >= 0 &&
+                   stmt.indexOf('(', i) < stmt.lastIndexOf(") AS data")) {
+              val open = stmt.indexOf('(', i)
+              val comma = stmt.indexOf(',', open)
+              val id = stmt.substring(open + 1, comma).trim.toInt
+              val (json, next) = dollar(stmt, comma)
+              replace(m.group(1), id, json)
+              i = next
+            }
+          case None => throw new IllegalArgumentException(
+            s"PgLiteStore: unrecognized statement: ${stmt.take(120)}")
+        }
+      }
+    }
+  }
+
+  /** What the pushed snapshot subquery computes server-side: (pk_id,
+    * resource->>'id', resource#>>'{meta,versionId}') — here parsed with
+    * Jackson, finalized by the production [[Snapshot.fromRaw]].
+    */
+  def snapshot(spark: org.apache.spark.sql.SparkSession)(table: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = rows(table).toSeq.map { case (id, json) =>
+      val node = mapper.readTree(json)
+      val rid = node.path("id")
+      val ver = node.path("meta").path("versionId")
+      Row(id,
+        if (rid.isMissingNode || rid.isNull) null else rid.asText(),
+        if (ver.isMissingNode || ver.isNull) null else ver.asText())
+    }
+    val schema = StructType(Seq(
+      StructField("pk_id", IntegerType),
+      StructField("resource_id", StringType),
+      StructField("version_text", StringType)))
+    Snapshot.fromRaw(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(raw).asJava), schema))
+  }
+}
+
+/** End-to-end self-healing contract (reference `src/main.rs:159-175`):
+  * sync into an empty target, prove the SECOND run is a no-op, corrupt
+  * the target three ways (drop a row, stale a version, add an alien
+  * row), prove one sync heals all three, and the run after that is a
+  * no-op again. The full production dataflow runs each time: DSv2
+  * executor-side page fetch → extract/validate → full-outer classify →
+  * partition-parallel statement writes → post-write count reconcile.
+  */
+class SyncE2ESpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private def sync() = SyncPipeline.runSync(spark,
+    sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
+      classOf[graft.source.v2.FixtureFetcher].getName),
+    snapshotFor = PgLiteStore.snapshot(spark),
+    connect = () => (PgLiteStore.exec _, () => ()),
+    targetCount = PgLiteStore.count)
+
+  test("sync -> re-sync is a no-op; a corrupted target heals in one run") {
+    PgLiteStore.clear()
+
+    val first = sync()
+    assert(first.size === 4)
+    first.foreach { r =>
+      assert(r.inserts === 23 && r.updates === 0 && r.deletes === 0, r)
+      assert(r.reconciled, s"post-write count must equal source: $r")
+    }
+    // payloads round-tripped the dollar-quoted transport intact
+    val stored = PgLiteStore.rows("patient")
+    assert(stored.values.exists(_.contains(""""id":"r7"""")))
+
+    val second = sync()
+    second.foreach { r =>
+      assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
+        s"second sync must be a no-op: $r")
+      assert(r.reconciled)
+    }
+
+    // Corrupt: drop one patient, stale another's version, add an alien.
+    val byJson = PgLiteStore.rows("patient")
+    val dropId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r3"""") => id }.get
+    val staleId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r5"""") => id }.get
+    PgLiteStore.delete("patient", dropId)
+    PgLiteStore.replace("patient", staleId,
+      """{"id":"r5","meta":{"versionId":"999"},"resourceType":"Patient"}""")
+    PgLiteStore.put("patient",
+      """{"id":"zzz","meta":{"versionId":"1"},"resourceType":"Patient"}""")
+
+    val heal = sync()
+    val patient = heal.find(_.resourceType == "Patient").get
+    assert(patient.inserts === 1 && patient.updates === 1 && patient.deletes === 1,
+      s"one healing run must fix all three corruptions: $patient")
+    assert(patient.reconciled)
+    heal.filterNot(_.resourceType == "Patient").foreach { r =>
+      assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0, r)
+    }
+    // healed payload carries the source's version again, alien is gone
+    val healed = PgLiteStore.rows("patient")
+    assert(healed.values.exists(j =>
+      j.contains(""""id":"r5"""") && j.contains(""""versionId":"0"""")))
+    assert(!healed.values.exists(_.contains(""""id":"zzz"""")))
+
+    val fourth = sync()
+    fourth.foreach { r =>
+      assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
+        s"post-heal sync must be a no-op: $r")
+    }
+  }
+}
