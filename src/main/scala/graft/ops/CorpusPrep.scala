@@ -154,19 +154,39 @@ object CorpusPrep {
   /** Substring-pair kernel: distinct (doc, k-gram) postings, df-capped at
     * `maxDf`, self-joined on the gram.
     */
+  /** Rolling-polynomial k-gram hash over a per-word hash array, UNROLLED
+    * so it stays inside whole-stage codegen (no higher-order-function
+    * lambdas — the r5 bench lesson): acc = (acc·31 + wh[i+j]) mod 2^50
+    * per step. The mod keeps every intermediate < 2^61 (acc < 2^50,
+    * ·31 < 2^55, + a 60-bit word hash < 2^61), so neither engine can
+    * overflow; 2^50 output bits keep expected collisions across millions
+    * of grams far below one. `idx` renders the word-hash lookup in each
+    * engine's syntax, so the Spark plan and the DuckDB oracle share ONE
+    * definition and cannot drift.
+    */
+  private[ops] def rollingGram(k: Int, idx: Int => String): String =
+    (1 until k).foldLeft(s"${idx(0)} % 1125899906842624")((acc, j) =>
+      s"(($acc) * 31 + ${idx(j)}) % 1125899906842624")
+
   private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
     // The postings relation feeds the df aggregate AND both sides of the
     // pair join — persist it once (drained by Bench/Verify after the
     // query's action) instead of re-running the explode+distinct three
     // times.
-    // Grams are hashed to 60-bit longs before any shuffle (q43's
-    // discipline, replayed by the oracle): a 13-gram string is ~80 bytes
-    // through distinct + df + the pair join; the hash is 8.
+    // Grams are hashed to longs before any shuffle (q43's discipline,
+    // replayed by the oracle): a 13-gram string is ~80 bytes through
+    // distinct + df + the pair join; the hash is 8. md5 runs once per
+    // WORD; each gram's hash is the codegen'd rolling combine of its k
+    // word hashes — the per-position string build + md5-of-80-bytes this
+    // replaced was the query's dominant cost.
     val g = graft.util.QueryCaches.tracked(docs
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(k))).as("g0"))
+      .withColumn("wh", expr("transform(split(text, ' '), " +
+        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
+      .select(col("doc_id"), col("wh"), explode(expr(
+        s"CASE WHEN size(wh) < $k THEN array() " +
+          s"ELSE sequence(1, size(wh) - ${k - 1}) END")).as("i"))
       .select(col("doc_id"),
-        conv(substring(md5(col("g0")), 1, 15), 16, 10).cast("long").as("gram"))
+        expr(rollingGram(k, j => s"element_at(wh, i + $j)")).as("gram"))
       .distinct())
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf").between(2, maxDf))
@@ -183,12 +203,12 @@ object CorpusPrep {
       .orderBy("doc_a", "doc_b")
 
   private val q109Sql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |g0 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 13 THEN [] ELSE
-      |    list_transform(generate_series(1, len(words)-12), i ->
-      |      array_to_string(list_slice(words, i, i+12), ' ')) END) AS gs FROM w),
-      |g AS (SELECT DISTINCT doc_id,
-      |  CAST(('0x' || substr(md5(gs), 1, 15)) AS BIGINT) AS gram FROM g0),
+    s"""WITH w AS (SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS wh FROM documents),
+      |g0 AS (SELECT doc_id, unnest(CASE WHEN len(wh) < 13 THEN [] ELSE
+      |    list_transform(generate_series(1, len(wh)-12), i ->
+      |      ${rollingGram(13, j => if (j == 0) "wh[i]" else s"wh[i + $j]")}) END) AS gram FROM w),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
       |keep AS (SELECT gram FROM
       |  (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
       |  WHERE gdf BETWEEN 2 AND 50),

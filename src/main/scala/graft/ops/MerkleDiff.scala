@@ -206,7 +206,12 @@ object MerkleDiff {
   private val q116: Q = (s, dir) => {
     val src = ParityData.source(s, dir)
     val tgt = ParityData.target(s, dir).select("resource_id", "version_id")
-    val dirty = q105(s, dir).filter(!col("clean")).select("bucket")
+    // tracked: this ≤n_buckets-row relation is broadcast into BOTH
+    // semi-joins; without the persist each broadcast rebuilds the whole
+    // q105 fingerprint pipeline (AQE's stage reuse is runtime-best-effort,
+    // the cache makes the single computation a guarantee)
+    val dirty = graft.util.QueryCaches.tracked(
+      q105(s, dir).filter(!col("clean")).select("bucket"))
     def inDirty(snap: DataFrame): DataFrame =
       snap.withColumn("bucket", bucketOf(col("resource_id")))
         .join(broadcast(dirty), Seq("bucket"), "left_semi")

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestSession
+
+/** GlobalRank must be EXACTLY `row_number() OVER (ORDER BY …)` — the
+  * q121/q110 oracles hash-compare its output against DuckDB's global
+  * window, so off-by-one at any range boundary, a dropped empty
+  * partition, or a miscomposed offset is a correctness bug, not a
+  * perf detail.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  test("property: rowNumber equals a driver-side global sort rank") {
+    val spark2 = spark
+    import spark2.implicits._
+    val row = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0.0, 1.0))
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(200, row)(Gen.Parameters.default, Seed(11L + i)).get
+        .zipWithIndex.map { case ((k, v), id) => (k, v, id.toLong) }
+      // ties on k are broken by the unique id — a TOTAL order, as the
+      // helper's contract requires
+      val expected = rows.sortBy(r => (r._1, r._3)).zipWithIndex
+        .map { case (r, rk) => r._3 -> (rk + 1L) }.toMap
+      // numParts spanning: single partition, fewer than keys, more than rows
+      Seq(1, 5, 300).foreach { p =>
+        val got = GlobalRank.rowNumber(rows.toDF("k", "v", "id"), "rk",
+            Seq(col("k"), col("id")), numParts = p)
+          .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.util.QueryCaches.drain()
+        assert(got === expected, s"seed ${11L + i}, numParts $p")
+      }
+    }
+  }
+
+  test("descending sort columns rank identically to the window form") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 100).map(i => ((i * 7) % 13, i.toLong))
+    val expected = rows.sortBy { case (df, id) => (-df, id) }.zipWithIndex
+      .map { case (r, rk) => r._2 -> (rk + 1L) }.toMap
+    val got = GlobalRank.rowNumber(rows.toDF("df", "id"), "rk",
+        Seq(col("df").desc, col("id")), numParts = 7)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.QueryCaches.drain()
+    assert(got === expected)
+  }
+
+  test("empty input yields an empty ranked relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = GlobalRank.rowNumber(
+      Seq.empty[(Long, Long)].toDF("k", "id"), "rk", Seq(col("k"), col("id")))
+    assert(got.count() === 0L)
+    graft.util.QueryCaches.drain()
+  }
+}
