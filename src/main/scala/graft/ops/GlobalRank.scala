@@ -1,30 +1,34 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-safe global ranking. `row_number() OVER (ORDER BY …)` with no
   * PARTITION BY plans as `Exchange SinglePartition` + one Window — every
   * row of the relation funnels through ONE reducer, the canonical 100 TB
   * scale-killer. This helper produces the IDENTICAL dense 1-based global
-  * row number with no single-partition stage:
+  * row number with no single-partition stage and NO window at all:
   *
   *   1. `repartitionByRange(sortCols)` splits the total order into P
   *      contiguous key ranges (RangePartitioning's contract: every key in
   *      partition i sorts strictly before every key in partition i+1);
-  *   2. each range ranks locally — a window PARTITIONED BY the physical
-  *      partition id, parallel across P reducers;
-  *   3. local ranks shift by the running total of earlier partitions'
+  *   2. `sortWithinPartitions` + a same-stage
+  *      `monotonically_increasing_id()` projection assigns each row
+  *      `pid·2³³ + indexInPartition` in sorted order — the per-partition
+  *      index costs ZERO extra shuffles (the sort and the projection run
+  *      in one stage on the range exchange's output);
+  *   3. local indices shift by the running total of earlier partitions'
   *      counts. The per-partition counts are the only driver-side step:
   *      P longs of METADATA (the same scheme `RDD.zipWithIndex` uses),
   *      never row data, and the offset table joins back as a broadcast.
   *
-  * The ranged relation is persisted so the count job and the ranking job
-  * observe the same partition assignment (and the upstream scan is paid
-  * once). `sortCols` must define a TOTAL order (include a unique
-  * tiebreak column) — with ties the split across a range boundary would
-  * be arbitrary, exactly as `row_number` itself would be.
+  * The (ranged, sorted, id-stamped) relation is persisted so the count
+  * job and the ranking job observe one frozen assignment (and the
+  * upstream scan is paid once). `sortCols` must define a TOTAL order
+  * (include a unique tiebreak column) — with ties the split across a
+  * range boundary would be arbitrary, exactly as `row_number` itself
+  * would be. Partitions are capped at 2³³ rows by the id encoding —
+  * ~8.6 G rows per range, far above any sane partition sizing.
   */
 object GlobalRank {
 
@@ -35,11 +39,14 @@ object GlobalRank {
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = graft.util.QueryCaches.tracked(
       df.repartitionByRange(p, sortCols: _*)
-        .withColumn("__gr_pid", spark_partition_id()))
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__gr_mid", monotonically_increasing_id()))
     // Metadata-sized action: one (pid, count) pair per non-empty
     // partition. Empty partitions simply contribute no offset rows.
-    val counts = ranged.groupBy("__gr_pid").agg(count(lit(1)).as("__gr_cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val counts = ranged
+      .groupBy(shiftright(col("__gr_mid"), 33).as("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) =>
       val row = (pid, acc); acc += c; row
@@ -47,11 +54,10 @@ object GlobalRank {
     import spark.implicits._
     val offDf = offsets.toDF("__gr_pid", "__gr_off")
     ranged
+      .withColumn("__gr_pid", shiftright(col("__gr_mid"), 33))
       .join(broadcast(offDf), Seq("__gr_pid"))
       .withColumn(rankCol,
-        row_number().over(
-          Window.partitionBy("__gr_pid").orderBy(sortCols: _*)).cast("long")
-          + col("__gr_off"))
-      .drop("__gr_pid", "__gr_off")
+        col("__gr_off") + (col("__gr_mid") bitwiseAND ((1L << 33) - 1)) + 1L)
+      .drop("__gr_pid", "__gr_off", "__gr_mid")
   }
 }

@@ -260,11 +260,13 @@ class PlanSpec extends AnyFunSuite {
       s"bucket compare must stay an equi join in:\n$p")
   }
 
-  test("q121/q110: global ranking plans with NO single-partition window") {
-    // The GlobalRank rewrite must hold: every Window in these plans is
-    // partitioned (by the range-partition id), so no full-relation
-    // single-reducer stage exists. Checked structurally on WindowExec
-    // nodes, not plan text, so a partition-spec regression cannot hide.
+  test("q121/q110: global ranking plans with NO window at all") {
+    // The GlobalRank rewrite must hold: ranks come from range partition +
+    // sortWithinPartitions + same-stage monotonic ids + broadcast
+    // offsets, so the plan must contain ZERO WindowExec nodes — neither
+    // the single-partition global window (the 100 TB scale-killer this
+    // replaced) nor a per-partition-id ranking window (an extra shuffle
+    // of the full relation). Checked structurally, not on plan text.
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
     def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
@@ -274,11 +276,8 @@ class PlanSpec extends AnyFunSuite {
     Seq("q121_zorder_audit", "q110_vocab_build").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
-      assert(wins.nonEmpty, s"$name: expected the per-range ranking windows")
-      wins.foreach { w =>
-        assert(w.partitionSpec.nonEmpty,
-          s"$name: single-partition Window (full-relation single reducer):\n$w")
-      }
+      assert(wins.isEmpty,
+        s"$name: unexpected Window stage(s):\n${wins.mkString("\n")}")
     }
   }
 
