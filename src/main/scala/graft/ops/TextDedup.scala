@@ -381,7 +381,12 @@ object TextDedup {
     * is rebuilt every bench rep by the drain protocol).
     */
   private[graft] def jaccardBlocked(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    // repartition by doc_id (not round-robin spread): the cached relation
+    // is joined BY doc_id on both sides of the verification, and
+    // ProjectExec's alias-aware partitioning lets those joins reuse this
+    // one exchange — the heavy shingle-array payloads shuffle once at
+    // cache build instead of once per verify side.
+    Tables.documents(s, dir).repartition(col("doc_id"))
       .withColumn("wh", expr("transform(split(text, ' '), " +
         "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
       .select(col("doc_id"), col("lang"),
