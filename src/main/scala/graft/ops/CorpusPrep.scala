@@ -187,6 +187,11 @@ object CorpusPrep {
           s"ELSE sequence(1, size(wh) - ${k - 1}) END")).as("i"))
       .select(col("doc_id"),
         expr(rollingGram(k, j => s"element_at(wh, i + $j)")).as("gram"))
+      // one shuffle on gram serves the whole pipeline: HashPartitioning
+      // on a SUBSET of the grouping keys satisfies the distinct's
+      // ClusteredDistribution, and the df aggregate + both pair-join
+      // sides cluster on gram too — all read the cache exchange-free
+      .repartition(col("gram"))
       .distinct())
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf").between(2, maxDf))

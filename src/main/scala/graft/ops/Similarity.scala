@@ -61,7 +61,12 @@ object Similarity {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), expr(vd).as("v"))
       .withColumn("bucket", expr(hyperplaneBucket("v")))
-      // self-joined: bucket signatures computed once
+      // self-joined: bucket signatures computed once. NOT pre-partitioned
+      // by (label, bucket): the key's cardinality is bounded (16 buckets ×
+      // few labels), so a cache partitioned on it would cap parallelism at
+      // that cardinality and bypass AQE's skew-split on the join exchange —
+      // cache-aligned partitioning is only right for UNBOUNDED keys
+      // (doc_id, gram, band-hash)
       .transform(graft.util.QueryCaches.tracked)
     val a = e.as("a")
     val b = e.as("b")
@@ -390,7 +395,9 @@ object Similarity {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
       .withColumn("bucket", expr(hyperplaneBucket("v")))
-      // self-joined: bucket signatures computed once
+      // self-joined: bucket signatures computed once. NOT pre-partitioned
+      // by the 16-way bucket (bounded key — see q44's note: it would cap
+      // parallelism and bypass AQE skew-splitting)
       .transform(graft.util.QueryCaches.tracked)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -88,7 +88,10 @@ object TextDedup {
           concat(col(s"h${2 * b}").cast("string"), lit(":"),
             col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
-      // self-joined below: one signature computation, not two
+      // self-joined below on (b, bh): one signature computation, and the
+      // cache is partitioned on the join key so NEITHER side of the
+      // band join re-shuffles it (cache-aligned partitioning)
+      .repartition(col("b"), col("bh"))
       .transform(graft.util.QueryCaches.tracked)
     val a = bands.as("a")
     val c = bands.as("c")
@@ -157,8 +160,10 @@ object TextDedup {
   private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val cand = candPairs(s, dir)
     // The shingle-set relation feeds BOTH sides of the pair join; persist
-    // it so the scan + shingle build runs once, not twice.
-    val sets = Tables.spread(Tables.documents(s, dir))
+    // it so the scan + shingle build runs once, not twice — partitioned
+    // by doc_id so alias-aware partitioning serves both join sides from
+    // the cache (the heavy shingle arrays shuffle once, at build).
+    val sets = Tables.documents(s, dir).repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
       .transform(graft.util.QueryCaches.tracked)
@@ -276,7 +281,10 @@ object TextDedup {
         "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
         .as("band"))
       .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.nib").as("nib"))
-      // self-joined: fingerprints computed once
+      // self-joined: fingerprints computed once. NOT pre-partitioned by
+      // (b, nib) — 4×256 = 1024 possible keys is a BOUNDED cardinality
+      // that would cap the cache's parallelism and bypass AQE
+      // skew-splitting on the join exchange (cf. q44/q57)
       .transform(graft.util.QueryCaches.tracked)
     bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.nib") === col("c.nib") &&
