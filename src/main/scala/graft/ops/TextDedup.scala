@@ -447,6 +447,37 @@ object TextDedup {
     // The edge relation is consumed twice by symmetrization; persist so an
     // expensive upstream (e.g. the full LSH pipeline) runs once, not twice.
     val e = edges.persist(MEMORY_AND_DISK)
+    // ADAPTIVE small-graph path (the same philosophy as broadcast joins —
+    // Spark itself collects bounded relations to the driver): a near-dup
+    // edge set far smaller than the corpus is the COMMON case, and the
+    // iterative loop pays several scheduling rounds of near-empty jobs to
+    // label it. Below the threshold (16 bytes/edge ⇒ default 1M edges ≈
+    // 16 MB, well under a broadcast side), collect + union-find labels it
+    // in one pass; above it, the distributed loop below scales unbounded.
+    val threshold = e.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+    val edgeCount = e.count()
+    if (edgeCount <= threshold) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the SMALLER root so the final root IS the min label
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "label")
+    }
     val sym = e.toDF("src", "dst")
       .union(e.toDF("dst", "src").select("src", "dst"))
       .persist(MEMORY_AND_DISK)
