@@ -76,19 +76,39 @@ object JdbcUpsert {
     n
   }
 
+  /** Run one non-empty partition's statements inside ONE transaction.
+    * Spark re-runs failed/speculated tasks, and a re-run of a partition
+    * that had already applied some batches would double-write (the
+    * reference never faces this: it is single-writer sequential,
+    * `src/main.rs:250-257`). Wrapping the partition in BEGIN…COMMIT makes
+    * the task attempt atomic: an attempt that dies mid-write closes its
+    * connection without COMMIT, PostgreSQL rolls the open transaction
+    * back, and the retry starts from nothing. Empty partitions (common
+    * after the action filter) never even open a connection.
+    */
+  private def transactionalPartition[T](rows: Iterator[T],
+      connect: () => (String => Unit, () => Unit))(
+      body: (Iterator[T], String => Unit) => Unit): Unit =
+    if (rows.hasNext) {
+      val (exec, close) = connect()
+      try { exec("BEGIN"); body(rows, exec); exec("COMMIT") }
+      finally close()
+    }
+
   /** Executor-parallel INSERT of classified insert rows
-    * (`resource` string column). `connect` runs once per partition
-    * (connection reuse within a partition = the reference's pooling,
-    * `src/db_utils.rs:14-15`, without the driver bottleneck).
+    * (`resource` string column). `connect` runs once per non-empty
+    * partition (connection reuse within a partition = the reference's
+    * pooling, `src/db_utils.rs:14-15`, without the driver bottleneck);
+    * each partition's batches commit atomically (task-retry safety).
     */
   def insertPartitions(inserts: DataFrame, table: String,
                        connect: () => (String => Unit, () => Unit),
                        batchSize: Int = DefaultBatchSize): Unit =
     inserts.select("resource").foreachPartition { (rows: Iterator[Row]) =>
-      val (exec, close) = connect()
-      try { writeBatched(rows.map(_.getString(0)), batchSize,
-        (c: Seq[String]) => insertSql(table, c), exec); () }
-      finally close()
+      transactionalPartition(rows, connect) { (rs, exec) =>
+        writeBatched(rs.map(_.getString(0)), batchSize,
+          (c: Seq[String]) => insertSql(table, c), exec); ()
+      }
     }
 
   /** Executor-parallel UPDATE of classified update rows
@@ -98,10 +118,10 @@ object JdbcUpsert {
                        connect: () => (String => Unit, () => Unit),
                        batchSize: Int = DefaultBatchSize): Unit =
     updates.select("pk_id", "resource").foreachPartition { (rows: Iterator[Row]) =>
-      val (exec, close) = connect()
-      try { writeBatched(rows.map(r => (r.getInt(0), r.getString(1))), batchSize,
-        (c: Seq[(Int, String)]) => updateSql(table, c), exec); () }
-      finally close()
+      transactionalPartition(rows, connect) { (rs, exec) =>
+        writeBatched(rs.map(r => (r.getInt(0), r.getString(1))), batchSize,
+          (c: Seq[(Int, String)]) => updateSql(table, c), exec); ()
+      }
     }
 
   /** Executor-parallel DELETE of classified delete pk ids. */
@@ -109,10 +129,10 @@ object JdbcUpsert {
                        connect: () => (String => Unit, () => Unit),
                        batchSize: Int = DefaultBatchSize): Unit =
     deletes.select("pk_id").foreachPartition { (rows: Iterator[Row]) =>
-      val (exec, close) = connect()
-      try { writeBatched(rows.map(_.getInt(0)), batchSize,
-        (c: Seq[Int]) => deleteSql(table, c), exec); () }
-      finally close()
+      transactionalPartition(rows, connect) { (rs, exec) =>
+        writeBatched(rs.map(_.getInt(0)), batchSize,
+          (c: Seq[Int]) => deleteSql(table, c), exec); ()
+      }
     }
 
   /** DDL for one mirror table + audit trigger — reference

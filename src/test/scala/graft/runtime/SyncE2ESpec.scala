@@ -53,23 +53,31 @@ object PgLiteStore {
     (s.substring(start, end), end + tag.length)
   }
 
-  def exec(stmt: String): Unit = {
+  sealed trait Mut
+  final case class Ins(table: String, json: String) extends Mut
+  final case class Upd(table: String, id: Int, json: String) extends Mut
+  final case class Del(table: String, id: Int) extends Mut
+
+  def parse(stmt: String): Seq[Mut] = {
     val insertRe = "^INSERT INTO (\\w+) \\(resource\\) VALUES ".r
     val updateRe = "^UPDATE (\\w+) SET resource = data\\.resource::jsonb FROM \\(VALUES ".r
     val deleteRe = "^DELETE FROM (\\w+) WHERE id IN \\(([^)]*)\\)$".r
     stmt match {
       case deleteRe(table, ids) =>
-        ids.split(",").map(_.trim.toInt).foreach(delete(table, _))
+        ids.split(",").map(_.trim.toInt).toSeq.map(Del(table, _))
       case _ => insertRe.findFirstMatchIn(stmt) match {
         case Some(m) =>
+          val out = Seq.newBuilder[Mut]
           var i = m.end
           while (i < stmt.length && stmt.indexOf('$', i) >= 0) {
             val (json, next) = dollar(stmt, i)
-            put(m.group(1), json)
+            out += Ins(m.group(1), json)
             i = next
           }
+          out.result()
         case None => updateRe.findFirstMatchIn(stmt) match {
           case Some(m) =>
+            val out = Seq.newBuilder[Mut]
             var i = m.end
             while (stmt.indexOf('(', i) >= 0 &&
                    stmt.indexOf('(', i) < stmt.lastIndexOf(") AS data")) {
@@ -77,14 +85,48 @@ object PgLiteStore {
               val comma = stmt.indexOf(',', open)
               val id = stmt.substring(open + 1, comma).trim.toInt
               val (json, next) = dollar(stmt, comma)
-              replace(m.group(1), id, json)
+              out += Upd(m.group(1), id, json)
               i = next
             }
+            out.result()
           case None => throw new IllegalArgumentException(
             s"PgLiteStore: unrecognized statement: ${stmt.take(120)}")
         }
       }
     }
+  }
+
+  def applyAll(muts: Seq[Mut]): Unit = synchronized {
+    muts.foreach {
+      case Ins(t, j) => put(t, j); ()
+      case Upd(t, id, j) => replace(t, id, j)
+      case Del(t, id) => delete(t, id)
+    }
+  }
+
+  /** One JDBC connection stand-in with PostgreSQL transaction semantics:
+    * statements after BEGIN buffer until COMMIT applies them atomically;
+    * closing with an open uncommitted transaction discards it (what the
+    * server does when a mid-write task attempt dies) — the behavior the
+    * sink's task-retry atomicity relies on.
+    */
+  final class TxConn {
+    private val buf = scala.collection.mutable.ArrayBuffer[Mut]()
+    private var inTx = false
+    def exec(stmt: String): Unit = stmt match {
+      case "BEGIN" => inTx = true
+      case "COMMIT" =>
+        applyAll(buf.toSeq); buf.clear(); inTx = false
+      case s =>
+        val muts = parse(s)
+        if (inTx) { buf ++= muts; () } else applyAll(muts)
+    }
+    def close(): Unit = { buf.clear(); inTx = false } // rollback
+  }
+
+  def connect(): (String => Unit, () => Unit) = {
+    val c = new TxConn
+    (c.exec _, () => c.close())
   }
 
   /** What the pushed snapshot subquery computes server-side: (pk_id,
@@ -127,7 +169,7 @@ class SyncE2ESpec extends AnyFunSuite {
     sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
       classOf[graft.source.v2.FixtureFetcher].getName),
     snapshotFor = PgLiteStore.snapshot(spark),
-    connect = () => (PgLiteStore.exec _, () => ()),
+    connect = () => PgLiteStore.connect(),
     targetCount = PgLiteStore.count)
 
   test("sync -> re-sync is a no-op; a corrupted target heals in one run") {
@@ -179,5 +221,37 @@ class SyncE2ESpec extends AnyFunSuite {
       assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
         s"post-heal sync must be a no-op: $r")
     }
+  }
+
+  test("a mid-partition failure commits nothing; the retry writes exactly once") {
+    PgLiteStore.clear()
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 8).map(i => s"""{"id":"x$i","meta":{"versionId":"1"}}""")
+      .toDF("resource").coalesce(1)
+    // batchSize 2 → four INSERT statements in the one partition; the
+    // connection dies on the third, AFTER two statements already executed
+    val failing = () => {
+      val (exec, close) = PgLiteStore.connect()
+      var stmts = 0
+      ((s: String) => {
+        if (s != "BEGIN" && s != "COMMIT") {
+          stmts += 1
+          if (stmts == 3) throw new RuntimeException("connection lost mid-partition")
+        }
+        exec(s)
+      }, close)
+    }
+    val e = intercept[Exception] {
+      graft.sink.JdbcUpsert.insertPartitions(rows, "patient", failing, batchSize = 2)
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("connection lost")), e)
+    assert(PgLiteStore.count("patient") === 0L,
+      "the already-executed batches must roll back with the failed attempt")
+    // the "retry" (here: a fresh run, as Spark's task retry would issue)
+    graft.sink.JdbcUpsert.insertPartitions(rows, "patient",
+      () => PgLiteStore.connect(), batchSize = 2)
+    assert(PgLiteStore.count("patient") === 8L, "exactly one copy after retry")
   }
 }
