@@ -109,7 +109,12 @@ class IncrementalSyncSpec extends AnyFunSuite {
       s.contains("payload-upd") && s.contains("(7,")), stmts.mkString("\n"))
     assert(stmts.exists(s => s.startsWith("DELETE FROM patient") &&
       s.contains("8")), stmts.mkString("\n"))
-    assert(stmts.size === 3, s"exactly one statement per action: $stmts")
+    // each non-empty partition wraps its batches in BEGIN…COMMIT (the
+    // sink's task-retry atomicity); the data statements stay 1:1 per action
+    val data = stmts.filterNot(s => s == "BEGIN" || s == "COMMIT")
+    assert(data.size === 3, s"exactly one data statement per action: $stmts")
+    assert(stmts.count(_ == "BEGIN") === stmts.count(_ == "COMMIT"),
+      s"unbalanced transactions: $stmts")
   }
 
   test("Trigger.AvailableNow drains pending changes and terminates (daily-cron CDC mode)") {
