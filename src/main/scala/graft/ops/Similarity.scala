@@ -169,11 +169,13 @@ object Similarity {
     * row on the old form; one primitive loop per plane now). A ZERO-norm
     * vector makes cosine_sim 0/0 = NaN, and Spark orders NaN above every
     * number (so `NaN > 0` is true) while the dot-product oracle yields 0
-    * — the explicit isnan guard forces bit '0' on both engines.
+    * — `nanvl(·, 0)` forces the NaN to bit '0' on both engines with a
+    * SINGLE cosine evaluation per plane (an isnan-guard form would
+    * evaluate the 64-element loop twice unless subexpression elimination
+    * happens to fire).
     */
   private[graft] def hyperplaneBucket(vcol: String): String =
-    planeLits.map(pl =>
-        s"IF(NOT isnan(cosine_sim($vcol, $pl)) AND cosine_sim($vcol, $pl) > 0, '1', '0')")
+    planeLits.map(pl => s"IF(nanvl(cosine_sim($vcol, $pl), 0D) > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
 
   /** q46 — LSH-bucketed ANN: bucket = sign bits under 4 seeded random

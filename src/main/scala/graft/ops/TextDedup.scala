@@ -29,6 +29,12 @@ object TextDedup {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The spark.graft.checkpointDir value last applied to the context —
+    * tracked here because `setCheckpointDir` appends a UUID subdir, so
+    * the context's dir never compares equal to the configured path.
+    */
+  @volatile private var lastCheckpointDir: Option[String] = None
+
   /** Word k-shingles as a SQL expression over a `words` array column.
     * Guarded: Spark's `sequence(1, n)` DESCENDS for n<1 (DuckDB's
     * generate_series returns empty), so short docs must short-circuit.
@@ -451,11 +457,12 @@ object TextDedup {
     // Spark itself collects bounded relations to the driver): a near-dup
     // edge set far smaller than the corpus is the COMMON case, and the
     // iterative loop pays several scheduling rounds of near-empty jobs to
-    // label it. Below the threshold (16 bytes/edge ⇒ default 1M edges ≈
-    // 16 MB, well under a broadcast side), collect + union-find labels it
-    // in one pass; above it, the distributed loop below scales unbounded.
+    // label it. Driver footprint is ~100 B/edge collected (GenericRow +
+    // two boxed longs) plus ~80 B/node in the union-find map — the 250k
+    // default keeps the transient under ~50 MB, comparable to a broadcast
+    // side. Above the threshold the distributed loop scales unbounded.
     val threshold = e.sparkSession.conf
-      .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+      .get("spark.graft.cc.localEdgeThreshold", "250000").toLong
     val edgeCount = e.count()
     if (edgeCount <= threshold) {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -497,8 +504,19 @@ object TextDedup {
       val spark = df.sparkSession
       spark.conf.getOption("spark.graft.checkpointDir") match {
         case Some(dir) =>
-          if (spark.sparkContext.getCheckpointDir.isEmpty)
-            spark.sparkContext.setCheckpointDir(dir)
+          // Always honor the CONFIGURED dir — the context may hold a stale
+          // dir set by someone else (setCheckpointDir appends a UUID
+          // subdir, so the raw values never compare equal; track what WE
+          // set instead). Reliable checkpoint files are not auto-deleted
+          // by default: a long-running deployment should also set
+          // spark.cleaner.referenceTracking.cleanCheckpoints=true so GC'd
+          // label RDDs clean their files.
+          TextDedup.synchronized {
+            if (!lastCheckpointDir.contains(dir)) {
+              spark.sparkContext.setCheckpointDir(dir)
+              lastCheckpointDir = Some(dir)
+            }
+          }
           df.checkpoint(eager = true)
         case None => df.localCheckpoint(eager = true)
       }

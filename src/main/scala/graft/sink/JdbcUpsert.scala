@@ -77,14 +77,24 @@ object JdbcUpsert {
   }
 
   /** Run one non-empty partition's statements inside ONE transaction.
-    * Spark re-runs failed/speculated tasks, and a re-run of a partition
-    * that had already applied some batches would double-write (the
-    * reference never faces this: it is single-writer sequential,
-    * `src/main.rs:250-257`). Wrapping the partition in BEGIN…COMMIT makes
-    * the task attempt atomic: an attempt that dies mid-write closes its
-    * connection without COMMIT, PostgreSQL rolls the open transaction
-    * back, and the retry starts from nothing. Empty partitions (common
-    * after the action filter) never even open a connection.
+    * Spark re-runs failed tasks, and a re-run of a partition that had
+    * already applied some batches would double-write (the reference never
+    * faces this: it is single-writer sequential, `src/main.rs:250-257`).
+    * Wrapping the partition in BEGIN…COMMIT makes each task ATTEMPT
+    * atomic: an attempt that dies mid-write closes its connection without
+    * COMMIT, PostgreSQL rolls the open transaction back, and the retry
+    * starts from nothing. Empty partitions (common after the action
+    * filter) never even open a connection.
+    *
+    * Scope, honestly stated: this is attempt-level atomicity, NOT full
+    * exactly-once. Two LIVE attempts of one partition (speculative
+    * execution, or a zombie task whose executor the driver gave up on)
+    * can both reach COMMIT, and a COMMIT whose ack is lost re-runs on
+    * retry — there is no output-commit coordination for JDBC. A sync
+    * deployment therefore runs with speculation off (Spark's default)
+    * and relies on the nightly reconcile's count MISMATCH to surface the
+    * rare double-commit; at-least-once + attempt atomicity + detection
+    * is the standard JDBC-sink posture.
     */
   private def transactionalPartition[T](rows: Iterator[T],
       connect: () => (String => Unit, () => Unit))(

@@ -26,10 +26,20 @@ trait PageFetcher extends Serializable {
 /** `java.net.http` fetcher — the production default. */
 class HttpPageFetcher extends PageFetcher {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-  override def fetch(url: String): String =
-    client.send(
+  override def fetch(url: String): String = {
+    val resp = client.send(
       java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    // A non-2xx page MUST be an error, not data: a 503/429 body parses as
+    // a bundle with no entries, and an "empty" page would flow into the
+    // full-outer diff as mass DELETEs — a transient hiccup becoming data
+    // loss. Raising IOException routes it into fetchWithRetry's transient
+    // scope (status-coded failures ARE the dominant transient mode).
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} fetching $url: ${resp.body().take(200)}")
+    resp.body()
+  }
 }
 
 /** DataSource V2 FHIR-search source (`format("blaze")`): one

@@ -79,6 +79,9 @@ class PlanSpec extends AnyFunSuite {
     }.flatten
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      // queries whose CONSTRUCTION runs jobs (GlobalRank) register caches;
+      // drain per iteration or they pile up for the whole suite run
+      graft.util.QueryCaches.drain()
       fileScans(plan).foreach { f =>
         val table = f.relation.location.rootPaths.headOption
           .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
@@ -268,14 +271,20 @@ class PlanSpec extends AnyFunSuite {
     // replaced) nor a per-partition-id ranking window (an extra shuffle
     // of the full relation). Checked structurally, not on plan text.
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.window.WindowExec
+    // recurse into cached plans too: GlobalRank persists nearly the whole
+    // upstream of these queries, so a window reintroduced above the cache
+    // would be invisible to a non-recursive sweep
     def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
       case w: WindowExec => Seq(w)
       case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
     }.flatten
     Seq("q121_zorder_audit", "q110_vocab_build").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
+      graft.util.QueryCaches.drain()
       assert(wins.isEmpty,
         s"$name: unexpected Window stage(s):\n${wins.mkString("\n")}")
     }
