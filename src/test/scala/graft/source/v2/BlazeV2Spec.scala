@@ -123,6 +123,52 @@ class BlazeV2Spec extends AnyFunSuite {
     assert(msgs.contains("after 2 attempts"), s"expected bounded-retry failure, got: $msgs")
   }
 
+  test("HttpPageFetcher: non-2xx raises IOException (retryable), 2xx returns the body") {
+    // A real localhost server (JDK built-in, zero egress): first request
+    // per URL answers 503 with an OperationOutcome-ish body, then 200.
+    // Without the status guard the 503 body would parse as an entry-less
+    // bundle and flow downstream as mass DELETEs.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    server.createContext("/", { exchange =>
+      val key = exchange.getRequestURI.toString
+      val n: Int = hits.merge(key, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      val (code, body) =
+        if (n == 1) (503, """{"resourceType":"OperationOutcome","issue":[]}""")
+        else if (key.contains("_count=0"))
+          (200, """{"resourceType":"Bundle","type":"searchset","total":3}""")
+        else (200,
+          """{"resourceType":"Bundle","type":"searchset","total":3,"entry":[
+            |{"resource":{"id":"h1","meta":{"versionId":"1"},"resourceType":"Patient"}},
+            |{"resource":{"id":"h2","meta":{"versionId":"1"},"resourceType":"Patient"}},
+            |{"resource":{"id":"h3","meta":{"versionId":"1"},"resourceType":"Patient"}}]}"""
+            .stripMargin)
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(code, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // direct: the 503 must surface as IOException, not as a body
+      val e = intercept[java.io.IOException](
+        new HttpPageFetcher().fetch(s"$base/fresh-url"))
+      assert(e.getMessage.contains("HTTP 503"), e.getMessage)
+      // end-to-end through the DSv2 source + in-reader retry: every URL's
+      // first 503 is retried transparently and all rows arrive
+      val df = spark.read.format("blaze")
+        .option("baseUrl", base)
+        .option("resourceType", "Patient")
+        .option("pageSize", "10")
+        .option("retries", "3")
+        .option("retryBackoffMs", "1")
+        .load()
+      assert(df.count() === 3)
+    } finally server.stop(0)
+  }
+
   test("fetchWithRetry backs off with doubling delays between attempts") {
     val delays = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0
