@@ -46,7 +46,11 @@ object Analytic {
   /** q66 — unpivot (melt wide→long): Spark's native `unpivot` plans an
     * Expand — each input row is replicated once per value column map-side,
     * no shuffle until the downstream aggregate. The schema-on-read
-    * alternative to storing long-format metrics.
+    * alternative to storing long-format metrics. Values are quantized to
+    * exact integer cents PER ROW before summing (round(sum(double)) is
+    * order-sensitive at the ulp level — Spark's partial-merge order vs
+    * DuckDB's scan order — and this module's determinism contract bans
+    * float reductions the gate hashes).
     */
   private val q66: Q = (s, dir) =>
     Tables.part(s, dir)
@@ -55,11 +59,14 @@ object Analytic {
       .unpivot(Array(col("p_partkey")),
         Array(col("p_size"), col("p_retailprice")), "metric", "val")
       .groupBy("metric")
-      .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("val") * 100).cast("long")).cast("double") / 100)
+          .as("total"))
       .orderBy("metric")
 
   private val q66Sql =
-    """SELECT metric, CAST(count(*) AS BIGINT) AS n, round(sum(val),2) AS total
+    """SELECT metric, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(val*100) AS BIGINT)) AS DOUBLE)/100 AS total
       |FROM (
       |  SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
       |  UNION ALL
@@ -173,17 +180,21 @@ object Analytic {
       .toDF("lo", "hi", "band")
     val buckets = bands.select(col("band"),
       explode(sequence(col("lo"), col("hi") - 1)).as("p_size"))
+    // exact integer cents summed, ONE division at the end: avg(double) is
+    // an order-sensitive reduction the determinism contract bans
     Tables.part(s, dir)
       .join(broadcast(buckets), "p_size")
       .groupBy("band")
       .agg(count(lit(1)).as("n_parts"),
-        round(avg("p_retailprice"), 4).as("avg_price"))
+        (sum(floor(col("p_retailprice") * 100).cast("long")).cast("double") /
+          (count(lit(1)) * 100)).as("avg_price"))
       .orderBy("band")
   }
 
   private val q73Sql =
     """SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
-      |       round(avg(p_retailprice),4) AS avg_price
+      |  CAST(sum(CAST(floor(p_retailprice*100) AS BIGINT)) AS DOUBLE)
+      |    / (count(*) * 100) AS avg_price
       |FROM part
       |JOIN (VALUES (0,10,'small'),(10,25,'medium'),(25,51,'large')) AS b(lo,hi,band)
       |  ON p_size >= lo AND p_size < hi

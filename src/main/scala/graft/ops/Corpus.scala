@@ -155,10 +155,15 @@ object Corpus {
       .withColumn("lo", array_min(col("v")))
       .withColumn("hi", array_max(col("v")))
       .withColumn("scale", (col("hi") - col("lo")) / 255)
+      // hi = lo (a constant vector) makes scale 0 and (x-lo)/scale = 0/0:
+      // Spark would yield NaN→CAST 0 while DuckDB yields NULL (or raises,
+      // depending on build) — and the TRUE reconstruction error of a
+      // constant vector is exactly 0, so say so explicitly on both sides
       .withColumn("err_units", expr(
-        """aggregate(v, CAST(0 AS BIGINT), (acc, x) ->
+        """CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE
+          |aggregate(v, CAST(0 AS BIGINT), (acc, x) ->
           |  acc + CAST(round(abs(x - (lo + round((x - lo) / scale) * scale))
-          |             * 1e7) AS BIGINT))""".stripMargin))
+          |             * 1e7) AS BIGINT)) END""".stripMargin))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), sum("err_units").as("sum_err_units"))
       .orderBy("label")
@@ -166,10 +171,11 @@ object Corpus {
   private val q74Sql =
     """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
       |b AS (SELECT label, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
-      |c AS (SELECT label, CAST(list_sum(list_transform(v, x ->
+      |c AS (SELECT label, CASE WHEN hi = lo THEN 0 ELSE
+      |  CAST(list_sum(list_transform(v, x ->
       |    CAST(round(abs(x - (lo + round((x - lo) / ((hi - lo) / 255))
       |               * ((hi - lo) / 255))) * 1e7) AS BIGINT)))
-      |  AS BIGINT) AS err_units
+      |  AS BIGINT) END AS err_units
       |  FROM b)
       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(sum(err_units) AS BIGINT) AS sum_err_units
@@ -351,26 +357,11 @@ object Corpus {
       .orderBy("doc_a", "doc_b")
   }
 
+  // the pipeline prefix comes verbatim from TextDedup.minhashVerifyCtes —
+  // the Spark side reuses TextDedup.minhashSignatures/verifiedPairs, so
+  // the oracle must reuse the same SQL or the hash family could drift
   private val q78Sql =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(words) < 3 THEN [] ELSE
-      |    list_transform(generate_series(1, len(words)-2), i ->
-      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
-      |  FROM w),
-      |us AS (SELECT doc_id,
-      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (SELECT doc_id,
-      |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
-      |  FROM us),
-      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
-      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |  FROM bands a JOIN bands c
-      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+    s"""WITH ${TextDedup.minhashVerifyCtes}
       |SELECT doc_a, doc_b,
       |  len(list_filter(generate_series(1,8), j -> qa.mh[j] = qb.mh[j]))::DOUBLE / 8
       |    AS mh_est,
@@ -498,8 +489,9 @@ object Corpus {
   private val q87Sql =
     """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
       |k AS (SELECT DISTINCT digest FROM d WHERE doc_id % 2 = 0)
-      |SELECT doc_id, digest FROM d
-      |WHERE doc_id % 2 <> 0 AND digest NOT IN (SELECT digest FROM k)
+      |SELECT d.doc_id, d.digest FROM d
+      |WHERE d.doc_id % 2 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM k WHERE k.digest = d.digest)
       |ORDER BY doc_id""".stripMargin
 
   /** q88 — equi-depth length bucketing: quartile boundaries from one

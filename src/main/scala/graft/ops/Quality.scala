@@ -48,20 +48,25 @@ object Quality {
 
   /** q99 — per-document word-distribution Shannon entropy (bits): a
     * low-entropy document is boilerplate/spam; a training-data filter
-    * staple. Entirely map-side: counts come from higher-order functions
-    * over the words array, each term is integer-quantized before the
-    * per-document sum, so no shuffle and no float-order sensitivity.
+    * staple. Per-word counts come from explode → codegen'd groupBy (the
+    * q100 discipline: the earlier distinct×filter lambda form was
+    * O(distinct_words × words) per document AND ran interpreted — one
+    * multi-megabyte document makes it the tail hotspot); each entropy
+    * term is integer-quantized per distinct word before the per-document
+    * sum, so summation order cannot perturb the result and the oracle's
+    * list-based evaluation matches bit-for-bit.
     */
   private val q99: Q = (s, dir) =>
     Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
-        expr(
-          """aggregate(
-            |  transform(array_distinct(words), w -> size(filter(words, x -> x = w))),
-            |  0L,
-            |  (acc, c) -> acc + CAST(round(-1.0D * (CAST(c AS DOUBLE) / size(words)) * log2(CAST(c AS DOUBLE) / size(words)) * 1e7) AS BIGINT))"""
-            .stripMargin).as("ent_q"))
+        explode(col("words")).as("w"))
+      .groupBy("doc_id", "n_words", "w").agg(count(lit(1)).as("c"))
+      .withColumn("term", expr(
+        """CAST(round(-1.0D * (CAST(c AS DOUBLE) / n_words)
+          |  * log2(CAST(c AS DOUBLE) / n_words) * 1e7) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(max("n_words").as("n_words"), sum("term").as("ent_q"))
       .select(col("doc_id"), col("n_words"),
         (col("ent_q").cast("double") / lit(1e7)).as("entropy"))
       .orderBy("doc_id")

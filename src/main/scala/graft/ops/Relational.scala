@@ -91,16 +91,22 @@ object Relational {
     import s.implicits._
     val bands = Seq((0, 10, "small"), (10, 25, "medium"), (25, 51, "large"))
       .toDF("lo", "hi", "band")
+    // exact integer cents summed, one division at the end — avg(double)
+    // is an order-sensitive float reduction (Spark's partial-merge order
+    // vs DuckDB's scan order) that the determinism contract bans
     Tables.part(s, dir)
       .join(broadcast(bands), col("p_size") >= col("lo") && col("p_size") < col("hi"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_parts"),
-        round(avg("p_retailprice"), 4).as("avg_price"))
+        (sum(floor(col("p_retailprice") * 100).cast("long")).cast("double") /
+          (count(lit(1)) * 100)).as("avg_price"))
       .orderBy("band")
   }
 
   private val q22Sql =
-    """SELECT band, count(*) AS n_parts, round(avg(p_retailprice),4) AS avg_price
+    """SELECT band, count(*) AS n_parts,
+      |  CAST(sum(CAST(floor(p_retailprice*100) AS BIGINT)) AS DOUBLE)
+      |    / (count(*) * 100) AS avg_price
       |FROM part
       |JOIN (VALUES (0,10,'small'),(10,25,'medium'),(25,51,'large')) AS b(lo,hi,band)
       |  ON p_size >= lo AND p_size < hi

@@ -134,8 +134,14 @@ object TextDedup {
 
   private val q41: Q = (s, dir) => candPairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private val q41Sql =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+  /** The MinHash pipeline's oracle CTE chain (words → shingles → 31-bit
+    * base hash → 8-hash affine signatures → 4 bands) — ONE definition,
+    * interpolated into every oracle that replays the pipeline (q41, q41b,
+    * q56 here; q78 in [[Corpus]]), so the hash family cannot silently
+    * drift between a query's copy and the Spark implementation.
+    */
+  private[ops] val minhashCtes: String =
+    """w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(words) < 3 THEN [] ELSE
       |    list_transform(generate_series(1, len(words)-2), i ->
@@ -149,11 +155,24 @@ object TextDedup {
       |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
       |  FROM us),
       |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
-      |  FROM sig, unnest(generate_series(0,3)) AS t(b))
-      |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |FROM bands a JOIN bands c
-      |  ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM sig, unnest(generate_series(0,3)) AS t(b))""".stripMargin
+
+  /** [[minhashCtes]] + candidate pairs + distinct shingle sets — the
+    * verification stage's shared oracle prefix.
+    */
+  private[ops] val minhashVerifyCtes: String =
+    s"""$minhashCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)""".stripMargin
+
+  private val q41Sql =
+    s"""WITH $minhashCtes
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM bands a JOIN bands c
+       |  ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q41b — LSH candidate VERIFICATION: the canonical second stage of the
     * MinHash pipeline. The band join over-generates (collisions); here each
@@ -188,32 +207,14 @@ object TextDedup {
     graft.util.QueryCaches.tracked(verifiedPairs(s, dir)).orderBy("doc_a", "doc_b")
 
   private val q41bSql =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(words) < 3 THEN [] ELSE
-      |    list_transform(generate_series(1, len(words)-2), i ->
-      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
-      |  FROM w),
-      |us AS (SELECT doc_id,
-      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (SELECT doc_id,
-      |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
-      |  FROM us),
-      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
-      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |  FROM bands a JOIN bands c
-      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
-      |SELECT doc_a, doc_b,
-      |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
-      |    AS jaccard
-      |FROM cand JOIN sets sa ON sa.doc_id = doc_a
-      |          JOIN sets sb ON sb.doc_id = doc_b
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $minhashVerifyCtes
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |    AS jaccard
+       |FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |          JOIN sets sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q42 — SimHash: 16-bit fingerprint from per-word md5 bit votes. Entirely
     * map-side (no shuffle until the final orderBy): each word hashed once,
@@ -584,26 +585,8 @@ object TextDedup {
   }
 
   private val q56Sql =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(words) < 3 THEN [] ELSE
-      |    list_transform(generate_series(1, len(words)-2), i ->
-      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
-      |  FROM w),
-      |us AS (SELECT doc_id,
-      |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS us
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (SELECT doc_id,
-      |  list_transform(generate_series(0,7), j ->
-      |    list_min(list_transform(us, u -> ((2*j+3) * u + 7919 * (j+1)) % 2147483647))) AS mh
-      |  FROM us),
-      |bands AS (SELECT doc_id, b, mh[2*b+1]::VARCHAR || ':' || mh[2*b+2]::VARCHAR AS bh
-      |  FROM sig, unnest(generate_series(0,3)) AS t(b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |  FROM bands a JOIN bands c
-      |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-      |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+    s"""WITH RECURSIVE
+      |$minhashVerifyCtes,
       |edges AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT doc_a, doc_b,
