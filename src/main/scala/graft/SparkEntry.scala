@@ -28,7 +28,8 @@ object SparkEntry {
       ops.TextDedup.all ++ ops.Similarity.all ++ ops.TextStats.all ++
       ops.Multimodal.all ++ ops.AsOf.all ++ ops.Analytic.all ++
       ops.Corpus.all ++ ops.Behavioral.all ++ ops.Quality.all ++
-      ops.Layout.all ++ ops.MerkleDiff.all ++ ops.CorpusPrep.all
+      ops.Layout.all ++ ops.MerkleDiff.all ++ ops.CorpusPrep.all ++
+      ops.Stats.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
@@ -37,5 +38,5 @@ object SparkEntry {
       ops.TextStats.oracle ++ ops.Multimodal.oracle ++ ops.AsOf.oracle ++
       ops.Analytic.oracle ++ ops.Corpus.oracle ++ ops.Behavioral.oracle ++
       ops.Quality.oracle ++ ops.Layout.oracle ++ ops.MerkleDiff.oracle ++
-      ops.CorpusPrep.oracle
+      ops.CorpusPrep.oracle ++ ops.Stats.oracle
 }

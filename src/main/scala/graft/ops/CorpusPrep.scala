@@ -257,17 +257,73 @@ object CorpusPrep {
       |WHERE df >= 5 AND df * 5 <= nd * 4
       |ORDER BY token_id""".stripMargin
 
+  /** q134 — duplicated-passage mass per document: split each doc into
+    * aligned 20-word passages (stride = window, no overlap), hash each
+    * passage, and report per doc how many of its passages also occur in
+    * at least one OTHER document — the corpus statistic that decides
+    * whether passage-level dedup (vs document-level q40 / pairwise q109)
+    * is worth running before training. Same hash discipline as q109: md5
+    * once per WORD, the passage hash is the codegen'd rolling-polynomial
+    * combine of its 20 word hashes — no per-passage string build, no
+    * higher-order-function lambdas in the hot path. The passage relation
+    * is persisted pre-partitioned on the gram so the distinct, the
+    * document-frequency aggregate, and the join back all read one
+    * exchange; per-doc totals are one further narrow shuffle on doc_id.
+    * No pair join exists anywhere — cost is linear in corpus size, so
+    * (unlike q109's df-capped pair retrieval) this audit runs safely over
+    * the full 100 TB corpus.
+    */
+  private val q134: Q = (s, dir) => {
+    val p = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("wh", expr("transform(split(text, ' '), " +
+          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
+        .select(col("doc_id"), col("wh"), explode(expr(
+          "CASE WHEN size(wh) < 20 THEN array() " +
+            "ELSE sequence(1, size(wh) - 19, 20) END")).as("i"))
+        .select(col("doc_id"),
+          expr(rollingGram(20, j => s"element_at(wh, i + $j)")).as("gram"))
+        .repartition(col("gram")))
+    val docFreq = p.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+    p.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        (col("n_dup_passages").cast("double") / col("n_passages"))
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  private val q134Sql =
+    s"""WITH w AS (SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS wh FROM documents),
+      |p AS (SELECT doc_id, unnest(CASE WHEN len(wh) < 20 THEN [] ELSE
+      |    list_transform(generate_series(1, len(wh)-19, 20), i ->
+      |      ${rollingGram(20, j => if (j == 0) "wh[i]" else s"wh[i + $j]")}) END) AS gram FROM w),
+      |dfx AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM
+      |  (SELECT DISTINCT doc_id, gram FROM p) GROUP BY 1),
+      |agg AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+      |  CAST(sum(CASE WHEN dfx.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+      |  FROM p JOIN dfx USING (gram) GROUP BY 1)
+      |SELECT doc_id, n_passages, n_dup_passages,
+      |  CAST(n_dup_passages AS DOUBLE) / n_passages AS dup_fraction
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
     "q108_pmi_colloc" -> q108,
     "q109_substring_pairs" -> q109,
-    "q110_vocab_build" -> q110)
+    "q110_vocab_build" -> q110,
+    "q134_dup_passage" -> q134)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
     "q107_chunk_split" -> q107Sql,
     "q108_pmi_colloc" -> q108Sql,
     "q109_substring_pairs" -> q109Sql,
-    "q110_vocab_build" -> q110Sql)
+    "q110_vocab_build" -> q110Sql,
+    "q134_dup_passage" -> q134Sql)
 }

@@ -708,7 +708,99 @@ object Similarity {
        |  FROM tbest) u
        |ORDER BY variant""".stripMargin
 
+  /** q133 — product-quantization assignment: the vector-compression step
+    * between the IVF coarse quantizer (q53/q126) and a shipped ANN index.
+    * The 64-dim vector splits into 4 contiguous 16-dim subvectors; each
+    * subvector is assigned to the nearest of 4 per-subspace codebook
+    * centroids (PQ with m=4, k=4 ⇒ 8 bits per vector instead of 256
+    * bytes), and the summed residual is the reconstruction error that
+    * sizes the recall loss before deployment.
+    *
+    * Cross-engine determinism: the codebook is computed ONCE in Scala
+    * (md5-seeded, [[pqCent]]) and inlined as identical double literals in
+    * both plans (shortest-roundtrip decimal ⇒ both parsers recover the
+    * same bits). Each squared per-dimension residual is quantized to a
+    * BIGINT (round(d²·1e9)) BEFORE summing, so subspace distances are
+    * exact integers and the argmin is a pure integer CASE with a
+    * first-min tie break — no float comparison anywhere.
+    *
+    * Scale shape: wholly map-side — the codebook is a compile-time
+    * constant (a TRAINED codebook would be a ≤ m·k-row broadcast, the
+    * q124/q126 pattern), and the assignment runs through the native
+    * [[graft.functions.PqAssign]] expression: three nested primitive
+    * loops inside whole-stage codegen. The first cut unrolled all 256
+    * distance terms into one projection, which blew the JVM's 64 KB
+    * method limit — whole-stage codegen failed to compile and the stage
+    * silently ran interpreted (the r5 LSH trap, caught by the write-path
+    * WARN scan). The only ordering is the declared output sort; zero
+    * shuffles before it: this runs over 100 TB of vectors as one
+    * embarrassingly parallel pass.
+    */
+  private def pqCent(m: Int, c: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq${m}_${c}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = Integer.parseInt(hex.substring(0, 4), 16)
+    (h % 1000 - 500) / 2000.0
+  }
+
+  /** Unrolled integer-quantized squared L2 distance from subvector `m` to
+    * codebook entry `c`; `vj` renders 1-based vector indexing per engine,
+    * so the Spark plan and the DuckDB oracle share one definition.
+    */
+  private def pqDist(m: Int, c: Int, vj: Int => String): String =
+    (0 until 16).map { j =>
+      val cent = pqCent(m, c, j)
+      val d = s"(${vj(16 * m + j + 1)} - ($cent))"
+      s"CAST(round($d * $d * 1e9) AS BIGINT)"
+    }.mkString(" + ")
+
+  private def pqCode(m: Int, dc: Int => String): String =
+    s"""CASE WHEN ${dc(0)} <= ${dc(1)} AND ${dc(0)} <= ${dc(2)} AND ${dc(0)} <= ${dc(3)} THEN 0
+       |  WHEN ${dc(1)} <= ${dc(2)} AND ${dc(1)} <= ${dc(3)} THEN 1
+       |  WHEN ${dc(2)} <= ${dc(3)} THEN 2 ELSE 3 END""".stripMargin
+
+  /** Flattened codebook literal, laid out `(subspace·k + centroid)·subDim
+    * + dim` per [[graft.functions.PqAssign]]'s contract; shortest-roundtrip
+    * double rendering keeps it bit-identical to the oracle's inlined
+    * centroids.
+    */
+  private val pqCodebookSql: String =
+    (for (m <- 0 until 4; c <- 0 until 4; j <- 0 until 16)
+      yield s"${pqCent(m, c, j)}D").mkString("array(", ", ", ")")
+
+  private val q133: Q = (s, dir) =>
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        expr(s"pq_assign($vd, $pqCodebookSql, 4, 4)").as("pq"))
+      .select(col("vec_id"),
+        expr("CAST(element_at(pq, 1) AS INT)").as("code0"),
+        expr("CAST(element_at(pq, 2) AS INT)").as("code1"),
+        expr("CAST(element_at(pq, 3) AS INT)").as("code2"),
+        expr("CAST(element_at(pq, 4) AS INT)").as("code3"),
+        expr("element_at(pq, 5)").as("err_q"))
+      .orderBy("vec_id")
+
+  private val q133Sql = {
+    val dcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"CAST(embedding[$i] AS DOUBLE)")} AS d_${m}_$c")
+      .mkString(",\n  ")
+    val codes = (0 until 4).map(m =>
+      s"${pqCode(m, c => s"d_${m}_$c")} AS code$m").mkString(",\n  ")
+    val errs = (0 until 4)
+      .map(m => s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT vec_id,
+       |  $dcols
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $codes,
+       |  $errs AS err_q
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
     "q127_ann_recall_trained" -> q127,
@@ -725,6 +817,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,
     "q127_ann_recall_trained" -> q127Sql,

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.source.Tables
+import graft.util.SqlArith
+
+/** Distributed statistical modeling over exact integer sufficient
+  * statistics — the q112 discipline (quantize once, aggregate BIGINT
+  * moments, derive float results with one identical IEEE expression on
+  * both engines) extended from z-scores to regression, correlation, and
+  * robust (median-based) outlier detection.
+  *
+  * Why moments and not `regr_slope`/`corr`/`stddev`: the built-in float
+  * aggregates accumulate in partition order, so their last-ulp value is
+  * nondeterministic across engines AND across runs. Integer moments are
+  * associative-exact (any partition order sums to the same BIGINT), and
+  * the finishing arithmetic is a fixed sequence of IEEE-754 double ops
+  * that both engines evaluate bit-identically from exactly-representable
+  * inputs (every moment here is < 2^53). The derived doubles are emitted
+  * UNROUNDED — per the round-3 lesson, rounding is what introduces
+  * cross-engine divergence when the doubles are already bit-equal.
+  *
+  * Scale shape: each query is one map-side-combinable groupBy over a
+  * low-cardinality key (event_type / lang) — a partial-aggregate shuffle
+  * of a handful of rows — plus, for q135, two exact-median passes and a
+  * broadcast-sized join back. Nothing is collected; nothing is quadratic.
+  */
+object Stats {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q131 — per-event-type OLS trend: slope/intercept/R² of `value`
+    * regressed on event time (minutes since 2024-01-01), the drift
+    * detector every metrics pipeline runs. Sufficient statistics
+    * n/Σx/Σy/Σx²/Σy²/Σxy are exact BIGINTs: x is an integer minute offset
+    * (envelope-guarded to |x| ≤ 2e6 ≈ 3.8 years, so x² ≤ 4e12) and y is
+    * `value` quantized to 0.001 (|value| ≤ 3000 guard ⇒ y² ≤ 9e12, as in
+    * q112). The guards bound the PER-ROW terms; Σx²/Σy² can still exceed
+    * 2⁶³ once a group holds ~2.3e6 max-magnitude rows — a deployment at
+    * that scale widens the moment sums to DECIMAL(38,0). The coefficient
+    * arithmetic runs in DOUBLE (moments < 2^53 cast exactly; products
+    * round identically on both engines), and the degenerate zero-variance
+    * group is excluded by the same double predicate on both sides.
+    */
+  private val q131: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(
+      col("event_type"),
+      expr(s"""CASE WHEN abs(${SqlArith.floorDiv("unix_micros(ts)", 60000000L)} - 28401120L) <= 2000000
+              |  THEN ${SqlArith.floorDiv("unix_micros(ts)", 60000000L)} - 28401120L
+              |  ELSE CAST(raise_error('q131: ts outside minute-offset envelope') AS BIGINT)
+              |END""".stripMargin).as("x"),
+      expr("""CASE WHEN abs(value) <= 3000
+             |  THEN CAST(round(value * 1000) AS BIGINT)
+             |  ELSE CAST(raise_error('q131: value outside quantization envelope (|value| > 3000)') AS BIGINT)
+             |END""".stripMargin).as("y"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+        sum(expr("x*y")).as("sxy"))
+      .withColumn("detx", expr(
+        "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)"))
+      .withColumn("dety", expr(
+        "CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .withColumn("cov", expr(
+        "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .filter(col("detx") > 0 && col("dety") > 0)
+      .select(col("event_type"), col("n"),
+        (col("cov") / col("detx")).as("slope"),
+        ((col("sy").cast("double") - (col("cov") / col("detx")) * col("sx").cast("double"))
+          / col("n")).as("intercept"),
+        (col("cov") * col("cov") / (col("detx") * col("dety"))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  private val q131Sql = {
+    val x = s"""CASE WHEN abs(epoch_us(ts) // 60000000 - 28401120) <= 2000000
+               |  THEN epoch_us(ts) // 60000000 - 28401120
+               |  ELSE CAST(error('q131: ts outside minute-offset envelope') AS BIGINT) END""".stripMargin
+    s"""WITH ev AS (SELECT event_type, $x AS x,
+      |  CASE WHEN abs(value) <= 3000 THEN CAST(round(value*1000) AS BIGINT)
+      |       ELSE CAST(error('q131: value outside quantization envelope (|value| > 3000)') AS BIGINT)
+      |  END AS y FROM events),
+      |m AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+      |  CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
+      |  FROM ev GROUP BY 1),
+      |d AS (SELECT *,
+      |  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS detx,
+      |  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dety,
+      |  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov
+      |  FROM m)
+      |SELECT event_type, n, cov/detx AS slope,
+      |  (CAST(sy AS DOUBLE) - (cov/detx)*CAST(sx AS DOUBLE))/n AS intercept,
+      |  cov*cov/(detx*dety) AS r2
+      |FROM d WHERE detx > 0 AND dety > 0
+      |ORDER BY event_type""".stripMargin
+  }
+
+  /** q132 — per-language Pearson correlation between document length in
+    * characters and in words (the feature-redundancy check run before
+    * picking quality-filter thresholds). Both variables are already exact
+    * integers, so the moments need no quantization step; the correlation
+    * is the one IEEE expression `cov / sqrt(detx·dety)` from BIGINT casts.
+    * One partial-aggregate shuffle on `lang`; wholly map-side before it.
+    */
+  private val q132: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+        sum(expr("x*y")).as("sxy"))
+      .withColumn("detx", expr(
+        "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)"))
+      .withColumn("dety", expr(
+        "CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .withColumn("cov", expr(
+        "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .filter(col("detx") > 0 && col("dety") > 0)
+      .select(col("lang"), col("n"),
+        (col("cov") / sqrt(col("detx") * col("dety"))).as("chars_words_corr"))
+      .orderBy("lang")
+
+  private val q132Sql =
+    """WITH m AS (SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sx,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sy,
+      |  CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx,
+      |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    * len(string_split(text, ' '))) AS BIGINT) AS syy,
+      |  CAST(sum(n_chars * len(string_split(text, ' '))) AS BIGINT) AS sxy
+      |  FROM documents GROUP BY 1),
+      |d AS (SELECT *,
+      |  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS detx,
+      |  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dety,
+      |  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov
+      |  FROM m)
+      |SELECT lang, n, cov/sqrt(detx*dety) AS chars_words_corr
+      |FROM d WHERE detx > 0 AND dety > 0
+      |ORDER BY lang""".stripMargin
+
+  /** q135 — robust outlier detection per event type: median + MAD (median
+    * absolute deviation) instead of mean + stddev, so a heavy tail cannot
+    * inflate its own threshold (the data-cleaning failure mode of q112's
+    * z-score). `value` quantized to 0.001 once; both medians are exact
+    * `percentile_disc` aggregates over BIGINTs (the q95-proven
+    * Spark ⇄ DuckDB `quantile_disc` pair), the deviation is integer
+    * subtraction, and the outlier predicate `dev > 3·MAD` is an integer
+    * comparison — no float enters the query at all. Two grouped exact
+    * medians + one broadcast-sized join back to the rows; at 100 TB the
+    * exact median swaps for `approx_percentile` (t-digest) with the same
+    * query shape, the trade q59 documents.
+    */
+  private val q135: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("q"))
+      .createOrReplaceTempView("events_q135")
+    s.sql(
+      """WITH med AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY q) AS BIGINT) AS med_q
+        |  FROM events_q135 GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.q - m.med_q) AS dev
+        |  FROM events_q135 e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT) AS mad_q
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, m2.med_q, m1.mad_q,
+        |  CAST(sum(CASE WHEN d.dev > 3 * m1.mad_q THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d
+        |JOIN mad m1 ON d.event_type = m1.event_type
+        |JOIN med m2 ON d.event_type = m2.event_type
+        |GROUP BY d.event_type, m2.med_q, m1.mad_q
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  private val q135Sql =
+    """WITH ev AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS q
+      |  FROM events),
+      |med AS (SELECT event_type, CAST(quantile_disc(q, 0.5) AS BIGINT) AS med_q
+      |  FROM ev GROUP BY 1),
+      |dev AS (SELECT e.event_type, abs(e.q - m.med_q) AS dev
+      |  FROM ev e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_q
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, m2.med_q, m1.mad_q,
+      |  CAST(sum(CASE WHEN d.dev > 3 * m1.mad_q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d
+      |JOIN mad m1 USING (event_type)
+      |JOIN med m2 USING (event_type)
+      |GROUP BY d.event_type, m2.med_q, m1.mad_q
+      |ORDER BY event_type""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q131_ols_trend" -> q131,
+    "q132_corr_moments" -> q132,
+    "q135_mad_outliers" -> q135)
+
+  val oracle: Map[String, String] = Map(
+    "q131_ols_trend" -> q131Sql,
+    "q132_corr_moments" -> q132Sql,
+    "q135_mad_outliers" -> q135Sql)
+}

@@ -298,4 +298,31 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
       s"expected whole-stage-codegen *(n) spans in:\n$p")
   }
+
+  test("q131/q132: moment aggregation is partial then final (map-side combine)") {
+    for (q <- Seq("q131_ols_trend", "q132_corr_moments")) {
+      val p = planString(SparkEntry.queries(q)(spark, dir))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: expected partial+final hash aggregate for the moment sums in:\n$p")
+      assert(!p.contains("Window"), s"$q: no window should appear in:\n$p")
+    }
+  }
+
+  test("q133: assignment is the native pq_assign expression, no UDF, no pre-sort shuffle") {
+    val p = planString(SparkEntry.queries("q133_pq_assign")(spark, dir))
+    assert(p.contains("pq_assign"), s"expected native pq_assign in:\n$p")
+    assert(!p.contains("UDF"), s"no scala UDF should appear in:\n$p")
+    // map-side until the declared output sort: exactly the sort's range
+    // exchange and spread's round-robin may appear, nothing hash-keyed
+    assert(!p.contains("hashpartitioning"),
+      s"q133 must not shuffle on any key before the output sort:\n$p")
+  }
+
+  test("q134: passage relation is gram-partitioned once; df join is an equi-join") {
+    val p = planString(SparkEntry.queries("q134_dup_passage")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"df join must stay an equi-join on the passage gram:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"passage relation must be persisted once, not recomputed per side:\n$p")
+  }
 }
