@@ -411,6 +411,65 @@ object Similarity {
   private val q57: Q = (s, dir) =>
     bucketNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
 
+  /** q136 — bounded k-NN graph over the whole corpus: every vector's top-3
+    * in-bucket neighbors by cosine — the adjacency structure behind
+    * graph-based semantic dedup (q129 consumes threshold edges of the same
+    * join), diversity sampling, and label propagation. Pair generation is
+    * q57's hash-bounded equi-join on the 16-way hyperplane bucket (both
+    * directions here, since each vector ranks its own neighbors; bucket
+    * signatures computed once via the tracked cache). Per-vector top-k is
+    * the bounded [[graft.functions.TopKByScore]] partial+final aggregation
+    * — the shuffle after scoring carries at most k rows per (vector,
+    * map task), never a ranking window over every scored pair. Recall
+    * tunes the documented q46/q57 way: more planes shrink blocks, probing
+    * neighbor buckets raises recall at linear extra cost. Vectors alone in
+    * their bucket have no in-bucket neighbors and are absent by definition
+    * on both engines.
+    */
+  private val q136: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      // NOT pre-partitioned by the bounded 16-way bucket (q44's note:
+      // would cap parallelism and bypass AQE skew-splitting)
+      .transform(graft.util.QueryCaches.tracked)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+        round(expr(cosExpr("a.v", "b.v")), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(topk(col("cs"), col("nb")).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val q136Sql =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, round($duckCos, 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** q129 — embedding-dedup cluster resolution: the survivor-selection
     * stage over q57's verified near-dup pairs, the same composition q56
     * runs on the text side — connected components (min-label propagation
@@ -800,6 +859,7 @@ object Similarity {
   }
 
   val all: Map[String, Q] = Map(
+    "q136_knn_graph" -> q136,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -817,6 +877,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_knn_graph" -> q136Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

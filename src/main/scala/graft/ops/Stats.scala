@@ -195,13 +195,73 @@ object Stats {
       |GROUP BY d.event_type, m2.med_q, m1.mad_q
       |ORDER BY event_type""".stripMargin
 
+  /** Shared finishing arithmetic for q137's 2×2 chi-square: one identical
+    * expression string on both engines (same parse, same precedence, same
+    * IEEE-754 sequence over exactly-representable BIGINT casts), with the
+    * squared term staged through a named column so neither engine goes
+    * near `pow` (libm pow is NOT guaranteed bit-identical across
+    * implementations; `dd * dd` is one exactly-rounded multiply).
+    */
+  private val chi2Num =
+    "CAST(n_a AS DOUBLE) * CAST(tot_b - n_b AS DOUBLE) - CAST(n_b AS DOUBLE) * CAST(tot_a - n_a AS DOUBLE)"
+  private val chi2Expr =
+    "CAST(tot_a + tot_b AS DOUBLE) * (dd * dd) / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_a + tot_b - n_a - n_b AS DOUBLE) * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))"
+
+  /** q137 — token-distribution drift between two corpus snapshots: the 2×2
+    * chi-square statistic per token, the audit run before mixing a new
+    * crawl into the training corpus (a token whose rate shifts sharply
+    * between snapshots flags scraper drift, spam bursts, or template
+    * changes). The "snapshots" are the deterministic doc_id-parity halves
+    * (a real deployment keys halves by crawl date — same plan); counts are
+    * exact BIGINTs from one explode + one partial-aggregate shuffle on
+    * token; the corpus totals are a 1-row broadcast (scalar crossJoin, the
+    * q70/q130 pattern); the statistic is one shared IEEE expression
+    * ([[chi2Expr]]) over exact integer inputs. The all-tokens degenerate
+    * row (denominator zero) is excluded by the same integer predicate on
+    * both engines. Linear, two narrow shuffles, no row ever leaves its
+    * token group — safe over the full corpus.
+    */
+  private val q137: Q = (s, dir) => {
+    val tok = Tables.spread(Tables.documents(s, dir))
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cnt = tok.groupBy("token").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = cnt.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    cnt.crossJoin(broadcast(tot)) // scalar broadcast: 1-row totals
+      .filter(expr("n_a + n_b < tot_a + tot_b"))
+      .withColumn("dd", expr(chi2Num))
+      .select(col("token"), col("n_a"), col("n_b"),
+        expr(chi2Expr).as("chi2"))
+      .orderBy("token")
+  }
+
+  private val q137Sql =
+    s"""WITH tok AS (SELECT doc_id % 2 = 0 AS in_a,
+      |    unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM tok WHERE len(token) > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+      |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM cnt),
+      |d AS (SELECT token, n_a, n_b, tot_a, tot_b, $chi2Num AS dd
+      |  FROM cnt CROSS JOIN tot
+      |  WHERE n_a + n_b < tot_a + tot_b)
+      |SELECT token, n_a, n_b, $chi2Expr AS chi2
+      |FROM d ORDER BY token""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
-    "q135_mad_outliers" -> q135)
+    "q135_mad_outliers" -> q135,
+    "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
-    "q135_mad_outliers" -> q135Sql)
+    "q135_mad_outliers" -> q135Sql,
+    "q137_token_drift" -> q137Sql)
 }

@@ -196,12 +196,13 @@ class PlanSpec extends AnyFunSuite {
     // like q70.)
     // (q124/q126/q127 cross every vector with the ≤8-row broadcast
     // quantizer — the same deliberate shape as q53's assignment.)
+    // (q137 crosses the 1-row snapshot-totals aggregate, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
       "q127_ann_recall_trained", "q128_quantizer_quality",
-      "q130_mixture_sample")
+      "q130_mixture_sample", "q137_token_drift")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -324,5 +325,25 @@ class PlanSpec extends AnyFunSuite {
       s"df join must stay an equi-join on the passage gram:\n$p")
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"passage relation must be persisted once, not recomputed per side:\n$p")
+  }
+
+  test("q136: per-vector top-k is a bounded aggregation over the persisted bucket join") {
+    val p = planString(SparkEntry.queries("q136_knn_graph")(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for TopKByScore in:\n$p")
+    assert(!p.contains("Window"), s"ranking window would shuffle every scored pair:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor generation must stay an equi-join on the bucket id:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bucket signatures must be persisted once, not recomputed per side:\n$p")
+  }
+
+  test("q137: token counts aggregate partial then final; totals join is a 1-row broadcast") {
+    val p = planString(SparkEntry.queries("q137_token_drift")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final hash aggregate for the token counts in:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"snapshot totals must broadcast, never shuffle the token relation:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 }
