@@ -206,6 +206,49 @@ object TextDedup {
     // the whole verification pipeline as its sampling pass
     graft.util.QueryCaches.tracked(verifiedPairs(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** q139 — cross-source duplication matrix: which sources copy from which
+    * — the corpus-forensics audit behind source weighting and crawler
+    * de-listing decisions. Composes the MinHash pipeline's verified pairs
+    * (q41b, jaccard ≥ 0.5) with the documents' source labels: two narrow
+    * equi-joins of the TINY verified-pair relation against a persisted
+    * (doc_id, source) projection, a canonical least/greatest fold so the
+    * matrix is one-triangle, and a low-cardinality groupBy. Cost at
+    * 100 TB is the already-bounded q41b pipeline plus |pairs|-sized
+    * joins — the matrix itself is |sources|² at most.
+    */
+  private val q139: Q = (s, dir) => {
+    val pairs = verifiedPairs(s, dir).filter(col("jaccard") >= 0.5)
+    // small 2-column projection feeds both sides of the pair join
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .repartition(col("doc_id"))
+      .transform(graft.util.QueryCaches.tracked)
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q139Sql =
+    s"""WITH $minhashVerifyCtes,
+       |vp AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |    AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |            JOIN sets sb ON sb.doc_id = doc_b),
+       |lab AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+       |          JOIN documents db ON db.doc_id = vp.doc_b
+       |  WHERE vp.jaccard >= 0.5)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
        |SELECT doc_a, doc_b,
@@ -612,7 +655,8 @@ object TextDedup {
     "q42_dedup_simhash" -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
-    "q61_dedup_simhash_pairs" -> q61
+    "q61_dedup_simhash_pairs" -> q61,
+    "q139_source_dup_matrix" -> q139
   )
 
   val oracle: Map[String, String] = Map(
@@ -622,6 +666,7 @@ object TextDedup {
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,
-    "q61_dedup_simhash_pairs" -> q61Sql
+    "q61_dedup_simhash_pairs" -> q61Sql,
+    "q139_source_dup_matrix" -> q139Sql
   )
 }

@@ -147,7 +147,11 @@ object TextStats {
     * the scan — the 100 TB filter-pass shape). Weights are illustrative;
     * the operator under test is the deterministic scoring dataflow.
     */
-  private val q54: Q = (s, dir) =>
+  /** Per-document composite quality score (shared by q54's admission
+    * filter and q138's curriculum ordering): one codegen stage over the
+    * scan, no shuffle.
+    */
+  private[ops] def qualityScored(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")))
@@ -166,26 +170,70 @@ object TextStats {
           lit(0.25) * (lit(1.0) - abs(col("stop_ratio") - 0.4)) +
           lit(0.2) * least(col("n_tokens") / 50.0, lit(1.0)) +
           lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))))
+
+  private val q54: Q = (s, dir) =>
+    qualityScored(s, dir)
       .select(col("doc_id"), col("quality"),
         (col("quality") >= 0.5 && col("n_tokens") >= 5).as("keep"))
       .orderBy("doc_id")
 
-  private val q54Sql =
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+  /** Oracle-side twin of [[qualityScored]]: the measures CTE and the blend
+    * expression, shared by q54Sql and q138Sql so the two cannot drift.
+    */
+  private val qualityMeasuresCte =
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
        |m AS (SELECT doc_id,
        |  len(words) AS n_tokens,
        |  len(list_distinct(words))::DOUBLE / len(words) AS ttr,
        |  len(list_filter(words, x -> x IN ${sqlList(Stopwords)}))::DOUBLE / len(words) AS stop_ratio,
        |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
-       |FROM w)
+       |FROM w)""".stripMargin
+
+  private val qualityBlendSql =
+    """0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
+      |    + 0.2 * least(n_tokens / 50.0, 1.0)
+      |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))""".stripMargin
+
+  private val q54Sql =
+    s"""WITH $qualityMeasuresCte
        |SELECT doc_id,
-       |  0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
-       |    + 0.2 * least(n_tokens / 50.0, 1.0)
-       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)) AS quality,
-       |  (0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
-       |    + 0.2 * least(n_tokens / 50.0, 1.0)
-       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)) >= 0.5 AND n_tokens >= 5) AS keep
+       |  $qualityBlendSql AS quality,
+       |  ($qualityBlendSql >= 0.5 AND n_tokens >= 5) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q138 — curriculum ordering: the whole corpus globally ranked easiest-
+    * first by the q54 quality blend and split into 4 equal curriculum
+    * phases — the data-ordering step of curriculum training (feed clean,
+    * high-quality text early; the noisy tail late). The global rank runs
+    * through [[GlobalRank.rowNumber]] (range partition + per-partition
+    * index + broadcast offsets) — NO single-partition window anywhere,
+    * the same scale-safe shape q110/q121 use; the phase split is integer
+    * arithmetic against the 1-row corpus count broadcast (`div` ⇄ `//`
+    * truncation agrees since every operand is non-negative). The quality
+    * blend is bit-identical across engines (q54's proof), so the rank —
+    * an integer derived from a (quality DESC, doc_id) total order — is
+    * hash-exact even though the score is a float.
+    */
+  private val q138: Q = (s, dir) => {
+    val q = qualityScored(s, dir).select(col("doc_id"), col("quality"))
+    val n = q.agg(count(lit(1)).as("n_docs"))
+    GlobalRank.rowNumber(q, "cur_rank", Seq(col("quality").desc, col("doc_id")))
+      .crossJoin(broadcast(n)) // scalar broadcast: 1-row corpus count
+      .select(col("doc_id"), col("quality"), col("cur_rank"),
+        (expr("((cur_rank - 1) * 4) div n_docs").cast("int") + 1).as("phase"))
+      .orderBy("cur_rank")
+  }
+
+  private val q138Sql =
+    s"""WITH $qualityMeasuresCte,
+       |q AS (SELECT doc_id, $qualityBlendSql AS quality FROM m),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM q),
+       |r AS (SELECT doc_id, quality, CAST(row_number() OVER (
+       |    ORDER BY quality DESC, doc_id) AS BIGINT) AS cur_rank FROM q)
+       |SELECT doc_id, quality, cur_rank,
+       |  CAST(((cur_rank - 1) * 4) // n_docs AS INTEGER) + 1 AS phase
+       |FROM r CROSS JOIN n
+       |ORDER BY cur_rank""".stripMargin
 
   /** q55 — token counting with a BPE-ish regex segmentation
     * (letter runs | digit runs | single punctuation — the GPT-2 pretoken
@@ -234,7 +282,8 @@ object TextStats {
     "q49_fingerprint" -> q49,
     "q54_quality_filter" -> q54,
     "q55_token_count" -> q55,
-    "q62_det_sample" -> q62
+    "q62_det_sample" -> q62,
+    "q138_curriculum_order" -> q138
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +292,7 @@ object TextStats {
     "q49_fingerprint" -> q49Sql,
     "q54_quality_filter" -> q54Sql,
     "q55_token_count" -> q55Sql,
-    "q62_det_sample" -> q62Sql
+    "q62_det_sample" -> q62Sql,
+    "q138_curriculum_order" -> q138Sql
   )
 }

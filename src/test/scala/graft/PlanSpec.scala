@@ -196,13 +196,13 @@ class PlanSpec extends AnyFunSuite {
     // like q70.)
     // (q124/q126/q127 cross every vector with the ≤8-row broadcast
     // quantizer — the same deliberate shape as q53's assignment.)
-    // (q137 crosses the 1-row snapshot-totals aggregate, like q70.)
+    // (q137/q138 cross a 1-row totals/count aggregate, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
       "q127_ann_recall_trained", "q128_quantizer_quality",
-      "q130_mixture_sample", "q137_token_drift")
+      "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -282,7 +282,8 @@ class PlanSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
       case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
     }.flatten
-    Seq("q121_zorder_audit", "q110_vocab_build").foreach { name =>
+    Seq("q121_zorder_audit", "q110_vocab_build", "q138_curriculum_order")
+      .foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
       graft.util.QueryCaches.drain()
@@ -345,5 +346,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       s"snapshot totals must broadcast, never shuffle the token relation:\n$p")
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
+  test("q139: source labels join the verified pairs as equi-joins on a persisted projection") {
+    val p = planString(SparkEntry.queries("q139_source_dup_matrix")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label joins must stay equi-joins on doc id:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"(doc_id, source) projection must be persisted once for both sides:\n$p")
   }
 }
