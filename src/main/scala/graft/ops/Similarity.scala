@@ -858,7 +858,156 @@ object Similarity {
        |FROM d ORDER BY vec_id""".stripMargin
   }
 
+  /** q140 — semantic dedup (SemDeDup, Abbas et al. 2023 shape): keep one
+    * representative of every semantically-near group — the
+    * embedding-space analogue of q40's exact text dedup, run before
+    * training to cut redundant compute. A vector is dropped when an
+    * EARLIER vector (lower vec_id — the deterministic "first seen wins"
+    * rule) in its block is within cosine ≥ 0.4.
+    *
+    * Blocking: (trained k-means cell × hyperplane bucket) — the cell
+    * (q124's trained quantizer, broadcast ≤ 8 rows) gives semantic
+    * locality so true near-dups share a block; the 16-way hyperplane
+    * bucket is what BOUNDS the block, because cell sizes are
+    * data-dependent (one dominant topic makes a cell quadratic at 100×,
+    * exactly q44's label trap). At corpus scale both knobs grow:
+    * k ∝ corpus/target-cell-size and more planes, keeping per-block
+    * pair counts hash-bounded. Dataflow: broadcast-join assignment +
+    * one equi-join on the composite block key + a distinct and a left
+    * join — nothing quadratic outside the bounded blocks.
+    */
+  private val q140: Q = (s, dir) => {
+    val e = embVecs(s, dir)
+    // assignment carries v; bucket recomputed map-side post-aggregation
+    val blocked = assignCells(e, trainedCentroids(e))
+      .select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      // self-joined + re-read for the keep flag: computed once
+      .transform(graft.util.QueryCaches.tracked)
+    val dropped = blocked.as("a").join(blocked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.bucket") === col("b.bucket") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(round(expr(cosExpr("a.v", "b.v")), 6) >= 0.4)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    blocked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("is_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val q140Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$trainedCentSql,
+       |assign AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |bits AS (
+       |  SELECT e.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |ea AS (SELECT a.vec_id, a.v, a.cell, b.bucket
+       |  FROM assign a JOIN buckets b USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id FROM ea a JOIN ea b
+       |    ON a.cell = b.cell AND a.bucket = b.bucket AND b.vec_id < a.vec_id
+       |  WHERE round($duckCos, 6) >= 0.4)
+       |SELECT ea.vec_id, CAST(ea.cell AS BIGINT) AS cell,
+       |  (d.vec_id IS NULL) AS keep
+       |FROM ea LEFT JOIN dropped d ON d.vec_id = ea.vec_id
+       |ORDER BY ea.vec_id""".stripMargin
+
+  /** q141 — PQ asymmetric-distance (ADC) top-k search: the query path of
+    * a shipped PQ index, closing q133's compression loop (q133 encodes,
+    * q141 searches the codes). Per query, the 4×4 table of exact
+    * integer-quantized squared distances from each query subvector to
+    * each codebook centroid is computed ONCE ([[pqDist]], the same
+    * generator that builds q133's oracle — one definition, zero drift);
+    * per database vector the ADC distance is then 4 table lookups + 3
+    * adds over its 8-bit code — never a touch of the original vector.
+    *
+    * Scale shape: the codes relation is the native
+    * [[graft.functions.PqAssign]] pass over
+    * the scan (map-side, whole-stage codegen); the distance tables are a
+    * |queries|-row broadcast (the 256-term table build runs on 5 rows —
+    * if its projection ever falls out of codegen it costs microseconds,
+    * unlike q133's per-vector path where the same shape was a real trap);
+    * scoring is map-side element_at arithmetic; the per-query top-10 is
+    * the bounded [[graft.functions.TopKTagged]] partial+final aggregation
+    * (score = −adc, so score-desc = distance-asc; the exact BIGINT adc
+    * rides along as the tag). Shuffle volume: ≤ k rows per (query,
+    * map task). ADC sums stay < 2^53, so the double score is exact.
+    */
+  private val q141: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKTagged(10))
+    val codes = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(s"pq_assign($vd, $pqCodebookSql, 4, 4)").as("pq"))
+      .select(col("vec_id"),
+        expr("CAST(element_at(pq, 1) AS INT)").as("code0"),
+        expr("CAST(element_at(pq, 2) AS INT)").as("code1"),
+        expr("CAST(element_at(pq, 3) AS INT)").as("code2"),
+        expr("CAST(element_at(pq, 4) AS INT)").as("code3"))
+    // per-subspace stages keep each generated expression small; laid out
+    // (m·4 + c) + 1 to match PqAssign's codebook order
+    val qd = (0 until 4).foldLeft(
+        embVecs(s, dir).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v"))) { (df, m) =>
+        df.withColumn(s"dt$m", expr((0 until 4)
+          .map(c => pqDist(m, c, j => s"element_at(v, $j)"))
+          .mkString("array(", ", ", ")")))
+      }
+      .select(col("query_id"),
+        concat(col("dt0"), col("dt1"), col("dt2"), col("dt3")).as("dt"))
+    codes.join(broadcast(qd), col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        expr("element_at(dt, code0 + 1) + element_at(dt, code1 + 5) + " +
+          "element_at(dt, code2 + 9) + element_at(dt, code3 + 13)"))
+      .groupBy("query_id")
+      .agg(topk((-col("adc")).cast("double"), col("vec_id"), col("adc")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.tag").as("adc"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q141Sql = {
+    val dcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"CAST(embedding[$i] AS DOUBLE)")} AS d_${m}_$c")
+      .mkString(",\n  ")
+    val codeCols = (0 until 4).map(m =>
+      s"${pqCode(m, c => s"d_${m}_$c")} AS code$m").mkString(",\n  ")
+    val adc = (0 until 4).map(m =>
+      s"(CASE c.code$m WHEN 0 THEN q.d_${m}_0 WHEN 1 THEN q.d_${m}_1 " +
+        s"WHEN 2 THEN q.d_${m}_2 ELSE q.d_${m}_3 END)").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id,
+       |  $dcols
+       |  FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |  $codeCols
+       |  FROM d),
+       |qd AS (SELECT * FROM d WHERE vec_id < 5),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST($adc AS BIGINT) AS adc
+       |  FROM qd q JOIN codes c ON c.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id, adc, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q141_pq_adc_topk" -> q141,
+    "q140_semdedup" -> q140,
     "q136_knn_graph" -> q136,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
@@ -877,6 +1026,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q141_pq_adc_topk" -> q141Sql,
+    "q140_semdedup" -> q140Sql,
     "q136_knn_graph" -> q136Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,

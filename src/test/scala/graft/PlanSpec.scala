@@ -197,12 +197,15 @@ class PlanSpec extends AnyFunSuite {
     // (q124/q126/q127 cross every vector with the ≤8-row broadcast
     // quantizer — the same deliberate shape as q53's assignment.)
     // (q137/q138 cross a 1-row totals/count aggregate, like q70.)
+    // (q140 assigns via the ≤8-row broadcast quantizer like q124; q141
+    // scores codes against the 5-row broadcast distance tables like q45.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
       "q127_ann_recall_trained", "q128_quantizer_quality",
-      "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order")
+      "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
+      "q140_semdedup", "q141_pq_adc_topk")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -346,6 +349,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       s"snapshot totals must broadcast, never shuffle the token relation:\n$p")
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
+  test("q140: dedup pair join is an equi-join on the (cell, bucket) block key") {
+    val p = planString(SparkEntry.queries("q140_semdedup")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in:\n$p")
+    // the only nested-loop join allowed is the ≤8-row broadcast quantizer
+    // assignment; the pair join itself must hash/merge on (cell, bucket)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi pair join in:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"blocked relation must be computed once (persisted) in:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
+  test("q141: codes come from the native pq_assign; top-k is an aggregation, not a window") {
+    val df = SparkEntry.queries("q141_pq_adc_topk")(spark, dir)
+    val p = planString(df)
+    assert(p.contains("pq_assign"),
+      s"database side must encode through the native pq_assign expression:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the bounded partial+final aggregation:\n$p")
+    assert(!p.contains("Window"), s"no ranking window in:\n$p")
   }
 
   test("q139: source labels join the verified pairs as equi-joins on a persisted projection") {

@@ -45,4 +45,33 @@ class IvfRecallSpec extends AnyFunSuite {
       .select("query_id", "k").collect()
     assert(rows.length == 5 && rows.forall(_.getLong(1) == 5L))
   }
+
+  test("q140 semdedup: one row per vector, drops happen, first of each cell survives") {
+    val out = SparkEntry.queries("q140_semdedup")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length.toLong == nVecs, "semdedup must classify every vector")
+    val dropped = out.count(!_.getBoolean(2))
+    assert(dropped > 0, "fixture never exercises the drop path — vacuous")
+    assert(dropped < out.length, "semdedup dropped everything")
+    // "first seen wins": the earliest vector of a cell has no earlier
+    // in-block neighbor, so it can never be dropped
+    out.groupBy(_.getLong(1)).foreach { case (cell, rows) =>
+      val first = rows.minBy(_.getLong(0))
+      assert(first.getBoolean(2), s"cell $cell dropped its earliest vector")
+    }
+  }
+
+  test("q141 ADC search: 10 ranked rows per query, distance ascending, self excluded") {
+    val out = SparkEntry.queries("q141_pq_adc_topk")(spark, dir).collect()
+    assert(out.length == 50, s"expected 5 queries x 10 ranks, got ${out.length}")
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to 10), s"query $q rank gap")
+      val adcs = byRank.map(_.getLong(2)).toSeq
+      assert(adcs == adcs.sorted, s"query $q ADC not ascending: $adcs")
+      assert(adcs.forall(_ >= 0L), s"query $q negative squared distance")
+      assert(rows.forall(_.getLong(1) != q), s"query $q returned itself")
+    }
+  }
 }
