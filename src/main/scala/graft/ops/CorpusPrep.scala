@@ -233,29 +233,97 @@ object CorpusPrep {
     * corpus scale still leaves an enormous token tail, so no
     * single-partition ranking window may appear in the plan.
     */
-  private val q110: Q = (s, dir) => {
+  /** Shared df-pruned vocabulary relation (token, df) — q110 ranks it
+    * into contiguous ids, q142 audits its corpus coverage. One df
+    * aggregation (map-side combinable on the token) + the 1-row corpus
+    * count broadcast for the max_df bound.
+    */
+  private def prunedVocab(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
-    val dfTok = docs
+    docs
       .select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val pruned = dfTok
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
       .filter(col("df") >= 5 && col("df") * 5 <= col("nd") * 4)
-    GlobalRank.rowNumber(pruned, "token_id", Seq(col("df").desc, col("token")))
-      .select(col("token"), col("df"), col("token_id"))
-      .orderBy("token_id")
+      .select(col("token"), col("df"))
   }
 
-  private val q110Sql =
-    """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  private val q110: Q = (s, dir) =>
+    GlobalRank.rowNumber(prunedVocab(s, dir), "token_id",
+        Seq(col("df").desc, col("token")))
+      .select(col("token"), col("df"), col("token_id"))
+      .orderBy("token_id")
+
+  /** Oracle-side twin of [[prunedVocab]] minus the final prune predicate
+    * (kept inline at each use so q110's SELECT can also emit df) — shared
+    * by q110Sql and q142Sql so the vocabulary definitions cannot drift.
+    */
+  private val vocabCtes =
+    """tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
       |  FROM documents),
       |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
-      |nd AS (SELECT count(*) AS nd FROM documents)
+      |nd AS (SELECT count(*) AS nd FROM documents)""".stripMargin
+
+  private val q110Sql =
+    s"""WITH $vocabCtes
       |SELECT token, df,
       |  CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS token_id
       |FROM dfx CROSS JOIN nd
       |WHERE df >= 5 AND df * 5 <= nd * 4
       |ORDER BY token_id""".stripMargin
+
+  /** q142 — tokenizer-coverage (OOV) audit: apply q110's df-pruned
+    * vocabulary back to the corpus and report, per language, how much of
+    * the running text the vocabulary actually covers — occurrence-level
+    * (n_covered / n_tokens, the number that predicts UNK-token rate in
+    * training) and type-level (n_covered_types / n_types, the tail the
+    * pruning cut). This is the audit that sizes min_df/max_df before a
+    * tokenizer ships.
+    *
+    * Scale shape: token occurrences are FIRST reduced to (lang, token)
+    * counts — a map-side-combinable aggregation, so the shuffle carries
+    * distinct (lang, token) pairs, not the corpus's token stream; the
+    * vocabulary join is then an equi-join on the unbounded token key
+    * (hash-partitioned both sides, never broadcast — at 100 TB the
+    * pruned vocab is still millions of rows); the final per-lang rollup
+    * is a |langs|-row aggregate. OOV rate is derived from exact BIGINT
+    * sums with one IEEE divide+subtract, identical on both engines.
+    */
+  private val q142: Q = (s, dir) => {
+    val tc = Tables.spread(Tables.documents(s, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val vocab = prunedVocab(s, dir).select(col("token"), lit(1L).as("in_vocab"))
+    tc.join(vocab, Seq("token"), "left")
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L)).as("n_covered"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("n_covered_types"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"), col("n_types"),
+        col("n_covered_types"),
+        (lit(1.0) - col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  private val q142Sql =
+    s"""WITH $vocabCtes,
+      |vocab AS (SELECT token FROM dfx CROSS JOIN nd
+      |  WHERE df >= 5 AND df * 5 <= nd * 4),
+      |tokocc AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      |  FROM tokocc GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered_types,
+      |  1.0 - CAST(sum(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(n) AS DOUBLE) AS oov_rate
+      |FROM tc LEFT JOIN vocab v ON v.token = tc.token
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q134 — duplicated-passage mass per document: split each doc into
     * aligned 20-word passages (stride = window, no overlap), hash each
@@ -317,7 +385,8 @@ object CorpusPrep {
     "q108_pmi_colloc" -> q108,
     "q109_substring_pairs" -> q109,
     "q110_vocab_build" -> q110,
-    "q134_dup_passage" -> q134)
+    "q134_dup_passage" -> q134,
+    "q142_oov_audit" -> q142)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -325,5 +394,6 @@ object CorpusPrep {
     "q108_pmi_colloc" -> q108Sql,
     "q109_substring_pairs" -> q109Sql,
     "q110_vocab_build" -> q110Sql,
-    "q134_dup_passage" -> q134Sql)
+    "q134_dup_passage" -> q134Sql,
+    "q142_oov_audit" -> q142Sql)
 }

@@ -205,7 +205,7 @@ class PlanSpec extends AnyFunSuite {
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
       "q127_ann_recall_trained", "q128_quantizer_quality",
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
-      "q140_semdedup", "q141_pq_adc_topk")
+      "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -348,6 +348,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final hash aggregate for the token counts in:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"snapshot totals must broadcast, never shuffle the token relation:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
+  test("q142: occurrence counts reduce map-side before the vocab equi-join; no window") {
+    val p = planString(SparkEntry.queries("q142_oov_audit")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    // (lang, token) counting must plan partial + final hash aggregation so
+    // the shuffle carries distinct pairs, not the raw token stream
+    assert("partial_count|partial.*count|HashAggregate".r.findFirstIn(p).isDefined &&
+      p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 
