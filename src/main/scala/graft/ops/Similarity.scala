@@ -875,6 +875,12 @@ object Similarity {
     * pair counts hash-bounded. Dataflow: broadcast-join assignment +
     * one equi-join on the composite block key + a distinct and a left
     * join — nothing quadratic outside the bounded blocks.
+    * SkewStressSpec executes the boundedness claim (dominant cell must
+    * shatter across buckets; planted near-dups must drop). One honest
+    * limit: a mass of BIT-IDENTICAL vectors cannot be split by any
+    * hyperplane (every copy lands in one block) — at corpus scale run
+    * exact dedup first (q40's digest groupBy on the raw vector bytes),
+    * which removes that mass for the price of one narrow shuffle.
     */
   private val q140: Q = (s, dir) => {
     val e = embVecs(s, dir)

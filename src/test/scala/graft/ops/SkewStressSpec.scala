@@ -145,4 +145,32 @@ class SkewStressSpec extends AnyFunSuite {
     assert(joinRows < allPairs / 4,
       s"simhash banding degenerated to near-all-pairs: $joinRows of $allPairs")
   }
+
+  test("q140 semdedup: blocks stay bounded under skew and planted near-dups are dropped") {
+    val out = graft.SparkEntry.queries("q140_semdedup")(spark, SkewFixture.dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    // planted vectors 5000+i sit 0.001 from vector i (cos ≈ 1): the later
+    // copy must be dropped whenever the perturbation didn't flip a bucket
+    // bit (a near-zero plane dot can), so demand a solid majority
+    val plantedDropped = out.count(r => r.getLong(0) >= 5000L && !r.getBoolean(2))
+    println(s"[skew] semdedup dropped $plantedDropped of ${SkewFixture.nDup} planted near-dups")
+    assert(plantedDropped >= SkewFixture.nDup / 2,
+      s"only $plantedDropped of ${SkewFixture.nDup} planted near-dups dropped")
+    // the pair join's block key is (cell, bucket): even the dominant
+    // k-means cell must shatter across the 16 hyperplane buckets
+    val spark2 = spark
+    import spark2.implicits._
+    val cells = out.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("vec_id", "cell")
+    val blocks = spark.read.parquet(s"${SkewFixture.dir}/embeddings.parquet")
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("v"))
+      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v")))
+      .join(cells, "vec_id")
+      .groupBy("cell", "bucket").count()
+    val maxBlock = blocks.agg(max("count")).head.getLong(0)
+    val dominant = cells.groupBy("cell").count().agg(max("count")).head.getLong(0)
+    println(s"[skew] semdedup max (cell,bucket) block: $maxBlock of $dominant dominant-cell rows")
+    assert(maxBlock <= dominant / 4,
+      s"one (cell,bucket) block holds $maxBlock of the dominant cell's $dominant vectors")
+  }
 }
