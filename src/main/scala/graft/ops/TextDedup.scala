@@ -182,16 +182,22 @@ object TextDedup {
     * corpus, so this stage costs two hash joins against the shingle-set
     * relation plus per-candidate set intersection.
     */
-  private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val cand = candPairs(s, dir)
-    // The shingle-set relation feeds BOTH sides of the pair join; persist
-    // it so the scan + shingle build runs once, not twice — partitioned
-    // by doc_id so alias-aware partitioning serves both join sides from
-    // the cache (the heavy shingle arrays shuffle once, at build).
-    val sets = Tables.documents(s, dir).repartition(col("doc_id"))
+  /** Distinct 3-shingle sets per doc, persisted and partitioned by doc_id
+    * so alias-aware partitioning serves every pair-join side from the
+    * cache (the heavy shingle arrays shuffle once, at build). Shared by
+    * [[verifiedPairs]] and q143's per-config verification.
+    */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
       .transform(graft.util.QueryCaches.tracked)
+
+  /** Exact Jaccard over a (doc_a, doc_b) pair relation against the
+    * persisted shingle sets — the verification join both q41b and q143
+    * run on candidates only, never on all pairs.
+    */
+  private def jaccardScored(cand: DataFrame, sets: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("sha"), col("shb")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -200,6 +206,9 @@ object TextDedup {
         round(inter.cast("double") /
           (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
   }
+
+  private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardScored(candPairs(s, dir), shingleSets(s, dir))
 
   private val q41b: Q = (s, dir) =>
     // persisted: the declared ORDER BY's range sampling otherwise re-runs
@@ -248,6 +257,86 @@ object TextDedup {
        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
        |FROM lab GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
+
+  /** q143 — LSH band-shape tuning audit: the same 8-hash MinHash
+    * signature banded three ways — 8 bands × 1 row (recall-heavy),
+    * the production 4×2, and 2 bands × 4 rows (precision-heavy) — each
+    * config's candidate volume, verified-duplicate count (exact Jaccard
+    * ≥ 0.5 on candidates only), and precision. This is the audit that
+    * sizes b×r before a corpus-scale dedup run: the S-curve math says
+    * what SHOULD happen; this measures it on the actual corpus.
+    *
+    * Scale shape: the signature relation and the shingle sets are each
+    * computed once (persisted) and reused by all three configs; per
+    * config the cost is one banded equi-join + the candidates-only
+    * verification — the same bounded dataflow as q41/q41b, ×3. At
+    * 100 TB this audit runs on a deterministic sample (q62's digest
+    * predicate) — tuning needs an estimate, not the full corpus.
+    * A config with zero candidates reports precision 0 by definition
+    * (not NULL/NaN) on both engines.
+    */
+  private val q143: Q = (s, dir) => {
+    val sig = sigCols(s, dir).transform(graft.util.QueryCaches.tracked)
+    val sets = shingleSets(s, dir)
+    val perConfig = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4)).map {
+      case (name, b, r) =>
+        val bands = sig.select(col("doc_id"), explode(array((0 until b).map(i =>
+            struct(lit(i).as("b"), concat_ws(":",
+              (0 until r).map(j => col(s"h${r * i + j}").cast("string")): _*).as("bh"))): _*))
+            .as("band"))
+          .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+        val cand = bands.as("a").join(bands.as("c"),
+            col("a.b") === col("c.b") && col("a.bh") === col("c.bh") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+          .distinct()
+        jaccardScored(cand, sets)
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
+              .as("n_verified"))
+          .select(lit(name).as("config"), col("n_candidates"), col("n_verified"))
+    }
+    perConfig.reduce(_.unionByName(_))
+      .withColumn("band_precision",
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(col("n_verified").cast("double") / col("n_candidates").cast("double")))
+      .orderBy("config")
+  }
+
+  /** One band config's oracle CTEs (bands → distinct candidates →
+    * verified counts), generated from the same (b, r) parameters as the
+    * Spark side.
+    */
+  private def bandTuneCfgSql(name: String, b: Int, r: Int): String = {
+    val bh = (1 to r).map(j => s"mh[$r*b + $j]::VARCHAR").mkString(" || ':' || ")
+    s"""bands_$name AS (SELECT doc_id, b, $bh AS bh
+       |  FROM sig, unnest(generate_series(0, ${b - 1})) AS t(b)),
+       |cand_$name AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands_$name a JOIN bands_$name c
+       |    ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+       |ver_$name AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(coalesce(sum(CASE WHEN round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+       |  FROM cand_$name JOIN sets sa ON sa.doc_id = doc_a
+       |                  JOIN sets sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  private val q143Sql =
+    s"""WITH $minhashVerifyCtes,
+       |${bandTuneCfgSql("b8r1", 8, 1)},
+       |${bandTuneCfgSql("b4r2", 4, 2)},
+       |${bandTuneCfgSql("b2r4", 2, 4)}
+       |SELECT config, n_candidates, n_verified,
+       |  CASE WHEN n_candidates = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+       |  END AS band_precision
+       |FROM (
+       |  SELECT 'b8r1' AS config, * FROM ver_b8r1
+       |  UNION ALL SELECT 'b4r2' AS config, * FROM ver_b4r2
+       |  UNION ALL SELECT 'b2r4' AS config, * FROM ver_b2r4)
+       |ORDER BY config""".stripMargin
 
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
@@ -656,7 +745,8 @@ object TextDedup {
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
     "q61_dedup_simhash_pairs" -> q61,
-    "q139_source_dup_matrix" -> q139
+    "q139_source_dup_matrix" -> q139,
+    "q143_band_tuning" -> q143
   )
 
   val oracle: Map[String, String] = Map(
@@ -667,6 +757,7 @@ object TextDedup {
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,
     "q61_dedup_simhash_pairs" -> q61Sql,
-    "q139_source_dup_matrix" -> q139Sql
+    "q139_source_dup_matrix" -> q139Sql,
+    "q143_band_tuning" -> q143Sql
   )
 }

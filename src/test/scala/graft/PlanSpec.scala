@@ -361,6 +361,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 
+  test("q143: signature and shingle-set relations are persisted once across configs") {
+    val p = planString(SparkEntry.queries("q143_band_tuning")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all band/verify joins must stay equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"sig/sets must be computed once and reused by all three configs:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
   test("q140: dedup pair join is an equi-join on the (cell, bucket) block key") {
     val p = planString(SparkEntry.queries("q140_semdedup")(spark, dir))
     graft.util.QueryCaches.drain()
