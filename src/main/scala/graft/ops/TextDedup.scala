@@ -338,6 +338,75 @@ object TextDedup {
        |  UNION ALL SELECT 'b2r4' AS config, * FROM ver_b2r4)
        |ORDER BY config""".stripMargin
 
+  /** q144 — dedup survivorship by QUALITY: the production canonical-
+    * selection step that closes the dedup loop. q56 resolves clusters and
+    * marks min-doc_id canonicals — the deterministic default — but a real
+    * pipeline keeps the HIGHEST-QUALITY member of each near-dup cluster
+    * (the SemDeDup/keep-best rule). Per multi-member cluster: the
+    * survivor under (quality desc, doc_id asc) — q54's blend, which is
+    * bit-identical across engines, so the float argmax is hash-exact —
+    * plus member count and the character mass the dedup reclaims.
+    *
+    * Scale shape: the cluster relation is [[connectedComponents]]' output
+    * (already O(log d) rounds over bounded edges); quality is a map-side
+    * scan joined on doc_id; survivor selection is `max_by` over a
+    * (quality, −doc_id) struct — a partial+final aggregate on cluster_id,
+    * never a per-cluster ranking window.
+    */
+  private val q144: Q = (s, dir) => {
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val best = struct(col("quality"), (-col("doc_id")).as("nd"))
+    connectedComponents(edges)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .join(TextStats.qualityScored(s, dir)
+        .select(col("doc_id"), col("quality"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), best).as("survivor_id"),
+        max_by(col("quality"), best).as("survivor_quality"),
+        sum("n_chars").as("chars_total"),
+        max_by(col("n_chars"), best).as("survivor_chars"))
+      .select(col("cluster_id"), col("n_members"), col("survivor_id"),
+        col("survivor_quality"), col("chars_total"),
+        (col("chars_total") - col("survivor_chars")).as("chars_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  private val q144Sql =
+    s"""WITH RECURSIVE
+       |$minhashVerifyCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+       |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |              JOIN sets sb ON sb.doc_id = doc_b) t
+       |  WHERE jac >= 0.5),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |        UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |),
+       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |${TextStats.qualityMeasuresCte("qw", "qm")},
+       |qual AS (SELECT doc_id, ${TextStats.qualityBlendSql} AS quality FROM qm),
+       |ranked AS (SELECT cc.doc_id, cc.cluster_id, qual.quality, d.n_chars,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY qual.quality DESC, cc.doc_id) AS rn
+       |  FROM cc JOIN qual ON qual.doc_id = cc.doc_id
+       |          JOIN documents d ON d.doc_id = cc.doc_id)
+       |SELECT cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+       |  max(CASE WHEN rn = 1 THEN quality END) AS survivor_quality,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
        |SELECT doc_a, doc_b,
@@ -746,7 +815,8 @@ object TextDedup {
     "q56_dedup_clusters" -> q56,
     "q61_dedup_simhash_pairs" -> q61,
     "q139_source_dup_matrix" -> q139,
-    "q143_band_tuning" -> q143
+    "q143_band_tuning" -> q143,
+    "q144_dedup_survivorship" -> q144
   )
 
   val oracle: Map[String, String] = Map(
@@ -758,6 +828,7 @@ object TextDedup {
     "q56_dedup_clusters" -> q56Sql,
     "q61_dedup_simhash_pairs" -> q61Sql,
     "q139_source_dup_matrix" -> q139Sql,
-    "q143_band_tuning" -> q143Sql
+    "q143_band_tuning" -> q143Sql,
+    "q144_dedup_survivorship" -> q144Sql
   )
 }

@@ -178,24 +178,26 @@ object TextStats {
       .orderBy("doc_id")
 
   /** Oracle-side twin of [[qualityScored]]: the measures CTE and the blend
-    * expression, shared by q54Sql and q138Sql so the two cannot drift.
+    * expression, shared by q54Sql, q138Sql, and TextDedup's q144Sql so the
+    * definitions cannot drift. CTE names are parameters because q144
+    * interpolates this next to the MinHash chain, whose `w` would collide.
     */
-  private val qualityMeasuresCte =
-    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-       |m AS (SELECT doc_id,
+  private[ops] def qualityMeasuresCte(w: String = "w", m: String = "m"): String =
+    s"""$w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+       |$m AS (SELECT doc_id,
        |  len(words) AS n_tokens,
        |  len(list_distinct(words))::DOUBLE / len(words) AS ttr,
        |  len(list_filter(words, x -> x IN ${sqlList(Stopwords)}))::DOUBLE / len(words) AS stop_ratio,
        |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
-       |FROM w)""".stripMargin
+       |FROM $w)""".stripMargin
 
-  private val qualityBlendSql =
+  private[ops] val qualityBlendSql =
     """0.35 * least(ttr * 2, 1.0) + 0.25 * (1.0 - abs(stop_ratio - 0.4))
       |    + 0.2 * least(n_tokens / 50.0, 1.0)
       |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))""".stripMargin
 
   private val q54Sql =
-    s"""WITH $qualityMeasuresCte
+    s"""WITH ${qualityMeasuresCte()}
        |SELECT doc_id,
        |  $qualityBlendSql AS quality,
        |  ($qualityBlendSql >= 0.5 AND n_tokens >= 5) AS keep
@@ -225,7 +227,7 @@ object TextStats {
   }
 
   private val q138Sql =
-    s"""WITH $qualityMeasuresCte,
+    s"""WITH ${qualityMeasuresCte()},
        |q AS (SELECT doc_id, $qualityBlendSql AS quality FROM m),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM q),
        |r AS (SELECT doc_id, quality, CAST(row_number() OVER (

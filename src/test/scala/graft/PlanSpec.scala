@@ -371,6 +371,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 
+  test("q144: survivor selection is a max_by aggregate, never a per-cluster window") {
+    val p = planString(SparkEntry.queries("q144_dedup_survivorship")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(p.contains("max_by"),
+      s"survivor argmax must plan as the partial+final max_by aggregate:\n$p")
+    assert(!p.contains("Window"), s"no ranking window should appear in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster/quality joins must stay equi-joins:\n$p")
+  }
+
   test("q140: dedup pair join is an equi-join on the (cell, bucket) block key") {
     val p = planString(SparkEntry.queries("q140_semdedup")(spark, dir))
     graft.util.QueryCaches.drain()
