@@ -87,18 +87,7 @@ object TextDedup {
     // expression codegen'd, and the map-side partial min means the shuffle
     // carries ~one 8-long row per (doc, partition) — signatures still never
     // materialize the shingle set.
-    val sig = sigCols(s, dir)
-    val bands = sig
-      .select(col("doc_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          concat(col(s"h${2 * b}").cast("string"), lit(":"),
-            col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
-      // self-joined below on (b, bh): one signature computation, and the
-      // cache is partitioned on the join key so NEITHER side of the
-      // band join re-shuffles it (cache-aligned partitioning)
-      .repartition(col("b"), col("bh"))
-      .transform(graft.util.QueryCaches.tracked)
+    val bands = bandRelation(s, dir)
     val a = bands.as("a")
     val c = bands.as("c")
     a.join(c, col("a.b") === col("c.b") && col("a.bh") === col("c.bh") &&
@@ -106,6 +95,22 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Production (4 bands × 2 rows) banded signature relation
+    * (doc_id, b, bh), persisted and partitioned on the (b, bh) join key —
+    * one signature computation serves both sides of [[candPairs]]' self
+    * join and both roles of q145's incremental join (cache-aligned
+    * partitioning: NEITHER consumer re-shuffles it).
+    */
+  private def bandRelation(s: SparkSession, dir: String): DataFrame =
+    sigCols(s, dir)
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat(col(s"h${2 * b}").cast("string"), lit(":"),
+            col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+      .repartition(col("b"), col("bh"))
+      .transform(graft.util.QueryCaches.tracked)
 
   /** Per-doc MinHash values as 8 columns (doc_id, h0..h7) — the
     * codegen'd explode → md5 → groupBy-min shape shared by candPairs and
@@ -406,6 +411,52 @@ object TextDedup {
        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
        |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** q145 — incremental LSH dedup: a new crawl batch deduped against the
+    * EXISTING corpus without ever re-pairing the corpus with itself — the
+    * daily-ingest path (q87 is the exact-hash twin; this is the near-dup
+    * one). The batch here is the deterministic `doc_id % 10 = 0` slice, a
+    * stand-in for an ingest partition. Candidates come from banding the
+    * batch's signatures against the corpus side only (new×old, never
+    * old×old), then exact-Jaccard verification on candidates.
+    *
+    * At 100 TB the corpus side is a PERSISTED banded-signature index
+    * (written once, re-joined by every increment), so each increment
+    * costs |batch| signature computations + one equi-join against the
+    * index + candidates-only verification — candidate volume scales with
+    * the batch, not the corpus.
+    */
+  private val q145: Q = (s, dir) => {
+    val isNew = col("doc_id") % 10 === 0
+    // bands computed once for both roles (the cache is the stand-in for
+    // the persisted index; an increment job would read it, not build it)
+    val bands = bandRelation(s, dir)
+    val cand = bands.filter(isNew).as("a")
+      .join(bands.filter(!isNew).as("c"),
+        col("a.b") === col("c.b") && col("a.bh") === col("c.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    jaccardScored(cand, shingleSets(s, dir))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("corpus_id"),
+        col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val q145Sql =
+    s"""WITH $minhashVerifyCtes,
+       |inc AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+       |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+       |SELECT doc_a AS new_id, doc_b AS corpus_id, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      AS jaccard
+       |  FROM inc JOIN sets sa ON sa.doc_id = doc_a
+       |           JOIN sets sb ON sb.doc_id = doc_b) t
+       |WHERE jaccard >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
@@ -816,7 +867,8 @@ object TextDedup {
     "q61_dedup_simhash_pairs" -> q61,
     "q139_source_dup_matrix" -> q139,
     "q143_band_tuning" -> q143,
-    "q144_dedup_survivorship" -> q144
+    "q144_dedup_survivorship" -> q144,
+    "q145_dedup_increment" -> q145
   )
 
   val oracle: Map[String, String] = Map(
@@ -829,6 +881,7 @@ object TextDedup {
     "q61_dedup_simhash_pairs" -> q61Sql,
     "q139_source_dup_matrix" -> q139Sql,
     "q143_band_tuning" -> q143Sql,
-    "q144_dedup_survivorship" -> q144Sql
+    "q144_dedup_survivorship" -> q144Sql,
+    "q145_dedup_increment" -> q145Sql
   )
 }

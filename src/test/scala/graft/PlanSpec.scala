@@ -371,6 +371,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 
+  test("q145: both roles of the incremental join read the one persisted band index") {
+    val p = planString(SparkEntry.queries("q145_dedup_increment")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the new-vs-corpus candidate join must stay an equi-join:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"batch and corpus sides must both read the persisted band relation:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
   test("q144: survivor selection is a max_by aggregate, never a per-cluster window") {
     val p = planString(SparkEntry.queries("q144_dedup_survivorship")(spark, dir))
     graft.util.QueryCaches.drain()
