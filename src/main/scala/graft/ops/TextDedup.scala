@@ -458,6 +458,89 @@ object TextDedup {
        |WHERE jaccard >= 0.5
        |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** q146 — corpus admission manifest: the materialization step a
+    * training pipeline actually ships — every document's final verdict
+    * through the composed gate chain: exact duplicate (q40's digest
+    * rule, keep the min doc_id) → near-duplicate cluster survivorship
+    * (q144's highest-quality-survives rule) → quality admission (q54's
+    * keep rule), with the FIRST failing gate as the per-document verdict
+    * (`exact_duplicate` / `near_duplicate` / `low_quality` / `kept`).
+    * This is the audit a user runs to answer "why was this document
+    * dropped?" and the manifest the filtered corpus is written from.
+    *
+    * Scale shape: three narrow doc_id-keyed equi-joins over relations
+    * this inventory already bounds — one digest groupBy (q40), the
+    * connected-components cluster relation + a max_by survivor aggregate
+    * (q144), and the map-side quality scan (q54). Documents in no
+    * near-dup cluster left-join to a null survivor flag (= keep).
+    */
+  private val q146: Q = (s, dir) => {
+    val canon = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+    val exact = canon
+      .join(canon.groupBy("m").agg(min("doc_id").as("canon_id")), "m")
+      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("exact_keep"))
+    val qual = TextStats.qualityScored(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .transform(graft.util.QueryCaches.tracked)
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val cc = connectedComponents(edges)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val best = struct(col("quality"), (-col("doc_id")).as("nd"))
+    val surv = cc.join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), best).as("survivor_id"))
+    val near = cc.join(surv, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") === col("survivor_id")).as("near_keep"))
+    qual.join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("exact_keep"), lit("exact_duplicate"))
+          .when(!coalesce(col("near_keep"), lit(true)), lit("near_duplicate"))
+          .when(!(col("quality") >= 0.5 && col("n_tokens") >= 5), lit("low_quality"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private val q146Sql =
+    s"""WITH RECURSIVE
+       |$minhashVerifyCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+       |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |              JOIN sets sb ON sb.doc_id = doc_b) t
+       |  WHERE jac >= 0.5),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |        UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |),
+       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |${TextStats.qualityMeasuresCte("qw", "qm")},
+       |qual AS (SELECT doc_id, ${TextStats.qualityBlendSql} AS quality,
+       |  n_tokens FROM qm),
+       |ex AS (SELECT doc_id,
+       |  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS exact_keep
+       |  FROM documents),
+       |ranked AS (SELECT cc.doc_id,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY q.quality DESC, cc.doc_id) AS rn
+       |  FROM cc JOIN qual q ON q.doc_id = cc.doc_id)
+       |SELECT qual.doc_id,
+       |  CASE WHEN NOT ex.exact_keep THEN 'exact_duplicate'
+       |       WHEN NOT coalesce(ranked.rn = 1, TRUE) THEN 'near_duplicate'
+       |       WHEN NOT (qual.quality >= 0.5 AND qual.n_tokens >= 5) THEN 'low_quality'
+       |       ELSE 'kept' END AS verdict
+       |FROM qual JOIN ex ON ex.doc_id = qual.doc_id
+       |  LEFT JOIN ranked ON ranked.doc_id = qual.doc_id
+       |ORDER BY qual.doc_id""".stripMargin
+
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
        |SELECT doc_a, doc_b,
@@ -868,7 +951,8 @@ object TextDedup {
     "q139_source_dup_matrix" -> q139,
     "q143_band_tuning" -> q143,
     "q144_dedup_survivorship" -> q144,
-    "q145_dedup_increment" -> q145
+    "q145_dedup_increment" -> q145,
+    "q146_corpus_manifest" -> q146
   )
 
   val oracle: Map[String, String] = Map(
@@ -882,6 +966,7 @@ object TextDedup {
     "q139_source_dup_matrix" -> q139Sql,
     "q143_band_tuning" -> q143Sql,
     "q144_dedup_survivorship" -> q144Sql,
-    "q145_dedup_increment" -> q145Sql
+    "q145_dedup_increment" -> q145Sql,
+    "q146_corpus_manifest" -> q146Sql
   )
 }

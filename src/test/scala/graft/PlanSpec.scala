@@ -381,6 +381,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window should appear in:\n$p")
   }
 
+  test("q146: the manifest chain is doc_id equi-joins + max_by, no window") {
+    val p = planString(SparkEntry.queries("q146_corpus_manifest")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every gate joins on doc_id/cluster_id equi-keys:\n$p")
+    assert(p.contains("max_by"),
+      s"survivor selection must stay the max_by aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in:\n$p")
+  }
+
   test("q144: survivor selection is a max_by aggregate, never a per-cluster window") {
     val p = planString(SparkEntry.queries("q144_dedup_survivorship")(spark, dir))
     graft.util.QueryCaches.drain()
