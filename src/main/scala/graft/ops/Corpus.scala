@@ -330,6 +330,58 @@ object Corpus {
       |GROUP BY d.lang, p.lang_tokens, p.rate_pct, p.expected_tokens
       |ORDER BY d.lang""".stripMargin
 
+  /** q151 — temperature-scaled source mixture: the multilingual/multi-
+    * source re-weighting rule (w_i = c_i^α / Σ c_j^α, here α = ½) that
+    * up-samples small sources and damps dominant ones — the standard
+    * temperature-sampling scheme for pretraining mixtures. Emits, per
+    * source, the raw corpus share, the temperature share, and the
+    * resulting boost factor (temp/raw — > 1 means the source is
+    * up-sampled relative to its natural frequency).
+    *
+    * Cross-engine float discipline: c^½ is one IEEE `sqrt` (correctly
+    * rounded, bit-identical on both engines), immediately quantized to a
+    * BIGINT via `floor(·1e6)` so the cross-row Σ of the temperature
+    * masses is EXACT integer arithmetic — a float Σ would be partial-
+    * aggregation-order-sensitive in the last ulp. Shares are then single
+    * IEEE divides of exact integers. Dataflow: one map-side-combinable
+    * per-source aggregate, a 1-row totals broadcast — two shuffles of
+    * |sources| rows, nothing driver-side; the same job plans a 100 TB
+    * mixture.
+    */
+  private val q151: Q = (s, dir) => {
+    val src = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("src_chars"))
+      .withColumn("sq",
+        expr("CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = src.agg(sum("src_chars").as("tot_chars"), sum("sq").as("tot_sq"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("src_chars"),
+        (col("src_chars").cast("double") / col("tot_chars").cast("double"))
+          .as("raw_share"),
+        (col("sq").cast("double") / col("tot_sq").cast("double"))
+          .as("temp_share"),
+        ((col("sq").cast("double") / col("tot_sq").cast("double")) /
+          (col("src_chars").cast("double") / col("tot_chars").cast("double")))
+          .as("boost"))
+      .orderBy("source")
+  }
+
+  private val q151Sql =
+    """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS src_chars,
+      |    CAST(floor(sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS sq
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(src_chars) AS BIGINT) AS tot_chars,
+      |    CAST(sum(sq) AS BIGINT) AS tot_sq FROM src)
+      |SELECT source, n_docs, src_chars,
+      |  CAST(src_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE) AS raw_share,
+      |  CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) AS temp_share,
+      |  (CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)) /
+      |    (CAST(src_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) AS boost
+      |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+
   /** q78 — MinHash estimator accuracy audit: for every verified LSH
     * candidate pair (q41b), the signature-agreement Jaccard estimate
     * (matching positions / 8) next to the exact candidate-only Jaccard.
@@ -661,6 +713,7 @@ object Corpus {
     "q75_bm25" -> q75,
     "q76_stratified_sample" -> q76,
     "q130_mixture_sample" -> q130,
+    "q151_temp_mixture" -> q151,
     "q78_minhash_est" -> q78
   )
 
@@ -680,6 +733,7 @@ object Corpus {
     "q75_bm25" -> q75Sql,
     "q76_stratified_sample" -> q76Sql,
     "q130_mixture_sample" -> q130Sql,
+    "q151_temp_mixture" -> q151Sql,
     "q78_minhash_est" -> q78Sql
   )
 }

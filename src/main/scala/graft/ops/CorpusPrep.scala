@@ -168,6 +168,24 @@ object CorpusPrep {
     (1 until k).foldLeft(s"${idx(0)} % 1125899906842624")((acc, j) =>
       s"(($acc) * 31 + ${idx(j)}) % 1125899906842624")
 
+  /** Hashed k-gram occurrences (doc_id, gram): md5 once per WORD, then the
+    * codegen'd rolling-polynomial combine of each window's k word hashes —
+    * no per-gram string build, no higher-order-function lambdas in the hot
+    * path (the r5 bench lesson). `stride`=1 gives overlapping grams (q109,
+    * q149); `stride`=k gives aligned passages (q134). Callers add their
+    * own distinct/partitioning — the raw occurrence stream is what differs
+    * least between the consumers.
+    */
+  private[ops] def hashedGrams(docs: DataFrame, k: Int, stride: Int = 1): DataFrame =
+    docs
+      .withColumn("wh", expr("transform(split(text, ' '), " +
+        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
+      .select(col("doc_id"), col("wh"), explode(expr(
+        s"CASE WHEN size(wh) < $k THEN array() " +
+          s"ELSE sequence(1, size(wh) - ${k - 1}, $stride) END")).as("i"))
+      .select(col("doc_id"),
+        expr(rollingGram(k, j => s"element_at(wh, i + $j)")).as("gram"))
+
   private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
     // The postings relation feeds the df aggregate AND both sides of the
     // pair join — persist it once (drained by Bench/Verify after the
@@ -175,18 +193,8 @@ object CorpusPrep {
     // times.
     // Grams are hashed to longs before any shuffle (q43's discipline,
     // replayed by the oracle): a 13-gram string is ~80 bytes through
-    // distinct + df + the pair join; the hash is 8. md5 runs once per
-    // WORD; each gram's hash is the codegen'd rolling combine of its k
-    // word hashes — the per-position string build + md5-of-80-bytes this
-    // replaced was the query's dominant cost.
-    val g = graft.util.QueryCaches.tracked(docs
-      .withColumn("wh", expr("transform(split(text, ' '), " +
-        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
-      .select(col("doc_id"), col("wh"), explode(expr(
-        s"CASE WHEN size(wh) < $k THEN array() " +
-          s"ELSE sequence(1, size(wh) - ${k - 1}) END")).as("i"))
-      .select(col("doc_id"),
-        expr(rollingGram(k, j => s"element_at(wh, i + $j)")).as("gram"))
+    // distinct + df + the pair join; the hash is 8.
+    val g = graft.util.QueryCaches.tracked(hashedGrams(docs, k)
       // one shuffle on gram serves the whole pipeline: HashPartitioning
       // on a SUBSET of the grouping keys satisfies the distinct's
       // ClusteredDistribution, and the df aggregate + both pair-join
@@ -207,13 +215,20 @@ object CorpusPrep {
     substringPairs(Tables.spread(Tables.documents(s, dir)), k = 13, maxDf = 50)
       .orderBy("doc_a", "doc_b")
 
-  private val q109Sql =
-    s"""WITH w AS (SELECT doc_id, list_transform(string_split(text, ' '),
+  /** Oracle twin of [[hashedGrams]](k=13) + distinct — CTEs `w`/`g0`/`g`
+    * shared by q109Sql, q149Sql, and q150Sql so the gram definition
+    * cannot drift between the three consumers.
+    */
+  private val gram13Ctes =
+    s"""w AS (SELECT doc_id, list_transform(string_split(text, ' '),
       |    w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS wh FROM documents),
       |g0 AS (SELECT doc_id, unnest(CASE WHEN len(wh) < 13 THEN [] ELSE
       |    list_transform(generate_series(1, len(wh)-12), i ->
       |      ${rollingGram(13, j => if (j == 0) "wh[i]" else s"wh[i + $j]")}) END) AS gram FROM w),
-      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0)""".stripMargin
+
+  private val q109Sql =
+    s"""WITH $gram13Ctes,
       |keep AS (SELECT gram FROM
       |  (SELECT gram, count(*) AS gdf FROM g GROUP BY 1)
       |  WHERE gdf BETWEEN 2 AND 50),
@@ -343,14 +358,7 @@ object CorpusPrep {
     */
   private val q134: Q = (s, dir) => {
     val p = graft.util.QueryCaches.tracked(
-      Tables.spread(Tables.documents(s, dir))
-        .withColumn("wh", expr("transform(split(text, ' '), " +
-          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
-        .select(col("doc_id"), col("wh"), explode(expr(
-          "CASE WHEN size(wh) < 20 THEN array() " +
-            "ELSE sequence(1, size(wh) - 19, 20) END")).as("i"))
-        .select(col("doc_id"),
-          expr(rollingGram(20, j => s"element_at(wh, i + $j)")).as("gram"))
+      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 20, stride = 20)
         .repartition(col("gram")))
     val docFreq = p.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
@@ -379,6 +387,145 @@ object CorpusPrep {
       |  CAST(n_dup_passages AS DOUBLE) / n_passages AS dup_fraction
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q147 — BPE merge-pair statistics: the counting step of byte-pair-
+    * encoding tokenizer training (Sennrich et al., the algorithm behind
+    * GPT/Llama tokenizers). For every adjacent CHARACTER pair inside a
+    * word, total its corpus frequency = Σ over words containing the pair
+    * of (occurrences-in-word × word count); the top pair is the first
+    * merge a BPE trainer would perform, and the ranked list sizes the
+    * merge table.
+    *
+    * Scale shape — the trick that makes BPE training feasible on 100 TB:
+    * pair extraction runs over the DISTINCT word vocabulary (bounded,
+    * Heaps'-law sublinear), not the token stream. The stream collapses to
+    * (word, count) via one map-side-combinable aggregation; each distinct
+    * word then explodes into at most len-1 pairs weighted by its count;
+    * the pair rollup is a second map-side-combinable shuffle on the pair,
+    * and the final top-30 is a bounded TakeOrdered, never a ranking
+    * window. All counts are exact BIGINTs.
+    */
+  private val q147: Q = (s, dir) => {
+    val wc = Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.filter(length(col("w")) >= 2)
+      .select(col("w"), col("c"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair"))
+      .limit(30)
+  }
+
+  private val q147Sql =
+    """WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |pr AS (SELECT substr(w, i, 2) AS pair, c FROM
+      |  (SELECT w, c, unnest(generate_series(1, len(w) - 1)) AS i
+      |   FROM wc WHERE len(w) >= 2))
+      |SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+      |FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin
+
+  /** q149 — per-document n-gram novelty: the fraction of a document's
+    * distinct 13-grams whose FIRST corpus occurrence (minimum doc_id) is
+    * this document. Low-novelty documents are derivative — near-copies,
+    * boilerplate assemblies, quote-heavy rehashes — and novelty is the
+    * per-document number a data-mixing policy weighs alongside q54's
+    * quality blend (a doc can be pristine English and still be 95%
+    * recycled n-grams). Complements q109 (which retrieves the PAIRS and
+    * needs a df cap): novelty is pair-free — cost linear in corpus size,
+    * safe over the full 100 TB.
+    *
+    * Scale shape: the distinct (doc, gram) postings persist partitioned
+    * on the gram (q109's cache discipline via [[hashedGrams]]); the
+    * first-seen aggregate (min doc_id per gram) and the join back both
+    * cluster on the gram, so the cache's one exchange serves all three
+    * consumers; the per-doc rollup is one further narrow shuffle. The
+    * novelty ratio is one IEEE divide of two exact BIGINTs.
+    */
+  private val q149: Q = (s, dir) => {
+    val g = graft.util.QueryCaches.tracked(
+      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
+        .repartition(col("gram"))
+        .distinct())
+    val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val q149Sql =
+    s"""WITH $gram13Ctes,
+      |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS novelty
+      |FROM g JOIN fs USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q150 — asymmetric containment pairs: for document pairs sharing
+    * 13-grams, `containment = shared / min(|A|, |B|)` — the measure that
+    * catches SUBSET duplication (a short doc quoted wholesale inside a
+    * long one), which symmetric Jaccard structurally misses: a 100-gram
+    * doc fully contained in a 10,000-gram doc has Jaccard ≈ 0.01 but
+    * containment 1.0. Reported for pairs with containment ≥ ½, the
+    * threshold tested in exact integers (`shared·2 ≥ min`) so no float
+    * comparison sits on the cut.
+    *
+    * Scale shape mirrors q109: candidates come only from the df-bounded
+    * gram join (a gram with df > 50 is boilerplate and is dropped from
+    * BOTH the join and the denominators, df = 1 grams can't pair but DO
+    * count in the denominator — a doc's unique grams are evidence
+    * against its containment); the (doc, gram, df) relation persists
+    * partitioned on the gram so the df join, both pair-join sides, and
+    * the per-doc totals read one exchange.
+    */
+  private val q150: Q = (s, dir) => {
+    val g = graft.util.QueryCaches.tracked(
+      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
+        .repartition(col("gram"))
+        .distinct())
+    val dfx = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val gd = graft.util.QueryCaches.tracked(
+      g.join(dfx, "gram").filter(col("gdf") <= 50))
+    val tot = gd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pr = gd.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(gd.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_grams"))
+    pr.join(tot.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("shared_grams") * 2 >= least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q150Sql =
+    s"""WITH $gram13Ctes,
+      |dfx AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1),
+      |gd AS (SELECT g.doc_id, g.gram FROM g JOIN dfx USING (gram) WHERE dfx.gdf <= 50),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gd GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS shared_grams
+      |  FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, ta.n AS n_a, tb.n AS n_b, shared_grams,
+      |  CAST(shared_grams AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE)
+      |    AS containment
+      |FROM pr
+      |JOIN tot ta ON ta.doc_id = pr.doc_a
+      |JOIN tot tb ON tb.doc_id = pr.doc_b
+      |WHERE shared_grams * 2 >= least(ta.n, tb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
@@ -386,7 +533,10 @@ object CorpusPrep {
     "q109_substring_pairs" -> q109,
     "q110_vocab_build" -> q110,
     "q134_dup_passage" -> q134,
-    "q142_oov_audit" -> q142)
+    "q142_oov_audit" -> q142,
+    "q147_bpe_merge_pairs" -> q147,
+    "q149_gram_novelty" -> q149,
+    "q150_gram_containment" -> q150)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -395,5 +545,8 @@ object CorpusPrep {
     "q109_substring_pairs" -> q109Sql,
     "q110_vocab_build" -> q110Sql,
     "q134_dup_passage" -> q134Sql,
-    "q142_oov_audit" -> q142Sql)
+    "q142_oov_audit" -> q142Sql,
+    "q147_bpe_merge_pairs" -> q147Sql,
+    "q149_gram_novelty" -> q149Sql,
+    "q150_gram_containment" -> q150Sql)
 }

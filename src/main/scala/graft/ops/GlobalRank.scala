@@ -60,4 +60,53 @@ object GlobalRank {
         col("__gr_off") + (col("__gr_mid") bitwiseAND ((1L << 33) - 1)) + 1L)
       .drop("__gr_pid", "__gr_off", "__gr_mid")
   }
+
+  /** Scale-safe global EXCLUSIVE prefix sum: for each row, the sum of
+    * `weight` over all rows strictly earlier in the `sortCols` total
+    * order — exactly `SUM(w) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` (null frame ≡ 0), with no
+    * single-partition stage. Same decomposition as [[rowNumber]]:
+    * range-partition the total order, stamp partition-local positions,
+    * shift by broadcast per-range cumulative totals (P longs of driver
+    * metadata). The only window in the plan partitions by the RANGE id —
+    * P groups of ~n/P rows each, the bounded-partition window shape, so
+    * its hash exchange scales like any groupBy; no `Exchange
+    * SinglePartition` may appear.
+    *
+    * `weight` must be integral (it is cast to long): exact BIGINT
+    * accumulation is what keeps a 100 TB prefix sum bit-identical to a
+    * single-node oracle — float prefix sums are order-sensitive in the
+    * last ulp. `sortCols` must be a total order, as in [[rowNumber]].
+    */
+  def prefixSum(df: DataFrame, outCol: String, weight: Column,
+                sortCols: Seq[Column], numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.util.QueryCaches.tracked(
+      df.repartitionByRange(p, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__gr_w", weight.cast("long"))
+        .withColumn("__gr_mid", monotonically_increasing_id()))
+    // Metadata-sized action: one (pid, total) pair per non-empty range.
+    val totals = ranged
+      .groupBy(shiftright(col("__gr_mid"), 33).as("__gr_pid"))
+      .agg(sum("__gr_w").as("__gr_tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val row = (pid, acc); acc += t; row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__gr_pid", "__gr_off")
+    val win = Window.partitionBy("__gr_pid").orderBy("__gr_mid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__gr_pid", shiftright(col("__gr_mid"), 33))
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn(outCol,
+        col("__gr_off") + coalesce(sum(col("__gr_w")).over(win), lit(0L)))
+      .drop("__gr_pid", "__gr_off", "__gr_mid", "__gr_w")
+  }
 }

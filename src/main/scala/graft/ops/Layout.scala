@@ -145,12 +145,51 @@ object Layout {
       |    CAST(sum(s1) AS BIGINT) FROM cz)
       |ORDER BY ordering""".stripMargin
 
+  /** q148 — size-bounded shard packing: lay the corpus out in (lang,
+    * doc_id) order and pack documents into ~50k-character shards by
+    * cumulative mass — `shard_id = ⌊chars_before / 50000⌋`. This is the
+    * write plan a training run consumes: contiguous language runs (so a
+    * shard's docs co-locate for curriculum/mixing), deterministic shard
+    * boundaries, near-uniform shard bytes regardless of document-length
+    * skew (a 10× longer doc just advances the cumulative counter 10×
+    * faster). The emitted (doc → shard) manifest is exactly what a
+    * partitioned `write.parquet` would consume as its partition column.
+    *
+    * Scale shape: the cumulative mass is a GLOBAL exclusive prefix sum —
+    * the textbook single-reducer trap — computed scale-safely by
+    * [[GlobalRank.prefixSum]] (range-partition the (lang, doc_id) order,
+    * per-range local running sums under a bounded-partition window,
+    * broadcast per-range cumulative offsets). All-integer end to end.
+    */
+  private val q148: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    GlobalRank.prefixSum(docs, "chars_before", col("n_chars"),
+        Seq(col("lang"), col("doc_id")))
+      .withColumn("shard_id", expr("CAST(chars_before div 50000 AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("chars_before"), col("shard_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q148Sql =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+      |  CAST(coalesce(SUM(n_chars) OVER (ORDER BY lang, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS chars_before
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, chars_before,
+      |  chars_before // 50000 AS shard_id
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_zorder" -> q104,
     "q111_rle_estimate" -> q111,
-    "q121_zorder_audit" -> q121)
+    "q121_zorder_audit" -> q121,
+    "q148_shard_plan" -> q148)
   val oracle: Map[String, String] = Map(
     "q104_zorder" -> q104Sql,
     "q111_rle_estimate" -> q111Sql,
-    "q121_zorder_audit" -> q121Sql)
+    "q121_zorder_audit" -> q121Sql,
+    "q148_shard_plan" -> q148Sql)
 }

@@ -199,13 +199,16 @@ class PlanSpec extends AnyFunSuite {
     // (q137/q138 cross a 1-row totals/count aggregate, like q70.)
     // (q140 assigns via the ≤8-row broadcast quantizer like q124; q141
     // scores codes against the 5-row broadcast distance tables like q45.)
+    // (q151 crosses the |sources|-row mixture with its 1-row totals
+    // aggregate, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
       "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
       "q127_ann_recall_trained", "q128_quantizer_quality",
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
-      "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit")
+      "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
+      "q151_temp_mixture")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -431,5 +434,64 @@ class PlanSpec extends AnyFunSuite {
       s"label joins must stay equi-joins on doc id:\n$p")
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"(doc_id, source) projection must be persisted once for both sides:\n$p")
+  }
+
+  test("q147: pair mining runs over the distinct vocabulary; top-30 is a TakeOrdered") {
+    val p = planString(SparkEntry.queries("q147_bpe_merge_pairs")(spark, dir))
+    // two aggregation layers twice: (word count) and (pair rollup), each
+    // partial+final — the token stream collapses before pair explosion
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregates for word counts AND pair rollup in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the merge-table cut must be a bounded TakeOrdered, not a sort+limit:\n$p")
+  }
+
+  test("q149: novelty join is an equi-join reading one gram-partitioned cache") {
+    val p = planString(SparkEntry.queries("q149_gram_novelty")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"first-seen join must stay an equi-join on the gram in:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"gram postings must be persisted once for df + join back in:\n$p")
+  }
+
+  test("q150: containment joins are gram/doc equi-joins over persisted relations") {
+    val p = planString(SparkEntry.queries("q150_gram_containment")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair + totals joins must stay equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the df-bounded gram relation must be persisted for its three consumers:\n$p")
+  }
+
+  test("q151: temperature mixture broadcasts the 1-row totals; aggregates partial+final") {
+    val p = planString(SparkEntry.queries("q151_temp_mixture")(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast (scalar crossJoin):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-source aggregate must be partial then final:\n$p")
+  }
+
+  test("q148: the global prefix sum plans with no single-partition stage") {
+    // GlobalRank.prefixSum's contract: the ONLY window partitions by the
+    // range id (bounded partitions), and nothing — window, sort, or
+    // exchange — funnels the full relation through one reducer before
+    // the final declared ORDER BY. Checked structurally, recursing into
+    // cached plans where the kernel hides its upstream.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def offending(plan: SparkPlan): Seq[SparkPlan] = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => Seq(e)
+      case a: AdaptiveSparkPlanExec => offending(a.executedPlan)
+      case i: InMemoryTableScanExec => offending(i.relation.cachedPlan)
+    }.flatten
+    val df = SparkEntry.queries("q148_shard_plan")(spark, dir)
+    val bad = offending(df.queryExecution.executedPlan)
+    graft.util.QueryCaches.drain()
+    assert(bad.isEmpty,
+      s"q148: single-partition stage(s) in the prefix-sum plan:\n${bad.mkString("\n")}")
   }
 }

@@ -59,4 +59,35 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(got.count() === 0L)
     graft.util.QueryCaches.drain()
   }
+
+  test("property: prefixSum equals a driver-side exclusive running sum") {
+    val spark2 = spark
+    import spark2.implicits._
+    val row = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 1000L))
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(200, row)(Gen.Parameters.default, Seed(97L + i)).get
+        .zipWithIndex.map { case ((k, w), id) => (k, w, id.toLong) }
+      val sorted = rows.sortBy(r => (r._1, r._3))
+      val expected = sorted.zip(sorted.scanLeft(0L)(_ + _._2))
+        .map { case (r, before) => r._3 -> before }.toMap
+      Seq(1, 5, 300).foreach { p =>
+        val got = GlobalRank.prefixSum(rows.toDF("k", "w", "id"), "before",
+            col("w"), Seq(col("k"), col("id")), numParts = p)
+          .select("id", "before").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.util.QueryCaches.drain()
+        assert(got === expected, s"seed ${97L + i}, numParts $p")
+      }
+    }
+  }
+
+  test("prefixSum on empty input yields an empty relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = GlobalRank.prefixSum(
+      Seq.empty[(Long, Long, Long)].toDF("k", "w", "id"), "before",
+      col("w"), Seq(col("k"), col("id")))
+    assert(got.count() === 0L)
+    graft.util.QueryCaches.drain()
+  }
 }
