@@ -1011,7 +1011,70 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q152 — dimension-truncation recall audit (the Matryoshka/MRL
+    * question): if the index stored only the first 16 of 64 dimensions —
+    * 4× smaller vectors, 4× cheaper scans at 100 TB — how much of the
+    * true cosine top-10 would prefix-cosine retrieval keep? Per query:
+    * the exact top-10 under full cosine, the top-10 under 16-dim prefix
+    * cosine, and their overlap. This is the measurement that decides a
+    * truncation level before re-indexing a corpus.
+    *
+    * Scale shape: one broadcast of the 5-row query set, both scores
+    * computed map-side in the SAME projection (the corpus is scanned
+    * once, not once per variant), and ONE grouped aggregation carrying
+    * both bounded [[graft.functions.TopKByScore]] states — at most
+    * 2·k rows per partition per query cross the shuffle; no ranking
+    * window, no second pass. Zero-norm guard per the q44 lesson: Spark
+    * 0/0 is NaN (sorts above every score), DuckDB 0/0 is NULL — both
+    * sides coerce to 0 so a degenerate prefix can never diverge.
+    */
+  private val q152: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(10))
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("vt", expr("slice(v, 1, 16)"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vt").as("qt"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(s"nanvl(${cosExpr("qv", "v")}, 0D)"), 6).as("cs_full"),
+        round(expr(s"nanvl(${cosExpr("qt", "vt")}, 0D)"), 6).as("cs_trunc"))
+      .groupBy("query_id")
+      .agg(topk(col("cs_full"), col("vec_id")).as("tk_full"),
+        topk(col("cs_trunc"), col("vec_id")).as("tk_trunc"))
+      .select(col("query_id"),
+        expr("size(array_intersect(transform(tk_full, x -> x.id), " +
+          "transform(tk_trunc, x -> x.id)))").cast("long").as("n_overlap"))
+      .withColumn("recall_at_10", col("n_overlap").cast("double") / 10)
+      .orderBy("query_id")
+  }
+
+  private val q152Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_slice(embedding::DOUBLE[], 1, 16) AS vt FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, vt AS qt FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(coalesce(list_dot_product(q.qv, e.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 0), 6)
+       |      AS cs_full,
+       |    round(coalesce(list_dot_product(q.qt, e.vt)
+       |      / (sqrt(list_dot_product(q.qt, q.qt)) * sqrt(list_dot_product(e.vt, e.vt))), 0), 6)
+       |      AS cs_trunc
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+       |f AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cs_full DESC, vec_id) AS rk FROM scored) WHERE rk <= 10),
+       |t AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cs_trunc DESC, vec_id) AS rk FROM scored) WHERE rk <= 10)
+       |SELECT f.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       |  CAST(count(t.vec_id) AS DOUBLE) / 10 AS recall_at_10
+       |FROM f LEFT JOIN t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+       |GROUP BY 1 ORDER BY f.query_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q152_trunc_recall" -> q152,
     "q141_pq_adc_topk" -> q141,
     "q140_semdedup" -> q140,
     "q136_knn_graph" -> q136,
@@ -1032,6 +1095,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q152_trunc_recall" -> q152Sql,
     "q141_pq_adc_topk" -> q141Sql,
     "q140_semdedup" -> q140Sql,
     "q136_knn_graph" -> q136Sql,

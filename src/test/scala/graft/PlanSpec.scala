@@ -200,7 +200,8 @@ class PlanSpec extends AnyFunSuite {
     // (q140 assigns via the ≤8-row broadcast quantizer like q124; q141
     // scores codes against the 5-row broadcast distance tables like q45.)
     // (q151 crosses the |sources|-row mixture with its 1-row totals
-    // aggregate, like q70.)
+    // aggregate, like q70; q152 is q45's broadcast brute-force scan shape
+    // with a second score column.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
@@ -208,7 +209,7 @@ class PlanSpec extends AnyFunSuite {
       "q127_ann_recall_trained", "q128_quantizer_quality",
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
       "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
-      "q151_temp_mixture")
+      "q151_temp_mixture", "q152_trunc_recall")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -453,6 +454,18 @@ class PlanSpec extends AnyFunSuite {
       s"first-seen join must stay an equi-join on the gram in:\n$p")
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"gram postings must be persisted once for df + join back in:\n$p")
+  }
+
+  test("q152: both truncation variants score in one pass; top-k is an aggregation") {
+    val p = planString(SparkEntry.queries("q152_trunc_recall")(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"the 5-row query set must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"per-query top-k must be the bounded aggregation, not a ranking window:\n$p")
+    // both TopK states ride ONE grouped aggregation (partial+final), so
+    // the corpus is scored in a single pass
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final object hash aggregate carrying both top-k states:\n$p")
   }
 
   test("q150: containment joins are gram/doc equi-joins over persisted relations") {
