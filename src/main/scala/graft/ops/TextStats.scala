@@ -278,6 +278,79 @@ object TextStats {
       |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INTEGER) % 10 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** q153 — length-filter plan: per language, the exact p05/p95 document-
+    * length cutoffs (`percentile_disc` — observed values, q95's proven
+    * cross-engine twin of `quantile_disc`) and how many documents each
+    * tail cut would drop. This is the plan a corpus cleaning pass
+    * executes before the quality gates: too-short docs are fragments,
+    * too-long ones are concatenation artifacts, and the cutoffs must be
+    * PER LANGUAGE because length distributions differ by script.
+    *
+    * Scale shape: one exact per-lang percentile aggregate (exact is the
+    * spec here because the cutoff must be an observed length; the
+    * `approx_percentile` sketch family — q59/q64 — is the 100 TB
+    * fallback when exactness is negotiable), then the |langs|-row cutoff
+    * relation broadcasts back onto the corpus for one counting pass.
+    */
+  private val q153: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("lang", "n_chars")
+    val cuts = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p05"),
+      expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)")
+        .as("p95"))
+    docs.join(broadcast(cuts), "lang")
+      .groupBy("lang", "n_docs", "p05", "p95")
+      .agg(sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("lang")
+  }
+
+  private val q153Sql =
+    """WITH cuts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS p05,
+      |    CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+      |  FROM documents GROUP BY 1)
+      |SELECT d.lang, c.n_docs, c.p05, c.p95,
+      |  CAST(sum(CASE WHEN d.n_chars < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(sum(CASE WHEN d.n_chars > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM documents d JOIN cuts c USING (lang)
+      |GROUP BY 1, 2, 3, 4 ORDER BY lang""".stripMargin
+
+  /** q154 — train/val/test split manifest: the 98/1/1 holdout assignment
+    * every training corpus ships with, derived from the same digest-mod
+    * discipline as q62 so the split is STABLE — a document's assignment
+    * depends only on its id, never on corpus size, ordering, or
+    * partitioning, so val/test stay clean across incremental re-ingests
+    * (rank- or position-based splits silently reshuffle the holdout as
+    * the corpus grows). Pure map-side assignment + one small aggregate;
+    * the per-(lang, split) exact counts are the audit that the holdout
+    * rate landed near target in every language.
+    */
+  private val q154: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("lang", "split")
+
+  private val q154Sql =
+    """WITH b AS (SELECT lang, n_chars,
+      |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INTEGER) % 100
+      |      AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket < 98 THEN 'train' WHEN bucket = 98 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q47_textstats" -> q47,
     "q48_langid" -> q48,
@@ -285,7 +358,9 @@ object TextStats {
     "q54_quality_filter" -> q54,
     "q55_token_count" -> q55,
     "q62_det_sample" -> q62,
-    "q138_curriculum_order" -> q138
+    "q138_curriculum_order" -> q138,
+    "q153_length_filter" -> q153,
+    "q154_split_manifest" -> q154
   )
 
   val oracle: Map[String, String] = Map(
@@ -295,6 +370,8 @@ object TextStats {
     "q54_quality_filter" -> q54Sql,
     "q55_token_count" -> q55Sql,
     "q62_det_sample" -> q62Sql,
-    "q138_curriculum_order" -> q138Sql
+    "q138_curriculum_order" -> q138Sql,
+    "q153_length_filter" -> q153Sql,
+    "q154_split_manifest" -> q154Sql
   )
 }

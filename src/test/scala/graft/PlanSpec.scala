@@ -485,6 +485,22 @@ class PlanSpec extends AnyFunSuite {
       s"per-source aggregate must be partial then final:\n$p")
   }
 
+  test("q153: the per-lang cutoff relation broadcasts back onto the corpus") {
+    val p = planString(SparkEntry.queries("q153_length_filter")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"|langs|-row cutoffs must broadcast, never shuffle the corpus:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"only (lang, n_chars) may be read from documents:\n$p")
+  }
+
+  test("q154: split assignment is map-side; the manifest aggregate is partial+final") {
+    val p = planString(SparkEntry.queries("q154_split_manifest")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate over (lang, split):\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"assignment must stay a pure map-side projection:\n$p")
+  }
+
   test("q148: the global prefix sum plans with no single-partition stage") {
     // GlobalRank.prefixSum's contract: the ONLY window partitions by the
     // range id (bounded partitions), and nothing — window, sort, or
