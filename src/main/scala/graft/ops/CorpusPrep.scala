@@ -448,14 +448,20 @@ object CorpusPrep {
       hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
         .repartition(col("gram"))
         .distinct())
-    val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    g.join(first, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    // Attribution without a postings-sized join-back: a doc's novel-gram
+    // count is just how many grams' min-doc aggregate landed on it, so
+    // both sides reduce FIRST (per-doc totals; per-gram min → per-doc
+    // first-seen counts) and the final join carries |docs| rows, not
+    // |postings|. Docs none of whose grams are first-seen get 0 via the
+    // left join.
+    val tot = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy("gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -490,9 +496,11 @@ object CorpusPrep {
       hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
         .repartition(col("gram"))
         .distinct())
-    val dfx = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    val gd = graft.util.QueryCaches.tracked(
-      g.join(dfx, "gram").filter(col("gdf") <= 50))
+    // keep is a bare gram list (no df payload), so the persisted gd
+    // relation the three consumers read is exactly (doc_id, gram)
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= 50).select("gram")
+    val gd = graft.util.QueryCaches.tracked(g.join(keep, "gram"))
     val tot = gd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pr = gd.select(col("gram"), col("doc_id").as("doc_a"))
       .join(gd.select(col("gram"), col("doc_id").as("doc_b")), "gram")

@@ -173,4 +173,33 @@ class SkewStressSpec extends AnyFunSuite {
     assert(maxBlock <= dominant / 4,
       s"one (cell,bucket) block holds $maxBlock of the dominant cell's $dominant vectors")
   }
+
+  test("q150 containment: planted subset copies surface at exactly 1.0; join stays df-bounded") {
+    val out = graft.SparkEntry.queries("q150_gram_containment")(spark, SkewFixture.dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    // doc 5000+i is doc i plus one appended word, so A's eligible grams
+    // are a strict subset of B's and max-direction containment is an
+    // EXACT 1.0 (every shared gram has df ≥ 2; a df > 50 gram drops from
+    // numerator and denominator together, preserving the ratio)
+    val planted = out.filter(r => r.getLong(1) == r.getLong(0) + 5000L)
+    println(s"[skew] containment found ${planted.length} of ${SkewFixture.nDup} planted containments")
+    assert(planted.length == SkewFixture.nDup,
+      s"every planted subset copy must surface, got ${planted.length}")
+    planted.foreach { r =>
+      assert(r.getDouble(5) == 1.0,
+        s"planted pair (${r.getLong(0)},${r.getLong(1)}) containment ${r.getDouble(5)} != 1.0")
+    }
+    // the df cap is the only thing standing between the gram self-join
+    // and the dominant block's O(n^2): measure the actual join volume
+    val g = CorpusPrep.hashedGrams(
+      spark.read.parquet(s"${SkewFixture.dir}/documents.parquet"), k = 13).distinct()
+    val joinRows = g.groupBy("gram").count()
+      .filter(col("count").between(2, 50))
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0).toLong
+    graft.util.QueryCaches.drain()
+    println(s"[skew] containment gram-join rows: $joinRows of $allPairs all-pairs")
+    assert(joinRows < 20L * SkewFixture.n,
+      s"df-capped gram join must stay ~linear in n, got $joinRows")
+  }
 }
