@@ -487,8 +487,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  private val q57Sql =
-    s"""WITH planes AS (
+  /** Oracle twin of [[bucketNearDupPairs]] minus the threshold — the
+    * hyperplane-bucket CTE chain shared by q57Sql and q155Sql so the
+    * bucketing definition cannot drift between the two consumers.
+    */
+  private val bucketPairCtes =
+    s"""planes AS (
        |  SELECT p, list_transform(generate_series(1,64), j ->
        |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
        |         THEN 1.0 ELSE -1.0 END) AS s
@@ -500,13 +504,75 @@ object Similarity {
        |  FROM e0 CROSS JOIN planes),
        |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
        |  FROM bits GROUP BY vec_id),
-       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))""".stripMargin
+
+  private val q57Sql =
+    s"""WITH $bucketPairCtes
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round($duckCos, 6) AS cos_sim
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
        |WHERE cos_sim >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q155 — paraphrase mining: pairs that are semantically CLOSE
+    * (embedding cosine ≥ 0.35, via q57's hash-bounded hyperplane-bucket
+    * pair join) but lexically DISTANT (exact 3-shingle Jaccard < 0.2) —
+    * the "same meaning, different words" candidates. This is the dual of
+    * near-dup dedup: dedup drops semantic+lexical twins; paraphrase pairs
+    * are what augmentation, contrastive training, and retrieval-eval sets
+    * mine FOR, and they are also the semantically-redundant-but-
+    * lexically-novel mass that q140's SemDeDup removes and q41/q43
+    * (lexical dedup) structurally cannot see.
+    *
+    * Scale shape: candidates only from the bucket equi-join (never
+    * all-pairs); the shingle-set relation persists partitioned on doc_id
+    * so both pair-join sides read one exchange; the Jaccard verify runs
+    * on candidates only. If BOTH docs have no shingles (< 3 words) the
+    * ratio is undefined and the pair drops on both engines (Spark NaN
+    * and DuckDB NULL both fail `< 0.2`) — a one-sided empty set scores
+    * 0 and is kept, identically.
+    */
+  private val q155: Q = (s, dir) => {
+    val pairs = bucketNearDupPairs(s, dir)
+    val sets = Tables.documents(s, dir).repartition(col("doc_id"))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(TextDedup.shinglesExpr(3))).as("sh"))
+      .transform(graft.util.QueryCaches.tracked)
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    pairs
+      .join(sets.select(col("doc_id").as("vec_a"), col("sh").as("sha")), "vec_a")
+      .join(sets.select(col("doc_id").as("vec_b"), col("sh").as("shb")), "vec_b")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos_sim"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") < 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q155Sql =
+    s"""WITH $bucketPairCtes,
+       |cand AS (SELECT doc_a, doc_b, cos_sim FROM (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |         round($duckCos, 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+       |  WHERE cos_sim >= 0.35),
+       |w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+       |shx AS (SELECT doc_id,
+       |  CASE WHEN len(words) < 3 THEN [] ELSE
+       |    list_transform(generate_series(1, len(words)-2), i ->
+       |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles
+       |  FROM w),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shx)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b, cos_sim,
+       |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |            JOIN sets sb ON sb.doc_id = doc_b) t
+       |WHERE jaccard < 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q51 — per-label centroid via the typed [[graft.functions.VectorCentroid]]
     * `Aggregator` (partial+final aggregation: shuffle carries one
@@ -1074,6 +1140,7 @@ object Similarity {
        |GROUP BY 1 ORDER BY f.query_id""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q155_paraphrase_mining" -> q155,
     "q152_trunc_recall" -> q152,
     "q141_pq_adc_topk" -> q141,
     "q140_semdedup" -> q140,
@@ -1095,6 +1162,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_paraphrase_mining" -> q155Sql,
     "q152_trunc_recall" -> q152Sql,
     "q141_pq_adc_topk" -> q141Sql,
     "q140_semdedup" -> q140Sql,

@@ -468,6 +468,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final object hash aggregate carrying both top-k states:\n$p")
   }
 
+  test("q155: paraphrase candidates come from equi-joins over persisted relations") {
+    val p = planString(SparkEntry.queries("q155_paraphrase_mining")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket pair join + shingle verify must stay equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bucket signatures and shingle sets must each be persisted once:\n$p")
+  }
+
   test("q150: containment joins are gram/doc equi-joins over persisted relations") {
     val p = planString(SparkEntry.queries("q150_gram_containment")(spark, dir))
     graft.util.QueryCaches.drain()
