@@ -76,7 +76,9 @@ object GlobalRank {
     * `weight` must be integral (it is cast to long): exact BIGINT
     * accumulation is what keeps a 100 TB prefix sum bit-identical to a
     * single-node oracle — float prefix sums are order-sensitive in the
-    * last ulp. `sortCols` must be a total order, as in [[rowNumber]].
+    * last ulp. A null weight counts as 0 (coalesced before accumulation,
+    * so neither the driver-side offset read nor the window sum can see a
+    * null). `sortCols` must be a total order, as in [[rowNumber]].
     */
   def prefixSum(df: DataFrame, outCol: String, weight: Column,
                 sortCols: Seq[Column], numParts: Int = 0): DataFrame = {
@@ -87,7 +89,7 @@ object GlobalRank {
     val ranged = graft.util.QueryCaches.tracked(
       df.repartitionByRange(p, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-        .withColumn("__gr_w", weight.cast("long"))
+        .withColumn("__gr_w", coalesce(weight.cast("long"), lit(0L)))
         .withColumn("__gr_mid", monotonically_increasing_id()))
     // Metadata-sized action: one (pid, total) pair per non-empty range.
     val totals = ranged

@@ -81,6 +81,22 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSum counts a null weight as 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows: Seq[(Long, Option[Long], Long)] =
+      Seq((0L, Some(5L), 0L), (0L, None, 1L), (1L, Some(3L), 2L), (1L, None, 3L), (2L, Some(7L), 4L))
+    val expected = Map(0L -> 0L, 1L -> 5L, 2L -> 5L, 3L -> 8L, 4L -> 8L)
+    Seq(1, 3).foreach { p =>
+      val got = GlobalRank.prefixSum(rows.toDF("k", "w", "id"), "before",
+          col("w"), Seq(col("k"), col("id")), numParts = p)
+        .select("id", "before").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.util.QueryCaches.drain()
+      assert(got === expected, s"numParts $p")
+    }
+  }
+
   test("prefixSum on empty input yields an empty relation") {
     val spark2 = spark
     import spark2.implicits._
