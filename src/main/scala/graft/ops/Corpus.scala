@@ -382,6 +382,63 @@ object Corpus {
       |    (CAST(src_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) AS boost
       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q157 — data-constrained epoch plan: given a training-token budget of
+    * 2× the corpus and q151's temperature-share mixture targets, how many
+    * EPOCHS of each source does the run consume, with repeats capped at 4
+    * (the data-constrained-scaling finding that value beyond ~4 epochs of
+    * repetition decays to ~zero — Muennighoff et al. 2023)? Per source:
+    * the target token mass the mixture asks for, the mass actually served
+    * under the cap, the resulting epoch count, and the unfilled deficit a
+    * mixing policy must reallocate. This is the plan a 100 TB pretraining
+    * run executes — q151 picks the mixture, q157 decides repetition.
+    *
+    * Float discipline: targets derive from q151's exact-BIGINT quantized-
+    * sqrt masses via ONE shared IEEE expression (double multiply + floor
+    * back to BIGINT — bit-identical per engine on identical ints); the
+    * cap test and deficit are then pure BIGINT `least`/subtraction, so no
+    * float comparison sits on the cap boundary. Dataflow is q151's: one
+    * map-side-combinable per-source aggregate + a 1-row totals broadcast.
+    */
+  private val q157: Q = (s, dir) => {
+    val src = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum("n_chars").as("src_chars"))
+      .withColumn("sq",
+        expr("CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = src.agg(sum("src_chars").as("tot_chars"), sum("sq").as("tot_sq"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(
+        "CAST(floor(2.0D * CAST(tot_chars AS DOUBLE) * " +
+          "(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE))) AS BIGINT)"))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("src_chars") * 4))
+      .select(col("source"), col("src_chars"), col("target_tokens"),
+        col("served_tokens"),
+        (col("served_tokens").cast("double") / col("src_chars").cast("double"))
+          .as("epochs"),
+        (col("target_tokens") - col("served_tokens")).as("deficit"))
+      .orderBy("source")
+  }
+
+  private val q157Sql =
+    """WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars,
+      |    CAST(floor(sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS sq
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(src_chars) AS BIGINT) AS tot_chars,
+      |    CAST(sum(sq) AS BIGINT) AS tot_sq FROM src),
+      |plan AS (SELECT source, src_chars,
+      |    CAST(floor(2.0 * CAST(tot_chars AS DOUBLE) *
+      |      (CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE))) AS BIGINT)
+      |      AS target_tokens
+      |  FROM src CROSS JOIN tot)
+      |SELECT source, src_chars, target_tokens,
+      |  least(target_tokens, src_chars * 4) AS served_tokens,
+      |  CAST(least(target_tokens, src_chars * 4) AS DOUBLE)
+      |    / CAST(src_chars AS DOUBLE) AS epochs,
+      |  target_tokens - least(target_tokens, src_chars * 4) AS deficit
+      |FROM plan ORDER BY source""".stripMargin
+
   /** q78 — MinHash estimator accuracy audit: for every verified LSH
     * candidate pair (q41b), the signature-agreement Jaccard estimate
     * (matching positions / 8) next to the exact candidate-only Jaccard.
@@ -714,6 +771,7 @@ object Corpus {
     "q76_stratified_sample" -> q76,
     "q130_mixture_sample" -> q130,
     "q151_temp_mixture" -> q151,
+    "q157_epoch_plan" -> q157,
     "q78_minhash_est" -> q78
   )
 
@@ -734,6 +792,7 @@ object Corpus {
     "q76_stratified_sample" -> q76Sql,
     "q130_mixture_sample" -> q130Sql,
     "q151_temp_mixture" -> q151Sql,
+    "q157_epoch_plan" -> q157Sql,
     "q78_minhash_est" -> q78Sql
   )
 }

@@ -534,6 +534,65 @@ object CorpusPrep {
       |WHERE shared_grams * 2 >= least(ta.n, tb.n)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q156 — holdout decontamination audit: for every val/test document
+    * under q154's stable digest-mod split, the fraction of its distinct
+    * 13-grams that also occur in ANY train document (Lee et al. 2022 /
+    * GPT-3 appendix-C decontamination, run split-aware). A holdout doc
+    * with high leakage inflates eval scores without measuring
+    * generalization — this is the audit a corpus ships BEFORE its
+    * benchmark numbers mean anything. Composes q154's split discipline
+    * with q109's gram kernel; leakage is directional (train → holdout),
+    * so unlike q109/q150 no pair relation ever materializes.
+    *
+    * Scale shape: the (doc, gram) postings persist partitioned on the
+    * gram ([[hashedGrams]] + the q109 cache discipline); the split
+    * bucket is derived map-side from doc_id INSIDE the cached relation
+    * (one md5 per posting at build, no doc-table join-back). The train
+    * side reduces to a distinct gram set and the holdout side is ~2% of
+    * postings by construction; both cluster on the gram, so the
+    * membership probe is one exchange-reusing equi-join, never a
+    * pair join — cost linear in corpus size. Per-doc leak rate is one
+    * IEEE divide of two exact BIGINTs (q149's discipline).
+    */
+  private val q156: Q = (s, dir) => {
+    val g = graft.util.QueryCaches.tracked(
+      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
+        .repartition(col("gram"))
+        .distinct()
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 100")))
+    // distinct grams seen by ANY train doc; the marker column makes the
+    // left join's hit test null-safe on both engines
+    val train = g.filter(col("bucket") < 98)
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    g.filter(col("bucket") >= 98)
+      .withColumn("split", when(col("bucket") === 98, "val").otherwise("test"))
+      .join(train, Seq("gram"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+      .select(col("doc_id"), col("split"), col("n_grams"), col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_rate"))
+      .orderBy("doc_id")
+  }
+
+  private val q156Sql =
+    s"""WITH $gram13Ctes,
+      |sb AS (SELECT doc_id, gram,
+      |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INTEGER) % 100
+      |      AS bucket
+      |  FROM g),
+      |train AS (SELECT DISTINCT gram, 1 AS hit FROM sb WHERE bucket < 98),
+      |hold AS (SELECT doc_id,
+      |    CASE WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split, gram
+      |  FROM sb WHERE bucket >= 98)
+      |SELECT h.doc_id, h.split, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(coalesce(t.hit, 0)) AS BIGINT) AS n_leaked,
+      |  CAST(sum(coalesce(t.hit, 0)) AS DOUBLE) / count(*) AS leak_rate
+      |FROM hold h LEFT JOIN train t ON h.gram = t.gram
+      |GROUP BY 1, 2 ORDER BY h.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
@@ -544,7 +603,8 @@ object CorpusPrep {
     "q142_oov_audit" -> q142,
     "q147_bpe_merge_pairs" -> q147,
     "q149_gram_novelty" -> q149,
-    "q150_gram_containment" -> q150)
+    "q150_gram_containment" -> q150,
+    "q156_split_leakage" -> q156)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -556,5 +616,6 @@ object CorpusPrep {
     "q142_oov_audit" -> q142Sql,
     "q147_bpe_merge_pairs" -> q147Sql,
     "q149_gram_novelty" -> q149Sql,
-    "q150_gram_containment" -> q150Sql)
+    "q150_gram_containment" -> q150Sql,
+    "q156_split_leakage" -> q156Sql)
 }

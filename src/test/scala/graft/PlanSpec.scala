@@ -201,7 +201,7 @@ class PlanSpec extends AnyFunSuite {
     // scores codes against the 5-row broadcast distance tables like q45.)
     // (q151 crosses the |sources|-row mixture with its 1-row totals
     // aggregate, like q70; q152 is q45's broadcast brute-force scan shape
-    // with a second score column.)
+    // with a second score column; q157 is q151's scalar-totals cross.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
@@ -209,7 +209,7 @@ class PlanSpec extends AnyFunSuite {
       "q127_ann_recall_trained", "q128_quantizer_quality",
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
       "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
-      "q151_temp_mixture", "q152_trunc_recall")
+      "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -508,6 +508,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final aggregate over (lang, split):\n$p")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"assignment must stay a pure map-side projection:\n$p")
+  }
+
+  test("q156: leakage probe is a gram equi-join over one persisted postings cache") {
+    val p = planString(SparkEntry.queries("q156_split_leakage")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"train-membership probe must stay an equi-join on the gram:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"split-bucketed postings must be persisted once for both split sides:\n$p")
+    assert(!p.contains("Window"),
+      s"split assignment and leak rollup must never need a window:\n$p")
+  }
+
+  test("q157: epoch plan broadcasts the 1-row totals; aggregates partial+final") {
+    val p = planString(SparkEntry.queries("q157_epoch_plan")(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast (scalar crossJoin):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-source aggregate must be partial then final:\n$p")
   }
 
   test("q148: the global prefix sum plans with no single-partition stage") {
