@@ -554,9 +554,9 @@ object CorpusPrep {
     * pair join — cost linear in corpus size. Per-doc leak rate is one
     * IEEE divide of two exact BIGINTs (q149's discipline).
     */
-  private val q156: Q = (s, dir) => {
+  private[graft] def splitLeakage(docs: DataFrame): DataFrame = {
     val g = graft.util.QueryCaches.tracked(
-      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
+      hashedGrams(docs, k = 13)
         .repartition(col("gram"))
         .distinct()
         .withColumn("bucket", expr(
@@ -576,6 +576,9 @@ object CorpusPrep {
           .as("leak_rate"))
       .orderBy("doc_id")
   }
+
+  private val q156: Q = (s, dir) =>
+    splitLeakage(Tables.spread(Tables.documents(s, dir)))
 
   private val q156Sql =
     s"""WITH $gram13Ctes,

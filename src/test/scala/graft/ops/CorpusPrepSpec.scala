@@ -165,4 +165,33 @@ class CorpusPrepSpec extends AnyFunSuite
     val dfs = rows.map(_.getLong(1)).toSeq
     assert(dfs === dfs.sorted.reverse)
   }
+
+  test("q156 kernel: verbatim holdout copy leaks 1.0, novel holdout leaks 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the same digest-mod bucket the kernel derives, computed driver-side
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 100
+    }
+    val ids = 0L until 4000L
+    val trainId = ids.find(bucket(_) < 98).get
+    val valId = ids.find(bucket(_) == 98).get
+    val testId = ids.find(bucket(_) == 99).get
+    val valId2 = ids.find(i => bucket(i) == 98 && i != valId).get
+    val t1 = (1 to 20).map(i => s"w$i").mkString(" ")   // 8 distinct 13-grams
+    val t2 = (1 to 20).map(i => s"x$i").mkString(" ")   // fully novel words
+    // first 13-gram window identical to t1's first, the other 7 windows
+    // each contain a novel word
+    val tMix = ((1 to 13).map(i => s"w$i") ++ (1 to 7).map(i => s"n$i")).mkString(" ")
+    val docs = Seq((trainId, t1), (valId, t1), (testId, t2), (valId2, tMix))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.splitLeakage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(valId) === (("val", 8L, 8L)), "verbatim train copy: every gram leaks")
+    assert(out(testId) === (("test", 8L, 0L)), "novel doc: nothing leaks")
+    assert(out(valId2) === (("val", 8L, 1L)), "only the one shared train window leaks")
+    assert(!out.contains(trainId), "train docs are never audited")
+  }
 }

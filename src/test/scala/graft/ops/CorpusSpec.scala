@@ -70,4 +70,22 @@ class CorpusSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q157 epoch plan conserves the 2x budget up to per-source floors; caps at 4 epochs") {
+    val rows = SparkEntry.queries("q157_epoch_plan")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totChars = rows.map(_.getLong(1)).sum
+    val sumTarget = rows.map(_.getLong(2)).sum
+    // each per-source target floors once, so the total budget is met to
+    // within one token per source
+    assert(sumTarget <= 2L * totChars && sumTarget >= 2L * totChars - rows.length,
+      s"sum(target)=$sumTarget vs budget ${2L * totChars}")
+    rows.foreach { r =>
+      val (chars, target, served, epochs, deficit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(served === math.min(target, 4L * chars))
+      assert(deficit === target - served && deficit >= 0L)
+      assert(epochs <= 4.0 && epochs === served.toDouble / chars)
+    }
+  }
 }
