@@ -34,16 +34,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and rebuild a µs timestamp with
-    * integer division (`div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds the 2^53
-    * double mantissa, so float division would corrupt low-order digits).
-    * The data carries no sub-µs values, so this is lossless.
+  /** `events.parquet`'s `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (which Spark's reader rejects; read
+    * nanos as long and rebuild with integer `div`, not `/`: epoch-nanos
+    * ≈ 1.7e18 exceeds the 2^53 double mantissa), then TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ). Normalize every
+    * variant to a session-tz TimestampType column holding the same µs
+    * instant; the session tz is pinned to UTC ([[graft.GraftSession]])
+    * so the NTZ→TZ cast is value-preserving and `epoch_us`-compatible
+    * with the DuckDB oracle, which reads the same file natively.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
