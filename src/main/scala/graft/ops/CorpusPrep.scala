@@ -596,6 +596,83 @@ object CorpusPrep {
       |FROM hold h LEFT JOIN train t ON h.gram = t.gram
       |GROUP BY 1, 2 ORDER BY h.doc_id""".stripMargin
 
+  /** q159 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection via Importance Resampling" shape): score every document by
+    * how much its hashed-unigram feature distribution looks like a TARGET
+    * domain versus the RAW corpus — the weights importance-resampling
+    * selects pretraining data with. The target here is the q54 quality
+    * gate's admitted set (the blend is [[TextStats.qualityScored]]'s, so
+    * the target definition cannot drift from q54/q138/q144); features are
+    * words hashed into 256 buckets (the hashed n-gram trick that keeps the
+    * feature space bounded regardless of vocabulary size); per-feature
+    * weights are add-one-smoothed log-likelihood ratios
+    * log2(p_target(f)/p_raw(f)).
+    *
+    * Scale shape: ONE pass over the corpus reduces the token stream to
+    * per-(doc, feature) counts — the only token-stream-sized shuffle, with
+    * map-side partial aggregation; that cached relation serves both the
+    * 256-row feature table (two bounded aggregates + a 1-row totals
+    * broadcast) and the per-doc scoring join (a broadcast of 256 rows).
+    * Float discipline is q103/q108's: the log-ratio is quantized
+    * `round(log2(·)·1e7)::BIGINT` per FEATURE, so the cross-row per-doc
+    * sum Σ c_f·lr_f is exact integer arithmetic — the final weight is one
+    * IEEE divide of an exact BIGINT.
+    */
+  private val q159: Q = (s, dir) => {
+    val base = TextStats.qualityScored(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("quality") >= 0.5 && col("n_tokens") >= 5).as("keep"),
+        col("words"))
+    // per-(doc, feature) occurrence counts: the single token-stream reduce
+    val dc = graft.util.QueryCaches.tracked(
+      base.select(col("doc_id"), col("n_tokens"), col("keep"),
+          explode(col("words")).as("word"))
+        .withColumn("feat", expr(
+          "CAST(conv(substring(md5(word), 1, 4), 16, 10) AS INT) % 256"))
+        .groupBy("doc_id", "n_tokens", "keep", "feat")
+        .agg(count(lit(1)).as("c")))
+    val ft = dc.groupBy("feat")
+      .agg(sum(when(col("keep"), col("c")).otherwise(0L)).as("n_t"),
+        sum(col("c")).as("n_r"))
+    val tot = ft.agg(sum("n_t").as("t_tot"), sum("n_r").as("r_tot"))
+    val lr = ft.crossJoin(broadcast(tot)) // scalar broadcast: 1-row totals
+      .select(col("feat"), expr(
+        "CAST(round(log2((CAST(n_t + 1 AS DOUBLE) * (r_tot + 256)) " +
+          "/ (CAST(n_r + 1 AS DOUBLE) * (t_tot + 256))) * 1e7) AS BIGINT)")
+        .as("lr_q"))
+    dc.join(broadcast(lr), "feat")
+      .groupBy("doc_id", "n_tokens")
+      .agg(sum(col("c") * col("lr_q")).as("wq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wq").cast("double") / 1e7).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  private val q159Sql =
+    s"""WITH ${TextStats.qualityMeasuresCte()},
+      |k AS (SELECT doc_id, n_tokens,
+      |    (${TextStats.qualityBlendSql} >= 0.5 AND n_tokens >= 5) AS keep
+      |  FROM m),
+      |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+      |dc AS (SELECT t.doc_id, k.n_tokens, k.keep,
+      |    CAST(('0x' || substr(md5(t.word), 1, 4)) AS INTEGER) % 256 AS feat,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tok t JOIN k USING (doc_id) GROUP BY 1, 2, 3, 4),
+      |ft AS (SELECT feat,
+      |    CAST(sum(CASE WHEN keep THEN c ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(c) AS BIGINT) AS n_r
+      |  FROM dc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS t_tot,
+      |    CAST(sum(n_r) AS BIGINT) AS r_tot FROM ft),
+      |lr AS (SELECT feat,
+      |    CAST(round(log2((CAST(n_t + 1 AS DOUBLE) * (r_tot + 256))
+      |      / (CAST(n_r + 1 AS DOUBLE) * (t_tot + 256))) * 1e7) AS BIGINT) AS lr_q
+      |  FROM ft CROSS JOIN tot)
+      |SELECT d.doc_id, d.n_tokens,
+      |  CAST(sum(d.c * lr.lr_q) AS DOUBLE) / 1e7 AS dsir_weight
+      |FROM dc d JOIN lr USING (feat)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
@@ -607,7 +684,8 @@ object CorpusPrep {
     "q147_bpe_merge_pairs" -> q147,
     "q149_gram_novelty" -> q149,
     "q150_gram_containment" -> q150,
-    "q156_split_leakage" -> q156)
+    "q156_split_leakage" -> q156,
+    "q159_dsir_weight" -> q159)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -620,5 +698,6 @@ object CorpusPrep {
     "q147_bpe_merge_pairs" -> q147Sql,
     "q149_gram_novelty" -> q149Sql,
     "q150_gram_containment" -> q150Sql,
-    "q156_split_leakage" -> q156Sql)
+    "q156_split_leakage" -> q156Sql,
+    "q159_dsir_weight" -> q159Sql)
 }

@@ -46,6 +46,35 @@ object Similarity {
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** Oracle twin of the hyperplane bucketing — the CTE chain shared by
+    * q57Sql/q136Sql/q155Sql/q158Sql/q160Sql so the bucketing definition
+    * cannot drift between consumers. (Declared before every consumer:
+    * object vals initialize in order.)
+    */
+  private val bucketPairCtes =
+    s"""planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))""".stripMargin
+
+  /** In-bucket all-directed-pairs scoring CTE shared by q136Sql and
+    * q160Sql — one definition of the kNN candidate set.
+    */
+  private val knnScoredCtes =
+    s"""$bucketPairCtes,
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, round($duckCos, 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)""".stripMargin
+
   /** q44 — embedding-cosine near-duplicates within label blocks, LSH-
     * bounded: the pair join's block key is (label, hyperplane bucket), an
     * equi-join on a composite key whose per-block size the HASH bounds
@@ -426,7 +455,10 @@ object Similarity {
     * their bucket have no in-bucket neighbors and are absent by definition
     * on both engines.
     */
-  private val q136: Q = (s, dir) => {
+  /** Shared sort-free kNN kernel: q136 adds the declared ORDER BY; q160
+    * consumes the edges for the label-consistency audit.
+    */
+  private def knnNeighbors(s: SparkSession, dir: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(3))
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
@@ -443,26 +475,12 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("tk")))
       .select(col("vec_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
-      .orderBy("vec_id", "rank")
   }
 
+  private val q136: Q = (s, dir) => knnNeighbors(s, dir).orderBy("vec_id", "rank")
+
   private val q136Sql =
-    s"""WITH planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
-       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bits AS (
-       |  SELECT e0.vec_id, planes.p,
-       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
-       |  FROM e0 CROSS JOIN planes),
-       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
-       |  FROM bits GROUP BY vec_id),
-       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
-       |scored AS (
-       |  SELECT a.vec_id, b.vec_id AS neighbor_id, round($duckCos, 6) AS cos_sim
-       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    s"""WITH $knnScoredCtes
        |SELECT vec_id, neighbor_id, cos_sim, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
@@ -486,25 +504,6 @@ object Similarity {
         (col("label") === col("doc_id")).as("is_canonical"))
       .orderBy("vec_id")
   }
-
-  /** Oracle twin of [[bucketNearDupPairs]] minus the threshold — the
-    * hyperplane-bucket CTE chain shared by q57Sql and q155Sql so the
-    * bucketing definition cannot drift between the two consumers.
-    */
-  private val bucketPairCtes =
-    s"""planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
-       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bits AS (
-       |  SELECT e0.vec_id, planes.p,
-       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
-       |  FROM e0 CROSS JOIN planes),
-       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
-       |  FROM bits GROUP BY vec_id),
-       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))""".stripMargin
 
   private val q57Sql =
     s"""WITH $bucketPairCtes
@@ -1139,7 +1138,132 @@ object Similarity {
        |FROM f LEFT JOIN t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
        |GROUP BY 1 ORDER BY f.query_id""".stripMargin
 
+  /** q158 — SEMANTIC holdout leakage: the embedding-side twin of q156's
+    * lexical decontamination audit. Vectors split 98/1/1 train/val/test
+    * by the q154 digest-mod discipline (stable: assignment depends only
+    * on vec_id, so the holdout stays clean across re-ingests); for every
+    * val/test vector, does any TRAIN vector sit within cosine ≥ 0.35 in
+    * its hyperplane bucket? q156's 13-gram audit cannot see paraphrased
+    * contamination — an eval item rewritten in different words; this is
+    * the audit that catches it (and the split-aware application of the
+    * q155 paraphrase lesson).
+    *
+    * Scale shape: directional holdout × train (q145's new-vs-old
+    * discipline — candidate volume scales with the ~2% holdout side,
+    * never corpus²); candidates come only from q57's hash-bounded
+    * hyperplane-bucket equi-join (add planes to shrink blocks); bucket
+    * signatures and split buckets are computed once in a shared tracked
+    * cache. The LEFT join keeps zero-candidate holdout vectors visible
+    * (max cosine coalesced to −2, below any true cosine); the in-join
+    * cosine is guarded so a no-match NULL row can never fold into a
+    * score on either engine (Spark NaN ≠ DuckDB NULL was the q44
+    * zero-norm lesson).
+    */
+  /** q158 kernel over any (vec_id, embedding) relation — extracted so the
+    * spec can plant a verbatim train→holdout copy (identical vectors have
+    * identical hyperplane signs, so the collision is guaranteed) and a
+    * near-orthogonal holdout vector, and assert leaked/not-leaked.
+    */
+  private[graft] def semanticLeakage(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("sb", expr(
+        "CAST(conv(substring(md5(cast(vec_id AS string)), 1, 4), 16, 10) AS INT) % 100"))
+      .transform(graft.util.QueryCaches.tracked)
+    val train = e.filter(col("sb") < 98)
+      .select(col("bucket"), col("vec_id").as("tid"), col("v").as("tv"))
+    e.filter(col("sb") >= 98)
+      .select(col("vec_id"),
+        when(col("sb") === 98, "val").otherwise("test").as("split"),
+        col("bucket"), col("v"))
+      .join(train, Seq("bucket"), "left")
+      .select(col("vec_id"), col("split"), col("tid"),
+        when(col("tid").isNotNull,
+          round(expr(s"nanvl(${cosExpr("v", "tv")}, 0D)"), 6)).as("cs"))
+      .groupBy("vec_id", "split")
+      .agg(count(col("tid")).as("n_train_cand"),
+        coalesce(max(col("cs")), lit(-2.0)).as("max_train_cos"))
+      .withColumn("leaked", col("max_train_cos") >= 0.35)
+      .orderBy("vec_id")
+  }
+
+  private val q158: Q = (s, dir) =>
+    semanticLeakage(Tables.spread(Tables.embeddings(s, dir)))
+
+  private val q158Sql =
+    s"""WITH $bucketPairCtes,
+       |sp AS (SELECT vec_id, v, bucket,
+       |    CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 4)) AS INTEGER) % 100 AS sb
+       |  FROM e),
+       |train AS (SELECT bucket, vec_id AS tid, v AS tv FROM sp WHERE sb < 98),
+       |hold AS (SELECT vec_id,
+       |    CASE WHEN sb = 98 THEN 'val' ELSE 'test' END AS split, bucket, v
+       |  FROM sp WHERE sb >= 98),
+       |j AS (SELECT h.vec_id, h.split, t.tid,
+       |    CASE WHEN t.tid IS NOT NULL THEN round(coalesce(
+       |      list_dot_product(h.v, t.tv)
+       |        / (sqrt(list_dot_product(h.v, h.v)) * sqrt(list_dot_product(t.tv, t.tv))),
+       |      0), 6) END AS cs
+       |  FROM hold h LEFT JOIN train t USING (bucket))
+       |SELECT vec_id, split, CAST(count(tid) AS BIGINT) AS n_train_cand,
+       |  coalesce(max(cs), CAST(-2.0 AS DOUBLE)) AS max_train_cos,
+       |  coalesce(max(cs), CAST(-2.0 AS DOUBLE)) >= 0.35 AS leaked
+       |FROM j GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
+  /** q160 — kNN label-consistency audit: per label, the fraction of each
+    * member's top-3 in-bucket neighbors (q136's graph, shared kernel)
+    * that carry the SAME label — the standard embedding-quality /
+    * label-noise probe (a kNN classifier's leave-one-out agreement). A
+    * label whose members' neighbors mostly belong elsewhere is either
+    * mislabeled or its embedding region is entangled — the signal that
+    * decides whether label-conditioned dedup (q44) and per-label
+    * centroids (q51/q115) can be trusted on this corpus.
+    *
+    * Scale shape: q136's bounded kNN edges (≤3 per vector) joined twice
+    * against the 2-column (vec_id, label) relation — edge volume is 3n,
+    * label lookups are narrow equi-joins, and the final aggregate is
+    * |labels| rows of exact BIGINT counts with one IEEE divide.
+    */
+  private val q160: Q = (s, dir) => {
+    val lb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    knnNeighbors(s, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .join(lb, "vec_id")
+      .join(lb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("n_label"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("label"), col("n_vecs"), col("n_edges"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_edges").cast("double"))
+          .as("agree_rate"))
+      .orderBy("label")
+  }
+
+  private val q160Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored) t
+       |  WHERE rk <= 3),
+       |lb AS (SELECT vec_id, label FROM embeddings)
+       |SELECT la.label,
+       |  CAST(count(DISTINCT k.vec_id) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(CASE WHEN la.label = nb.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(sum(CASE WHEN la.label = nb.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS agree_rate
+       |FROM knn k
+       |JOIN lb la ON la.vec_id = k.vec_id
+       |JOIN lb nb ON nb.vec_id = k.neighbor_id
+       |GROUP BY 1 ORDER BY la.label""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q160_knn_label_consistency" -> q160,
+    "q158_semantic_leakage" -> q158,
     "q155_paraphrase_mining" -> q155,
     "q152_trunc_recall" -> q152,
     "q141_pq_adc_topk" -> q141,
@@ -1162,6 +1286,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q160_knn_label_consistency" -> q160Sql,
+    "q158_semantic_leakage" -> q158Sql,
     "q155_paraphrase_mining" -> q155Sql,
     "q152_trunc_recall" -> q152Sql,
     "q141_pq_adc_topk" -> q141Sql,

@@ -202,6 +202,8 @@ class PlanSpec extends AnyFunSuite {
     // (q151 crosses the |sources|-row mixture with its 1-row totals
     // aggregate, like q70; q152 is q45's broadcast brute-force scan shape
     // with a second score column; q157 is q151's scalar-totals cross.)
+    // (q159 crosses the 256-row feature table with its 1-row totals
+    // aggregate, like q151.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
@@ -209,7 +211,8 @@ class PlanSpec extends AnyFunSuite {
       "q127_ann_recall_trained", "q128_quantizer_quality",
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
       "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
-      "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan")
+      "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan",
+      "q159_dsir_weight")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -519,6 +522,37 @@ class PlanSpec extends AnyFunSuite {
       s"split-bucketed postings must be persisted once for both split sides:\n$p")
     assert(!p.contains("Window"),
       s"split assignment and leak rollup must never need a window:\n$p")
+  }
+
+  test("q158: holdout-to-train probe is a bucket equi-join over one persisted cache") {
+    val p = planString(SparkEntry.queries("q158_semantic_leakage")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"holdout x train must stay a bucket equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bucket+split signatures must be computed once in a shared cache:\n$p")
+    assert(!p.contains("Window"),
+      s"split assignment and leak rollup must never need a window:\n$p")
+  }
+
+  test("q159: the 256-row feature table broadcasts; per-doc rollup is partial+final") {
+    val p = planString(SparkEntry.queries("q159_dsir_weight")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the bounded feature table must broadcast onto the doc counts:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the token reduce and doc rollup must aggregate partial then final:\n$p")
+    assert(!p.contains("Window"),
+      s"DSIR scoring must never need a window:\n$p")
+  }
+
+  test("q160: label rollup is equi-joins over bounded kNN edges, no ranking window") {
+    val p = planString(SparkEntry.queries("q160_knn_label_consistency")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label lookups must stay equi-joins:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      s"per-vector top-k must come from the bounded aggregation, not a window:\n$p")
   }
 
   test("q157: epoch plan broadcasts the 1-row totals; aggregates partial+final") {

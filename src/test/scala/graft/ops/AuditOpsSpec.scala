@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.SparkEntry
+
+/** Executable semantics for the corpus-audit trio q158/q159/q160:
+  * planted-fixture leakage for the semantic decontamination audit, and
+  * full driver-side replications of the DSIR weights and the kNN
+  * label-consistency rollup on real sf0.001 data.
+  */
+class AuditOpsSpec extends AnyFunSuite
+  with org.scalatest.BeforeAndAfterEach {
+
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterEach(): Unit = graft.util.QueryCaches.drain()
+
+  /** The same digest-mod split bucket the kernels derive, driver-side. */
+  private def splitBucket(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16) % 100
+  }
+
+  test("q158 kernel: verbatim train copy leaks; orthogonal holdout does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = 0L until 4000L
+    val trainId = ids.find(splitBucket(_) < 98).get
+    val valId = ids.find(splitBucket(_) == 98).get
+    val testId = ids.find(splitBucket(_) == 99).get
+    // base: nonzero pattern; orth: dot(base, orth) = 0 by construction,
+    // so even a bucket collision scores cosine 0 < 0.35
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else 0.5f)
+    val orth = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 0.5f else -1.0f) // Σ (1*0.5 + 0.5*(-1)) per pair = 0
+    val emb = Seq((trainId, base), (valId, base), (testId, orth))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticLeakage(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // identical vectors share every hyperplane sign → guaranteed same
+    // bucket → the copy is retrieved and scores exactly 1.0
+    assert(out(valId)._1 === "val")
+    assert(out(valId)._2 >= 1L, "verbatim copy must be a candidate")
+    assert(out(valId)._3 === 1.0)
+    assert(out(valId)._4, "verbatim train copy must flag as leaked")
+    // the orthogonal holdout vector can never clear the 0.35 bar,
+    // whether or not it shares the copy's bucket
+    assert(out(testId)._1 === "test")
+    assert(!out(testId)._4, "orthogonal holdout must not flag as leaked")
+    assert(out(testId)._3 < 0.35)
+    assert(!out.contains(trainId), "train vectors are never audited")
+  }
+
+  test("q158 on real data: every holdout vector appears once, flags consistent") {
+    val emb = graft.source.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val holdout = emb.filter(splitBucket(_) >= 98).toSet
+    val out = SparkEntry.queries("q158_semantic_leakage")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === holdout)
+    assert(out.length === holdout.size)
+    out.foreach { r =>
+      val expectSplit = if (splitBucket(r.getLong(0)) == 98) "val" else "test"
+      assert(r.getString(1) === expectSplit)
+      assert(r.getBoolean(4) === (r.getDouble(3) >= 0.35))
+      if (r.getLong(2) == 0L) assert(r.getDouble(3) === -2.0)
+    }
+  }
+
+  test("q159 matches a driver-side DSIR replication at sf0.001") {
+    def feat(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 256
+    }
+    // target flags from q54's declared output (the shared blend)
+    val keep = SparkEntry.queries("q54_quality_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    graft.util.QueryCaches.drain()
+    val docs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val dc: Map[Long, Map[Int, Long]] = docs.map { case (id, toks) =>
+      id -> toks.groupBy(feat).map { case (f, ws) => f -> ws.size.toLong }
+    }.toMap
+    val feats = dc.values.flatMap(_.keys).toSet
+    val ft = feats.map { f =>
+      val nT = dc.collect { case (id, m) if keep(id) => m.getOrElse(f, 0L) }.sum
+      val nR = dc.valuesIterator.map(_.getOrElse(f, 0L)).sum
+      f -> ((nT, nR))
+    }.toMap
+    val tTot = ft.values.map(_._1).sum
+    val rTot = ft.values.map(_._2).sum
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val lrQ = ft.map { case (f, (nT, nR)) =>
+      f -> math.round(log2(((nT + 1).toDouble * (rTot + 256)) /
+        ((nR + 1).toDouble * (tTot + 256))) * 1e7)
+    }
+    val expect = dc.map { case (id, m) =>
+      id -> m.map { case (f, c) => c * lrQ(f) }.sum.toDouble / 1e7
+    }
+    val out = SparkEntry.queries("q159_dsir_weight")(spark, dir).collect()
+    assert(out.length === docs.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === docs.find(_._1 == id).get._2.size)
+      // quantization means a 1-ulp log2 divergence can only move the
+      // weight by c/1e7 per feature — 1e-3 is orders above that
+      assert(math.abs(r.getDouble(2) - expect(id)) < 1e-3,
+        s"doc $id: spark ${r.getDouble(2)} vs replica ${expect(id)}")
+    }
+  }
+
+  test("q160 agrees with a driver-side rollup of q136's declared graph") {
+    val knn = SparkEntry.queries("q136_knn_graph")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val labels = graft.source.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = knn.groupBy(r => labels(r.getLong(0))).map { case (lb, rows) =>
+      val nVecs = rows.map(_.getLong(0)).distinct.length.toLong
+      val nEdges = rows.length.toLong
+      val nAgree = rows.count(r => labels(r.getLong(1)) == lb).toLong
+      lb -> ((nVecs, nEdges, nAgree))
+    }
+    val out = SparkEntry.queries("q160_knn_label_consistency")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSet === expect.keySet)
+    out.foreach { r =>
+      val (nv, ne, na) = expect(r.getInt(0))
+      assert(r.getLong(1) === nv)
+      assert(r.getLong(2) === ne)
+      assert(r.getLong(3) === na)
+      assert(r.getDouble(4) === na.toDouble / ne)
+      assert(ne <= 3 * nv, "bounded k: at most 3 edges per vector")
+    }
+  }
+}
