@@ -11,11 +11,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `pq_assign(vector, codebook, m, k)` splits `vector` (ARRAY<DOUBLE>,
   * length divisible by `m`) into `m` contiguous subvectors, assigns each
   * to the nearest of its `k` per-subspace codebook centroids, and returns
-  * ARRAY<BIGINT> of length `m + 1`: the `m` centroid codes followed by the
-  * summed quantized residual. `codebook` is the flattened
-  * ARRAY<DOUBLE> of centroids laid out `(subspace * k + centroid) * subDim
-  * + dim` — in practice a broadcast-sized literal or trained constant
-  * (m·k·subDim doubles).
+  * ARRAY<BIGINT> of length `2m + 1`: the `m` centroid codes, the summed
+  * quantized residual, then the `m` per-subspace minimum distances (so a
+  * distortion audit — q161 — can attribute error to (subspace, centroid)
+  * without re-deriving distances outside the codegen'd loop; consumers of
+  * the original layout read positions 1..m+1 unchanged). `codebook` is the
+  * flattened ARRAY<DOUBLE> of centroids laid out `(subspace * k +
+  * centroid) * subDim + dim` — in practice a broadcast-sized literal or
+  * trained constant (m·k·subDim doubles).
   *
   * Why an `Expression` and not unrolled SQL (the r6 lesson): the unrolled
   * m·k·subDim-term projection (256 terms at m=4,k=4,sub=16) exceeds the
@@ -56,7 +59,7 @@ case class PqAssign(
     val m = m0.asInstanceOf[Int]
     val k = k0.asInstanceOf[Int]
     val sub = v.numElements() / m
-    val out = new Array[Long](m + 1)
+    val out = new Array[Long](2 * m + 1)
     var err = 0L
     var s = 0
     while (s < m) {
@@ -76,6 +79,7 @@ case class PqAssign(
         c += 1
       }
       out(s) = best.toLong
+      out(m + 1 + s) = bestD
       err += bestD
       s += 1
     }
@@ -97,7 +101,7 @@ case class PqAssign(
       val d = ctx.freshName("d")
       s"""
          |int $sub = $v.numElements() / $m;
-         |long[] $out = new long[$m + 1];
+         |long[] $out = new long[2 * $m + 1];
          |long $err = 0L;
          |for (int $s = 0; $s < $m; $s++) {
          |  long $bestD = Long.MAX_VALUE;
@@ -113,6 +117,7 @@ case class PqAssign(
          |    if ($dist < $bestD) { $bestD = $dist; $best = $c; }
          |  }
          |  $out[$s] = (long) $best;
+         |  $out[$m + 1 + $s] = $bestD;
          |  $err += $bestD;
          |}
          |$out[$m] = $err;

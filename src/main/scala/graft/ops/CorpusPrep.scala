@@ -554,7 +554,11 @@ object CorpusPrep {
     * pair join — cost linear in corpus size. Per-doc leak rate is one
     * IEEE divide of two exact BIGINTs (q149's discipline).
     */
-  private[graft] def splitLeakage(docs: DataFrame): DataFrame = {
+  /** Per-holdout-doc leak counts (doc_id, split, n_grams, n_leaked),
+    * unsorted — the shared core of q156 (per-doc rates) and q164 (the
+    * by-source rollup).
+    */
+  private[graft] def splitLeakageRaw(docs: DataFrame): DataFrame = {
     val g = graft.util.QueryCaches.tracked(
       hashedGrams(docs, k = 13)
         .repartition(col("gram"))
@@ -571,17 +575,23 @@ object CorpusPrep {
       .groupBy("doc_id", "split")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+  }
+
+  private[graft] def splitLeakage(docs: DataFrame): DataFrame =
+    splitLeakageRaw(docs)
       .select(col("doc_id"), col("split"), col("n_grams"), col("n_leaked"),
         (col("n_leaked").cast("double") / col("n_grams").cast("double"))
           .as("leak_rate"))
       .orderBy("doc_id")
-  }
 
   private val q156: Q = (s, dir) =>
     splitLeakage(Tables.spread(Tables.documents(s, dir)))
 
-  private val q156Sql =
-    s"""WITH $gram13Ctes,
+  /** Oracle CTE chain ending in `lk(doc_id, split, n_grams, n_leaked)` —
+    * one definition of the leakage core shared by q156Sql and q164Sql.
+    */
+  private val leakCtes =
+    s"""$gram13Ctes,
       |sb AS (SELECT doc_id, gram,
       |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INTEGER) % 100
       |      AS bucket
@@ -589,12 +599,54 @@ object CorpusPrep {
       |train AS (SELECT DISTINCT gram, 1 AS hit FROM sb WHERE bucket < 98),
       |hold AS (SELECT doc_id,
       |    CASE WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split, gram
-      |  FROM sb WHERE bucket >= 98)
-      |SELECT h.doc_id, h.split, CAST(count(*) AS BIGINT) AS n_grams,
-      |  CAST(sum(coalesce(t.hit, 0)) AS BIGINT) AS n_leaked,
-      |  CAST(sum(coalesce(t.hit, 0)) AS DOUBLE) / count(*) AS leak_rate
-      |FROM hold h LEFT JOIN train t ON h.gram = t.gram
-      |GROUP BY 1, 2 ORDER BY h.doc_id""".stripMargin
+      |  FROM sb WHERE bucket >= 98),
+      |lk AS (SELECT h.doc_id, h.split, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(coalesce(t.hit, 0)) AS BIGINT) AS n_leaked
+      |  FROM hold h LEFT JOIN train t ON h.gram = t.gram
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val q156Sql =
+    s"""WITH $leakCtes
+      |SELECT doc_id, split, n_grams, n_leaked,
+      |  CAST(n_leaked AS DOUBLE) / CAST(n_grams AS DOUBLE) AS leak_rate
+      |FROM lk ORDER BY doc_id""".stripMargin
+
+  /** q164 — holdout leakage BY SOURCE: q156's per-document audit rolled up
+    * to (source, split) — the forensic view that names WHICH ingest
+    * source is contaminating the holdout (a mirror site, a benchmark
+    * dump, a scraped eval set), i.e. the actionable output: sources get
+    * de-listed or re-crawled, documents don't. Rates come from exact
+    * BIGINT gram sums (never an average of per-doc float rates, which
+    * would be partial-aggregation-order-sensitive AND wrongly weight
+    * short docs); one IEEE divide per output row.
+    *
+    * Scale shape: q156's linear gram pipeline plus one |holdout|-row
+    * equi-join to the (doc_id, source) projection and a |sources×2|-row
+    * aggregate.
+    */
+  private val q164: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    splitLeakageRaw(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"), sum("n_leaked").as("n_leaked"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_grams"),
+        col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_rate"))
+      .orderBy("source", "split")
+  }
+
+  private val q164Sql =
+    s"""WITH $leakCtes
+      |SELECT d.source, lk.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(lk.n_grams) AS BIGINT) AS n_grams,
+      |  CAST(sum(lk.n_leaked) AS BIGINT) AS n_leaked,
+      |  CAST(CAST(sum(lk.n_leaked) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(sum(lk.n_grams) AS BIGINT) AS DOUBLE) AS leak_rate
+      |FROM lk JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
   /** q159 — DSIR-style importance weights (Xie et al. 2023, "Data
     * Selection via Importance Resampling" shape): score every document by
@@ -685,7 +737,8 @@ object CorpusPrep {
     "q149_gram_novelty" -> q149,
     "q150_gram_containment" -> q150,
     "q156_split_leakage" -> q156,
-    "q159_dsir_weight" -> q159)
+    "q159_dsir_weight" -> q159,
+    "q164_leakage_by_source" -> q164)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -699,5 +752,6 @@ object CorpusPrep {
     "q149_gram_novelty" -> q149Sql,
     "q150_gram_containment" -> q150Sql,
     "q156_split_leakage" -> q156Sql,
-    "q159_dsir_weight" -> q159Sql)
+    "q159_dsir_weight" -> q159Sql,
+    "q164_leakage_by_source" -> q164Sql)
 }

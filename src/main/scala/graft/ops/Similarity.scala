@@ -923,6 +923,64 @@ object Similarity {
        |FROM d ORDER BY vec_id""".stripMargin
   }
 
+  /** q161 — PQ codebook distortion audit: per (subspace, assigned
+    * centroid), how many vectors landed there and how much quantization
+    * error they carry — the audit that finds DEAD codebook entries (rows
+    * absent because nothing assigns to them on either engine) and
+    * OVERLOADED ones (high count × high mean distortion), the two
+    * failure modes that decide whether a codebook retrains before an
+    * index ships. Closes q133's compression loop the way q128 closes the
+    * IVF loop.
+    *
+    * Dataflow: one [[graft.functions.PqAssign]] pass (the same native
+    * codegen'd loop as q133 — the extended output carries the
+    * per-subspace minima at positions m+2..2m+1, so no distance is ever
+    * re-derived outside the loop), a 4-element explode, and one bounded
+    * ≤ m·k-row aggregate of exact BIGINT sums; the mean is one IEEE
+    * divide at the end. Wholly map-side before the tiny aggregate —
+    * the 100 TB shape is a single embarrassingly parallel pass.
+    */
+  private val q161: Q = (s, dir) =>
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        expr(s"pq_assign($vd, $pqCodebookSql, 4, 4)").as("pq"))
+      .select(explode(array((0 until 4).map(m => struct(
+        lit(m).as("subspace"),
+        expr(s"CAST(element_at(pq, ${m + 1}) AS INT)").as("code"),
+        expr(s"element_at(pq, ${m + 6})").as("dq"))): _*)).as("e"))
+      .select(col("e.subspace"), col("e.code"), col("e.dq"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"), sum("dq").as("dist_q"))
+      .select(col("subspace"), col("code"), col("n_vecs"), col("dist_q"),
+        ((col("dist_q").cast("double") / col("n_vecs").cast("double")) / 1e9)
+          .as("mean_dist"))
+      .orderBy("subspace", "code")
+
+  private val q161Sql = {
+    val dcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"CAST(embedding[$i] AS DOUBLE)")} AS d_${m}_$c")
+      .mkString(",\n  ")
+    val assigned = (0 until 4).map(m =>
+      s"${pqCode(m, c => s"d_${m}_$c")} AS code$m,\n" +
+        s"  least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dq$m")
+      .mkString(",\n  ")
+    val unions = (0 until 4).map(m =>
+      s"SELECT $m AS subspace, code$m AS code, dq$m AS dq FROM a")
+      .mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT vec_id,
+       |  $dcols
+       |  FROM embeddings),
+       |a AS (SELECT vec_id,
+       |  $assigned
+       |  FROM d),
+       |u AS ($unions)
+       |SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(dq) AS BIGINT) AS dist_q,
+       |  (CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e9
+       |    AS mean_dist
+       |FROM u GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin
+  }
+
   /** q140 — semantic dedup (SemDeDup, Abbas et al. 2023 shape): keep one
     * representative of every semantically-near group — the
     * embedding-space analogue of q40's exact text dedup, run before
@@ -1262,6 +1320,7 @@ object Similarity {
        |GROUP BY 1 ORDER BY la.label""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q161_pq_distortion" -> q161,
     "q160_knn_label_consistency" -> q160,
     "q158_semantic_leakage" -> q158,
     "q155_paraphrase_mining" -> q155,
@@ -1286,6 +1345,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q161_pq_distortion" -> q161Sql,
     "q160_knn_label_consistency" -> q160Sql,
     "q158_semantic_leakage" -> q158Sql,
     "q155_paraphrase_mining" -> q155Sql,

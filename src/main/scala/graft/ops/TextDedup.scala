@@ -215,6 +215,31 @@ object TextDedup {
   private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     jaccardScored(candPairs(s, dir), shingleSets(s, dir))
 
+  /** Oracle CTE chain for the resolved duplicate clusters (verified pairs
+    * ≥ 0.5 → symmetric closure → recursive reachability → min-label
+    * components as `cc(doc_id, cluster_id)`) — ONE definition shared by
+    * q56Sql/q144Sql/q162Sql so the cluster semantics cannot drift between
+    * consumers. Callers must open with `WITH RECURSIVE`.
+    */
+  private val clusterCtes =
+    s"""$minhashVerifyCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+       |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |              JOIN sets sb ON sb.doc_id = doc_b) t
+       |  WHERE jac >= 0.5),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |        UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |),
+       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   private val q41b: Q = (s, dir) =>
     // persisted: the declared ORDER BY's range sampling otherwise re-runs
     // the whole verification pipeline as its sampling pass
@@ -380,23 +405,7 @@ object TextDedup {
 
   private val q144Sql =
     s"""WITH RECURSIVE
-       |$minhashVerifyCtes,
-       |edges AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT doc_a, doc_b,
-       |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
-       |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
-       |              JOIN sets sb ON sb.doc_id = doc_b) t
-       |  WHERE jac >= 0.5),
-       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-       |        UNION SELECT doc_b, doc_a FROM edges),
-       |reach(a, b) AS (
-       |  SELECT DISTINCT a, a FROM sym
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-       |),
-       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |$clusterCtes,
        |${TextStats.qualityMeasuresCte("qw", "qm")},
        |qual AS (SELECT doc_id, ${TextStats.qualityBlendSql} AS quality FROM qm),
        |ranked AS (SELECT cc.doc_id, cc.cluster_id, qual.quality, d.n_chars,
@@ -921,24 +930,57 @@ object TextDedup {
 
   private val q56Sql =
     s"""WITH RECURSIVE
-      |$minhashVerifyCtes,
-      |edges AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT doc_a, doc_b,
-      |      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-      |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
-      |    FROM cand JOIN sets sa ON sa.doc_id = doc_a
-      |              JOIN sets sb ON sb.doc_id = doc_b) t
-      |  WHERE jac >= 0.5),
-      |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-      |        UNION SELECT doc_b, doc_a FROM edges),
-      |reach(a, b) AS (
-      |  SELECT DISTINCT a, a FROM sym
-      |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-      |)
-      |SELECT a AS doc_id, min(b) AS cluster_id, (min(b) = a) AS is_canonical
-      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+      |$clusterCtes
+      |SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_canonical
+      |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** q162 — duplicate-cluster SIZE histogram: per cluster size, how many
+    * clusters, how many documents they hold, and the character mass a
+    * keep-one dedup reclaims — the shape-of-duplication audit that decides
+    * dedup policy (a corpus of pairs reclaims little; a few giant
+    * clusters mean one source is being mirrored wholesale) and the number
+    * that predicts q146's manifest drops before running it. Composes
+    * [[connectedComponents]] (q56's resolved clusters) with the documents'
+    * character mass.
+    *
+    * Scale shape: the per-cluster rollup is a partial+final aggregate on
+    * the cluster label (a giant cluster is still one reduce key whose
+    * partials combine map-side — no skew trap), and the histogram is a
+    * second aggregate over the |clusters|-row relation. Exact BIGINT
+    * counts and sums throughout; no window, no pair join.
+    */
+  private val q162: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"))
+    val edges = verifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    connectedComponents(edges)
+      .join(docs, "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("sz"), sum("n_chars").as("chars"),
+        sum(when(col("doc_id") === col("label"), col("n_chars"))
+          .otherwise(0L)).as("canon_chars"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        sum(col("chars") - col("canon_chars")).as("reclaimed_chars"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("reclaimed_chars"))
+      .orderBy("cluster_size")
+  }
+
+  private val q162Sql =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |pc AS (SELECT cc.cluster_id, CAST(count(*) AS BIGINT) AS sz,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       |    CAST(sum(CASE WHEN cc.doc_id = cc.cluster_id THEN d.n_chars
+       |      ELSE 0 END) AS BIGINT) AS canon_chars
+       |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+       |  GROUP BY 1)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(chars - canon_chars) AS BIGINT) AS reclaimed_chars
+       |FROM pc GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40,
@@ -952,7 +994,8 @@ object TextDedup {
     "q143_band_tuning" -> q143,
     "q144_dedup_survivorship" -> q144,
     "q145_dedup_increment" -> q145,
-    "q146_corpus_manifest" -> q146
+    "q146_corpus_manifest" -> q146,
+    "q162_cluster_size_hist" -> q162
   )
 
   val oracle: Map[String, String] = Map(
@@ -967,6 +1010,7 @@ object TextDedup {
     "q143_band_tuning" -> q143Sql,
     "q144_dedup_survivorship" -> q144Sql,
     "q145_dedup_increment" -> q145Sql,
-    "q146_corpus_manifest" -> q146Sql
+    "q146_corpus_manifest" -> q146Sql,
+    "q162_cluster_size_hist" -> q162Sql
   )
 }

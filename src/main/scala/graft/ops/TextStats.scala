@@ -351,6 +351,69 @@ object TextStats {
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** q163 — quality-vs-token-budget selection curve: the whole corpus
+    * ranked by the q54 quality blend (q138's zero-window GlobalRank) and
+    * cut into 10 quality deciles; per decile, the document count, the
+    * decile's token mass, and the CUMULATIVE token mass and share — i.e.
+    * "keep only the top k/10 of the corpus by quality and this many
+    * training tokens survive". This is the curve that decides where the
+    * quality threshold sits when the token budget is fixed (the
+    * data-constrained regime q157 plans repetition for): filter too hard
+    * and epochs multiply, too soft and quality drops.
+    *
+    * Scale shape: one corpus pass for the blend, the zero-window global
+    * rank, one bounded 10-row aggregate (persisted — three consumers),
+    * then a 10×10 triangle join for the running sum (bounded relation —
+    * a BroadcastNestedLoopJoin over ≤ 10 rows, the documented scalar
+    * exemption class, NOT a window over the corpus) and a 1-row totals
+    * broadcast. Token masses are exact BIGINT; the share is one IEEE
+    * divide.
+    */
+  private val q163: Q = (s, dir) => {
+    val q = qualityScored(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val n = q.agg(count(lit(1)).as("n_docs_total"))
+    val dec = graft.util.QueryCaches.tracked(
+      GlobalRank.rowNumber(q, "cur_rank", Seq(col("quality").desc, col("doc_id")))
+        .crossJoin(broadcast(n)) // scalar broadcast: 1-row corpus count
+        .select((expr("((cur_rank - 1) * 10) div n_docs_total").cast("int") + 1)
+          .as("decile"), col("n_tokens"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("decile_tokens")))
+    val tot = dec.agg(sum("decile_tokens").as("tot_tokens"))
+    dec.as("a").join(dec.as("b"), col("b.decile") <= col("a.decile"))
+      .select(col("a.decile").as("decile"), col("a.n_docs").as("n_docs"),
+        col("a.decile_tokens").as("decile_tokens"),
+        col("b.decile_tokens").as("bt"))
+      .groupBy("decile", "n_docs", "decile_tokens")
+      .agg(sum("bt").as("cum_tokens"))
+      .crossJoin(broadcast(tot)) // scalar broadcast: 1-row token total
+      .select(col("decile"), col("n_docs"), col("decile_tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val q163Sql =
+    s"""WITH ${qualityMeasuresCte()},
+       |q AS (SELECT doc_id, $qualityBlendSql AS quality, n_tokens FROM m),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM q),
+       |r AS (SELECT n_tokens, CAST(row_number() OVER (
+       |    ORDER BY quality DESC, doc_id) AS BIGINT) AS cur_rank FROM q),
+       |dd AS (SELECT CAST(((cur_rank - 1) * 10) // n_docs_total AS INTEGER) + 1
+       |    AS decile, n_tokens FROM r CROSS JOIN n),
+       |dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+       |  FROM dd GROUP BY 1),
+       |tot AS (SELECT CAST(sum(decile_tokens) AS BIGINT) AS tot_tokens FROM dec)
+       |SELECT a.decile, a.n_docs, a.decile_tokens,
+       |  CAST(sum(b.decile_tokens) AS BIGINT) AS cum_tokens,
+       |  CAST(CAST(sum(b.decile_tokens) AS BIGINT) AS DOUBLE)
+       |    / CAST(tot_tokens AS DOUBLE) AS cum_share
+       |FROM dec a JOIN dec b ON b.decile <= a.decile CROSS JOIN tot
+       |GROUP BY 1, 2, 3, tot_tokens ORDER BY a.decile""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q47_textstats" -> q47,
     "q48_langid" -> q48,
@@ -360,7 +423,8 @@ object TextStats {
     "q62_det_sample" -> q62,
     "q138_curriculum_order" -> q138,
     "q153_length_filter" -> q153,
-    "q154_split_manifest" -> q154
+    "q154_split_manifest" -> q154,
+    "q163_quality_token_curve" -> q163
   )
 
   val oracle: Map[String, String] = Map(
@@ -372,6 +436,7 @@ object TextStats {
     "q62_det_sample" -> q62Sql,
     "q138_curriculum_order" -> q138Sql,
     "q153_length_filter" -> q153Sql,
-    "q154_split_manifest" -> q154Sql
+    "q154_split_manifest" -> q154Sql,
+    "q163_quality_token_curve" -> q163Sql
   )
 }

@@ -204,6 +204,8 @@ class PlanSpec extends AnyFunSuite {
     // with a second score column; q157 is q151's scalar-totals cross.)
     // (q159 crosses the 256-row feature table with its 1-row totals
     // aggregate, like q151.)
+    // (q163's running sum is a triangle join over the bounded 10-row
+    // decile relation plus a 1-row totals cross — never a corpus window.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
@@ -212,7 +214,7 @@ class PlanSpec extends AnyFunSuite {
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
       "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
       "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan",
-      "q159_dsir_weight")
+      "q159_dsir_weight", "q163_quality_token_curve")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),
@@ -292,7 +294,8 @@ class PlanSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
       case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
     }.flatten
-    Seq("q121_zorder_audit", "q110_vocab_build", "q138_curriculum_order")
+    Seq("q121_zorder_audit", "q110_vocab_build", "q138_curriculum_order",
+      "q163_quality_token_curve")
       .foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
@@ -553,6 +556,25 @@ class PlanSpec extends AnyFunSuite {
       s"label lookups must stay equi-joins:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("Window ["),
       s"per-vector top-k must come from the bounded aggregation, not a window:\n$p")
+  }
+
+  test("q161: PQ distortion audit is join-free map-side work + a bounded aggregate") {
+    val p = planString(SparkEntry.queries("q161_pq_distortion")(spark, dir))
+    assert(!p.contains("Join"),
+      s"the audit reads only pq_assign's extended output — no join may appear:\n$p")
+    assert(!p.contains("Window"),
+      s"distortion rollup must never need a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (subspace, code) rollup must aggregate partial then final:\n$p")
+  }
+
+  test("q162: cluster-size histogram is two partial+final aggregates, no window") {
+    val p = planString(SparkEntry.queries("q162_cluster_size_hist")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster rollup must stay equi-joins:\n$p")
+    assert(!p.contains("Window"),
+      s"per-cluster and histogram rollups must never need a window:\n$p")
   }
 
   test("q157: epoch plan broadcasts the 1-row totals; aggregates partial+final") {

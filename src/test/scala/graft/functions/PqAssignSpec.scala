@@ -22,6 +22,10 @@ class PqAssignSpec extends AnyFunSuite {
     assert(pq(1) === 0L)
     // residual: round(0.01*1e9)*2 + round(0.01*1e9) + round(0.0025*1e9)
     assert(pq(2) === 10000000L * 2 + 10000000L + 2500000L)
+    // per-subspace minima appended after the total (positions m+1..2m)
+    assert(pq(3) === 10000000L * 2)
+    assert(pq(4) === 10000000L + 2500000L)
+    assert(pq.length === 5)
   }
 
   test("pq_assign tie-break is first-minimum, matching the oracle's <= chain") {

@@ -114,6 +114,90 @@ class AuditOpsSpec extends AnyFunSuite
     }
   }
 
+  test("q161 distortion totals reconcile with q133's declared per-vector errors") {
+    val q133 = SparkEntry.queries("q133_pq_assign")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val out = SparkEntry.queries("q161_pq_distortion")(spark, dir).collect()
+    // every vector appears once per subspace
+    val nVecs = q133.length.toLong
+    (0 until 4).foreach { m =>
+      val rows = out.filter(_.getInt(0) == m)
+      assert(rows.map(_.getLong(2)).sum === nVecs, s"subspace $m covers the corpus")
+    }
+    // summed (subspace, code) distortion == summed per-vector err_q
+    assert(out.map(_.getLong(3)).sum === q133.map(_.getLong(5)).sum)
+    out.foreach { r =>
+      assert(r.getDouble(4) >= 0.0)
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / r.getLong(2).toDouble / 1e9) < 1e-12)
+    }
+  }
+
+  test("q162 histogram reconciles with q56's declared clusters") {
+    val q56 = SparkEntry.queries("q56_dedup_clusters")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val chars = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = q56.groupBy(_.getLong(1))
+    val expect = byCluster.values.groupBy(_.size).map { case (sz, cs) =>
+      val reclaimed = cs.map(_.filterNot(r => r.getBoolean(2))
+        .map(r => chars(r.getLong(0))).sum).sum
+      sz.toLong -> ((cs.size.toLong, (sz * cs.size).toLong, reclaimed))
+    }
+    val out = SparkEntry.queries("q162_cluster_size_hist")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).toSet === expect.keySet)
+    out.foreach { r =>
+      val (nc, nd, rc) = expect(r.getLong(0))
+      assert(r.getLong(1) === nc)
+      assert(r.getLong(2) === nd)
+      assert(r.getLong(3) === rc)
+      assert(r.getLong(0) >= 2L, "a cluster in the dup graph has at least 2 members")
+    }
+  }
+
+  test("q163 curve is a complete monotone partition of the corpus token mass") {
+    val out = SparkEntry.queries("q163_quality_token_curve")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val nDocs = graft.source.Tables.documents(spark, dir).count()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(out.map(_.getLong(1)).sum === nDocs)
+    // cumulative tokens strictly increase and end at the total => share 1.0
+    val cums = out.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(out.map(_.getLong(2)).sum === cums.last)
+    assert(out.last.getDouble(4) === 1.0)
+    // the curve is the whole point: each decile's cum == prefix sum of deciles
+    val prefix = out.map(_.getLong(2)).scanLeft(0L)(_ + _).tail
+    assert(cums.toSeq === prefix.toSeq)
+  }
+
+  test("q164 by-source rollup reconciles with q156's per-doc leakage") {
+    val perDoc = SparkEntry.queries("q156_split_leakage")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val src = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = perDoc.groupBy(r => (src(r.getLong(0)), r.getString(1)))
+      .map { case (k, rows) =>
+        k -> ((rows.length.toLong, rows.map(_.getLong(2)).sum,
+          rows.map(_.getLong(3)).sum))
+      }
+    val out = SparkEntry.queries("q164_leakage_by_source")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    assert(out.nonEmpty)
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet === expect.keySet)
+    out.foreach { r =>
+      val (nd, ng, nl) = expect((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === nd)
+      assert(r.getLong(3) === ng)
+      assert(r.getLong(4) === nl)
+      assert(r.getDouble(5) === nl.toDouble / ng.toDouble)
+    }
+  }
+
   test("q160 agrees with a driver-side rollup of q136's declared graph") {
     val knn = SparkEntry.queries("q136_knn_graph")(spark, dir).collect()
     graft.util.QueryCaches.drain()
