@@ -558,13 +558,19 @@ object CorpusPrep {
     * unsorted — the shared core of q156 (per-doc rates) and q164 (the
     * by-source rollup).
     */
-  private[graft] def splitLeakageRaw(docs: DataFrame): DataFrame = {
-    val g = graft.util.QueryCaches.tracked(
+  /** Distinct (doc_id, gram, split-bucket) postings, gram-partitioned and
+    * persisted — the one cache q156/q164/q165 all read.
+    */
+  private[graft] def splitGrams(docs: DataFrame): DataFrame =
+    graft.util.QueryCaches.tracked(
       hashedGrams(docs, k = 13)
         .repartition(col("gram"))
         .distinct()
         .withColumn("bucket", expr(
           "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 100")))
+
+  /** Per-holdout-doc leak counts over a prepared [[splitGrams]] relation. */
+  private def leakCounts(g: DataFrame): DataFrame = {
     // distinct grams seen by ANY train doc; the marker column makes the
     // left join's hit test null-safe on both engines
     val train = g.filter(col("bucket") < 98)
@@ -576,6 +582,9 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
   }
+
+  private[graft] def splitLeakageRaw(docs: DataFrame): DataFrame =
+    leakCounts(splitGrams(docs))
 
   private[graft] def splitLeakage(docs: DataFrame): DataFrame =
     splitLeakageRaw(docs)
@@ -725,6 +734,64 @@ object CorpusPrep {
       |FROM dc d JOIN lr USING (feat)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** q165 — decontamination EVIDENCE pairs: for every leaking holdout
+    * document, WHICH train documents share its 13-grams and how much —
+    * the pair-level evidence q156 (rates) and q164 (sources) summarize.
+    * This is the list a decontamination pass acts on: drop/patch the
+    * named train docs, or reassign the holdout doc. Shared-gram counting
+    * is df-capped (gdf ≤ 50, q109's discipline — a boilerplate gram seen
+    * everywhere carries no leakage signal and would explode the join);
+    * the denominator stays the holdout doc's UNCAPPED distinct-gram
+    * count, so `leak_frac` is comparable with q156's `leak_rate`.
+    *
+    * Scale shape: one df-capped gram equi-join (holdout side is ~2% of
+    * postings; no posting list exceeds the cap, so no gram contributes
+    * more than 50×|holdout side| pairs), then a (hold, train) rollup and
+    * one |holdout|-row join back to the leak totals — all reading the
+    * single [[splitGrams]] cache.
+    */
+  private[graft] def leakagePairs(docs: DataFrame): DataFrame = {
+    val g = splitGrams(docs)
+    val lk = leakCounts(g) // (doc_id, split, n_grams, n_leaked)
+    val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= 50).select("gram")
+    val gd = g.join(keep, "gram")
+    val hold = gd.filter(col("bucket") >= 98)
+      .select(col("gram"), col("doc_id").as("hold_id"))
+    val train = gd.filter(col("bucket") < 98)
+      .select(col("gram"), col("doc_id").as("train_id"))
+    hold.join(train, "gram")
+      .groupBy("hold_id", "train_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 3)
+      .join(lk.select(col("doc_id").as("hold_id"), col("split"),
+        col("n_grams")), "hold_id")
+      .select(col("hold_id"), col("split"), col("train_id"),
+        col("shared_grams"), col("n_grams"),
+        (col("shared_grams").cast("double") / col("n_grams").cast("double"))
+          .as("leak_frac"))
+      .orderBy("hold_id", "train_id")
+  }
+
+  private val q165: Q = (s, dir) =>
+    leakagePairs(Tables.spread(Tables.documents(s, dir)))
+
+  private val q165Sql =
+    s"""WITH $leakCtes,
+      |dfx AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM sb GROUP BY 1),
+      |hp AS (SELECT sb.gram, sb.doc_id AS hold_id FROM sb
+      |  JOIN dfx USING (gram) WHERE sb.bucket >= 98 AND dfx.gdf <= 50),
+      |tp AS (SELECT sb.gram, sb.doc_id AS train_id FROM sb
+      |  JOIN dfx USING (gram) WHERE sb.bucket < 98 AND dfx.gdf <= 50),
+      |pr AS (SELECT hold_id, train_id, CAST(count(*) AS BIGINT) AS shared_grams
+      |  FROM hp JOIN tp USING (gram) GROUP BY 1, 2)
+      |SELECT pr.hold_id, lk.split, pr.train_id, pr.shared_grams, lk.n_grams,
+      |  CAST(pr.shared_grams AS DOUBLE) / CAST(lk.n_grams AS DOUBLE)
+      |    AS leak_frac
+      |FROM pr JOIN lk ON lk.doc_id = pr.hold_id
+      |WHERE pr.shared_grams >= 3
+      |ORDER BY hold_id, train_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
@@ -738,7 +805,8 @@ object CorpusPrep {
     "q150_gram_containment" -> q150,
     "q156_split_leakage" -> q156,
     "q159_dsir_weight" -> q159,
-    "q164_leakage_by_source" -> q164)
+    "q164_leakage_by_source" -> q164,
+    "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
     "q106_fuzzy_match" -> q106Sql,
@@ -753,5 +821,6 @@ object CorpusPrep {
     "q150_gram_containment" -> q150Sql,
     "q156_split_leakage" -> q156Sql,
     "q159_dsir_weight" -> q159Sql,
-    "q164_leakage_by_source" -> q164Sql)
+    "q164_leakage_by_source" -> q164Sql,
+    "q165_leakage_pairs" -> q165Sql)
 }

@@ -609,14 +609,20 @@ object Similarity {
     * re-quantized before the cross-dim sum — no float-order sensitivity
     * anywhere (SURVEY §5).
     */
-  private val q115: Q = (s, dir) => {
-    val cent = Tables.embeddings(s, dir)
+  /** Per-(label, dim) exact integer sums and the derived centroid mean —
+    * q115's reduction discipline, shared with q166's cohesion audit.
+    */
+  private def labelDimMeans(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), (col("pos") + 1).as("dim"),
         expr("CAST(round(CAST(col AS DOUBLE) * 1e7) AS BIGINT)").as("xq"))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
       .withColumn("mean", expr("CAST(s1q AS DOUBLE) / (n * 1e7)"))
+
+  private val q115: Q = (s, dir) => {
+    val cent = labelDimMeans(s, dir)
     val a = cent.select(col("label").as("label_a"), col("dim"), col("mean").as("ma"))
     val b = cent.select(col("label").as("label_b"), col("dim"), col("mean").as("mb"))
     a.join(b, Seq("dim"))
@@ -640,6 +646,78 @@ object Similarity {
       |  sqrt(CAST(CAST(sum(CAST(round((a.mean - b.mean) * (a.mean - b.mean) * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS dist
       |FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
       |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+
+  /** q166 — within-class cohesion: per label, the average cosine of each
+    * member to its label CENTROID — the intra-class half of the
+    * separability audit whose inter-class half is q115 (tight cohesion +
+    * wide separation = labels an index or blocking key can trust; loose
+    * cohesion with close centroids = entangled labels, and q44/q51/q115
+    * outputs built on them are noise). The (cohesion, q115-distance) pair
+    * is the Fisher-criterion read on the embedding space.
+    *
+    * Determinism discipline (q115 + q128 composed): centroids from exact
+    * per-(label, dim) integer sums; every per-dimension product —
+    * v·mean, v², mean² — is quantized `round(·1e12)::BIGINT` BEFORE its
+    * cross-dimension sum, so dot products and norms are exact integers;
+    * the per-vector cosine is one IEEE expression of those integers,
+    * re-quantized `round(·1e6)::BIGINT` before the cross-vector mean
+    * (q128's exact-averaging pattern). A zero-norm vector or degenerate
+    * centroid short-circuits to 0 on an integer test, never a NaN.
+    *
+    * Scale shape: one (label, dim)-keyed reduce for centroids (tiny
+    * result, broadcast back), one map-side explode joined to the
+    * broadcast means, a (vec_id)-keyed reduce, and a |labels|-row
+    * aggregate — linear, no pair join anywhere.
+    */
+  private val q166: Q = (s, dir) => {
+    val cent = graft.util.QueryCaches.tracked(labelDimMeans(s, dir))
+    val nc = cent.groupBy("label")
+      .agg(sum(expr("CAST(round(mean * mean * 1e12) AS BIGINT)")).as("nc_q"))
+    val ex = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        expr("CAST(col AS DOUBLE)").as("v"))
+    ex.join(broadcast(cent.select(col("label"), col("dim"), col("mean"))),
+        Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("CAST(round(v * mean * 1e12) AS BIGINT)")).as("dot_q"),
+        sum(expr("CAST(round(v * v * 1e12) AS BIGINT)")).as("nv_q"))
+      .join(broadcast(nc), "label")
+      .select(col("label"), expr(
+        "CAST(round(CASE WHEN nv_q <= 0 OR nc_q <= 0 THEN 0 " +
+          "ELSE CAST(dot_q AS DOUBLE) / (sqrt(CAST(nv_q AS DOUBLE)) * sqrt(CAST(nc_q AS DOUBLE))) END" +
+          " * 1e6) AS BIGINT)").as("cq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("cq").as("sq"))
+      .select(col("label"), col("n_vecs"),
+        expr("CAST(sq AS DOUBLE) / (n_vecs * 1e6)").as("cohesion"))
+      .orderBy("label")
+  }
+
+  private val q166Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(i AS INTEGER) AS dim,
+      |    embedding[i]::DOUBLE AS v,
+      |    CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT) AS xq
+      |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      |c AS (SELECT label, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s1q
+      |  FROM e GROUP BY 1, 2),
+      |m AS (SELECT label, dim, CAST(s1q AS DOUBLE) / (n * 1e7) AS mean FROM c),
+      |nc AS (SELECT label,
+      |    CAST(sum(CAST(round(mean * mean * 1e12) AS BIGINT)) AS BIGINT) AS nc_q
+      |  FROM m GROUP BY 1),
+      |pv AS (SELECT e.vec_id, e.label,
+      |    CAST(sum(CAST(round(e.v * m.mean * 1e12) AS BIGINT)) AS BIGINT) AS dot_q,
+      |    CAST(sum(CAST(round(e.v * e.v * 1e12) AS BIGINT)) AS BIGINT) AS nv_q
+      |  FROM e JOIN m ON m.label = e.label AND m.dim = e.dim
+      |  GROUP BY 1, 2),
+      |cq AS (SELECT pv.label,
+      |    CAST(round(CASE WHEN pv.nv_q <= 0 OR nc.nc_q <= 0 THEN 0
+      |      ELSE CAST(pv.dot_q AS DOUBLE) / (sqrt(CAST(pv.nv_q AS DOUBLE)) * sqrt(CAST(nc.nc_q AS DOUBLE))) END
+      |      * 1e6) AS BIGINT) AS cq
+      |  FROM pv JOIN nc USING (label))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(cq) AS DOUBLE) / (count(*) * 1e6) AS cohesion
+      |FROM cq GROUP BY 1 ORDER BY label""".stripMargin
 
   /** q124 — one Lloyd (k-means) iteration, the training step behind q53's
     * coarse quantizer: assign every vector to its nearest seed centroid
@@ -1320,6 +1398,7 @@ object Similarity {
        |GROUP BY 1 ORDER BY la.label""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q166_label_cohesion" -> q166,
     "q161_pq_distortion" -> q161,
     "q160_knn_label_consistency" -> q160,
     "q158_semantic_leakage" -> q158,
@@ -1345,6 +1424,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_label_cohesion" -> q166Sql,
     "q161_pq_distortion" -> q161Sql,
     "q160_knn_label_consistency" -> q160Sql,
     "q158_semantic_leakage" -> q158Sql,

@@ -58,12 +58,14 @@ class PlanSpec extends AnyFunSuite {
     // the full text corpus through a two-column query. The one exemption
     // is justified: q30's scalar suite deliberately exercises every
     // events column (incl. the JSON props blob), and q44's labeled
-    // near-dup genuinely consumes all 3 embeddings columns (vec_id,
-    // embedding, label) — full width IS the pruned width there.
+    // near-dup and q166's label-cohesion audit genuinely consume all 3
+    // embeddings columns (vec_id, embedding, label) — full width IS the
+    // pruned width there.
     val fullWidth = Map("documents" -> 5, "embeddings" -> 3, "events" -> 6,
       "lineitem" -> 16, "orders" -> 9, "customer" -> 8, "part" -> 9,
       "supplier" -> 7, "nation" -> 4, "region" -> 3)
-    val exempt = Set("q30_scalar_suite", "q44_embed_neardup")
+    val exempt = Set("q30_scalar_suite", "q44_embed_neardup",
+      "q166_label_cohesion")
     // Structural, not textual: the plan's toString TRUNCATES wide
     // ReadSchema strings ("struct<...,l_returnflag:s..." with no closing
     // '>'), so the old regex parse silently skipped exactly the wide
@@ -556,6 +558,28 @@ class PlanSpec extends AnyFunSuite {
       s"label lookups must stay equi-joins:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("Window ["),
       s"per-vector top-k must come from the bounded aggregation, not a window:\n$p")
+  }
+
+  test("q165: evidence pairs read one shared gram cache; equi-joins, no window") {
+    val p = planString(SparkEntry.queries("q165_leakage_pairs")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"df-capped pair generation must stay a gram equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"split-bucketed postings must come from the shared splitGrams cache:\n$p")
+    assert(!p.contains("Window"),
+      s"pair rollup must never need a window:\n$p")
+  }
+
+  test("q166: centroid means broadcast back onto the member explode; no window") {
+    val p = planString(SparkEntry.queries("q166_label_cohesion")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |labels·dims|-row centroid relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"member-to-centroid pairing must stay an equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"cohesion rollup must never need a window:\n$p")
   }
 
   test("q161: PQ distortion audit is join-free map-side work + a bounded aggregate") {

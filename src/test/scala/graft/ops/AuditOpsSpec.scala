@@ -198,6 +198,58 @@ class AuditOpsSpec extends AnyFunSuite
     }
   }
 
+  test("q165 kernel: a verbatim train copy is named as the leaking pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = 0L until 4000L
+    val trainId = ids.find(splitBucket(_) < 98).get
+    val trainId2 = ids.find(i => splitBucket(i) < 98 && i != trainId).get
+    val valId = ids.find(splitBucket(_) == 98).get
+    val t1 = (1 to 20).map(i => s"w$i").mkString(" ") // 8 distinct 13-grams
+    val t2 = (1 to 20).map(i => s"z$i").mkString(" ") // disjoint grams
+    val docs = Seq((trainId, t1), (trainId2, t2), (valId, t1))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.leakagePairs(docs).collect()
+    // exactly one evidence pair: the copy's source, with full containment
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === valId)
+    assert(out(0).getString(1) === "val")
+    assert(out(0).getLong(2) === trainId)
+    assert(out(0).getLong(3) === 8L)
+    assert(out(0).getLong(4) === 8L)
+    assert(out(0).getDouble(5) === 1.0)
+  }
+
+  test("q165 pairs never exceed q156's per-doc leaked gram count") {
+    val pairs = SparkEntry.queries("q165_leakage_pairs")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val perDoc = SparkEntry.queries("q156_split_leakage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    pairs.foreach { r =>
+      val (split, nGrams, nLeaked) = perDoc(r.getLong(0))
+      assert(r.getString(1) === split)
+      assert(r.getLong(4) === nGrams, "denominator is the uncapped gram count")
+      // shared grams with ONE train doc cannot exceed total leaked grams
+      // (both df-capped and uncapped agree on this bound)
+      assert(r.getLong(3) <= nLeaked)
+      assert(r.getLong(3) >= 3L)
+    }
+  }
+
+  test("q166 cohesion is bounded and covers every label exactly once") {
+    val out = SparkEntry.queries("q166_label_cohesion")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    val labels = graft.source.Tables.embeddings(spark, dir)
+      .select("label").collect().map(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq === labels.distinct.sorted.toSeq)
+    assert(out.map(_.getLong(1)).sum === labels.length.toLong)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      // members correlate positively with their own centroid on this data
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("q160 agrees with a driver-side rollup of q136's declared graph") {
     val knn = SparkEntry.queries("q136_knn_graph")(spark, dir).collect()
     graft.util.QueryCaches.drain()
