@@ -103,22 +103,19 @@ object TextDedup {
     * partitioning: NEITHER consumer re-shuffles it).
     */
   private def bandRelation(s: SparkSession, dir: String): DataFrame =
-    sigCols(s, dir)
-      .select(col("doc_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          concat(col(s"h${2 * b}").cast("string"), lit(":"),
-            col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+    bandsFor(Tables.spread(Tables.documents(s, dir)))
       .repartition(col("b"), col("bh"))
       .transform(graft.util.QueryCaches.tracked)
 
-  /** Per-doc MinHash values as 8 columns (doc_id, h0..h7) — the
-    * codegen'd explode → md5 → groupBy-min shape shared by candPairs and
-    * [[minhashSignatures]].
+  /** Per-doc MinHash values as 8 columns (doc_id, h0..h7) over any
+    * (doc_id, text) relation — the codegen'd explode → md5 → groupBy-min
+    * shape shared by candPairs, [[minhashSignatures]], and the streaming
+    * admission path ([[graft.streaming.StreamingLshDedup]]), so a
+    * micro-batch's signatures are bit-identical to the batch pipeline's.
     */
-  private def sigCols(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sigColsFor(docs: DataFrame): DataFrame = {
     val p = 2147483647L
-    val us = Tables.spread(Tables.documents(s, dir))
+    val us = docs
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(shinglesExpr(3))).as("sh"))
       .select(col("doc_id"),
@@ -127,6 +124,43 @@ object TextDedup {
       min((col("u") * 3 + 7919L) % p).as("h0"),
       (1 until 8).map(j =>
         min((col("u") * (2 * j + 3) + 7919L * (j + 1)) % p).as(s"h$j")): _*)
+  }
+
+  private def sigCols(s: SparkSession, dir: String): DataFrame =
+    sigColsFor(Tables.spread(Tables.documents(s, dir)))
+
+  /** 4 two-hash band keys per doc over any (doc_id, text) relation —
+    * [[bandRelation]]'s projection without its cache/partitioning (a
+    * streaming micro-batch is small and read once).
+    */
+  private[graft] def bandsFor(docs: DataFrame): DataFrame =
+    sigColsFor(docs)
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat(col(s"h${2 * b}").cast("string"), lit(":"),
+            col(s"h${2 * b + 1}").cast("string")).as("bh"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+
+  /** Distinct 3-shingle sets per doc over any (doc_id, text) relation —
+    * [[shingleSets]]'s projection without its cache (streaming path).
+    */
+  private[graft] def shingleSetsFor(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
+
+  /** Exact Jaccard over a (doc_a, doc_b) pair relation where each side may
+    * come from a DIFFERENT shingle-set relation (streaming: batch side vs
+    * corpus-index side).
+    */
+  private[graft] def jaccardScoredAcross(cand: DataFrame, setsA: DataFrame,
+      setsB: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(setsA.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(setsB.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
   }
 
   /** Signature relation (doc_id, mh: array<long>[8]) for estimator
@@ -193,24 +227,15 @@ object TextDedup {
     * [[verifiedPairs]] and q143's per-config verification.
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(col("doc_id"))
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), array_distinct(expr(shinglesExpr(3))).as("sh"))
+    shingleSetsFor(Tables.documents(s, dir).repartition(col("doc_id")))
       .transform(graft.util.QueryCaches.tracked)
 
   /** Exact Jaccard over a (doc_a, doc_b) pair relation against the
     * persisted shingle sets — the verification join both q41b and q143
     * run on candidates only, never on all pairs.
     */
-  private def jaccardScored(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
-  }
+  private def jaccardScored(cand: DataFrame, sets: DataFrame): DataFrame =
+    jaccardScoredAcross(cand, sets, sets)
 
   private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     jaccardScored(candPairs(s, dir), shingleSets(s, dir))
