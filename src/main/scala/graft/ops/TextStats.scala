@@ -218,8 +218,12 @@ object TextStats {
     */
   private val q138: Q = (s, dir) => {
     val q = qualityScored(s, dir).select(col("doc_id"), col("quality"))
-    val n = q.agg(count(lit(1)).as("n_docs"))
-    GlobalRank.rowNumber(q, "cur_rank", Seq(col("quality").desc, col("doc_id")))
+    val ranked = GlobalRank.rowNumber(q, "cur_rank",
+      Seq(col("quality").desc, col("doc_id")))
+    // corpus count = max rank, read from GlobalRank's internal cache — a
+    // separate count(*) would re-run the whole quality-blend scan
+    val n = ranked.agg(max("cur_rank").as("n_docs"))
+    ranked
       .crossJoin(broadcast(n)) // scalar broadcast: 1-row corpus count
       .select(col("doc_id"), col("quality"), col("cur_rank"),
         (expr("((cur_rank - 1) * 4) div n_docs").cast("int") + 1).as("phase"))
@@ -372,9 +376,13 @@ object TextStats {
   private val q163: Q = (s, dir) => {
     val q = qualityScored(s, dir)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
-    val n = q.agg(count(lit(1)).as("n_docs_total"))
+    val ranked = GlobalRank.rowNumber(q, "cur_rank",
+      Seq(col("quality").desc, col("doc_id")))
+    // corpus count = max rank from GlobalRank's internal cache (q138's
+    // rationale: a count(*) on q would re-run the quality-blend scan)
+    val n = ranked.agg(max("cur_rank").as("n_docs_total"))
     val dec = graft.util.QueryCaches.tracked(
-      GlobalRank.rowNumber(q, "cur_rank", Seq(col("quality").desc, col("doc_id")))
+      ranked
         .crossJoin(broadcast(n)) // scalar broadcast: 1-row corpus count
         .select((expr("((cur_rank - 1) * 10) div n_docs_total").cast("int") + 1)
           .as("decile"), col("n_tokens"))
