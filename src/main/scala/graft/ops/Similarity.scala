@@ -837,36 +837,36 @@ object Similarity {
   private val q125Sql = recallSql(seedCentSql)
   private val q127Sql = recallSql(trainedCentSql)
 
-  private val q129Sql =
-    s"""WITH RECURSIVE
-       |planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
-       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bits AS (
-       |  SELECT e0.vec_id, planes.p,
-       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
-       |  FROM e0 CROSS JOIN planes),
-       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
-       |  FROM bits GROUP BY vec_id),
-       |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
-       |edges AS (
+  /** Oracle CTE chain for the resolved EMBEDDING dedup clusters (q57's
+    * bucket pairs at cos ≥ 0.4 → symmetric closure → recursive
+    * reachability → min-label components as `ecc(vec_id, cluster_id)`) —
+    * one definition shared by q129Sql and q167Sql. CTE names are
+    * e-prefixed so the chain composes with TextDedup's text-side cluster
+    * chain (both in scope inside q167Sql). Callers open with
+    * `WITH RECURSIVE`.
+    */
+  private[ops] val embClusterCtes =
+    s"""$bucketPairCtes,
+       |eedges AS (
        |  SELECT vec_a, vec_b FROM (
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |           round($duckCos, 6) AS cos_sim
        |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
        |  WHERE cos_sim >= 0.4),
-       |sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
-       |        UNION SELECT vec_b, vec_a FROM edges),
-       |reach(a, b) AS (
-       |  SELECT DISTINCT a, a FROM sym
+       |esym AS (SELECT vec_a AS a, vec_b AS b FROM eedges
+       |        UNION SELECT vec_b, vec_a FROM eedges),
+       |ereach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM esym
        |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-       |)
-       |SELECT a AS vec_id, min(b) AS cluster_id, (min(b) = a) AS is_canonical
-       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+       |  SELECT r.a, s.b FROM ereach r JOIN esym s ON r.b = s.a
+       |),
+       |ecc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM ereach GROUP BY a)""".stripMargin
+
+  private val q129Sql =
+    s"""WITH RECURSIVE
+       |$embClusterCtes
+       |SELECT vec_id, cluster_id, (cluster_id = vec_id) AS is_canonical
+       |FROM ecc ORDER BY vec_id""".stripMargin
 
   /** q128 — quantizer quality audit: average best-cell cosine under the
     * seed vs the trained quantizer. This is (the cosine form of) the
@@ -1397,7 +1397,107 @@ object Similarity {
        |JOIN lb nb ON nb.vec_id = k.neighbor_id
        |GROUP BY 1 ORDER BY la.label""".stripMargin
 
+  /** q167 — lexical-vs-semantic dedup AGREEMENT: do MinHash clusters
+    * (q56, exact 3-shingle evidence) and embedding clusters (q129,
+    * cosine evidence) tell the same duplication story? One row: the two
+    * clusterings' coverage, the pair counts each side groups together
+    * over the SHARED ids, and the adjusted Rand index between them.
+    * High ARI = the cheap lexical pass already finds what the embedding
+    * pass finds (skip the GPU embeddings for dedup); low ARI = the two
+    * passes see DIFFERENT duplication (paraphrase mass — q155's
+    * population — or LSH recall gaps), so a production dedup needs both.
+    * The doc/vec id spaces coincide in this corpus (FIXTURES.md), which
+    * is what makes the join meaningful.
+    *
+    * Scale shape: both cluster relations come from the O(log d)
+    * [[TextDedup.connectedComponents]] kernels over already-bounded edge
+    * sets and hold only docs that appear in some duplicate pair — tiny
+    * relative to the corpus. The ARI is computed from CONTINGENCY
+    * MARGINALS (Σ C(n_ij,2) over cells, Σ C(n_a,2)/Σ C(n_b,2) over the
+    * two marginal distributions) — exact BIGINT pair counts from three
+    * aggregates over the |shared|-row join, never a materialized pair
+    * relation; the index itself is one IEEE expression of those integers
+    * (degenerate zero denominator = perfect-agreement 1.0 by
+    * convention, decided on an exactly-computed double both engines
+    * derive identically).
+    */
+  private val q167: Q = (s, dir) => {
+    val comb2 = (c: String) => expr(s"($c * ($c - 1)) div 2")
+    val tcc = TextDedup.connectedComponents(
+      TextDedup.verifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("label").as("tc"))
+    val ecc = TextDedup.connectedComponents(
+      bucketNearDupPairs(s, dir)
+        .filter(col("cos_sim") >= 0.4).select("vec_a", "vec_b"))
+      .select(col("doc_id"), col("label").as("sc"))
+    // contingency input: docs clustered on BOTH sides (4 aggregate
+    // consumers — persisted)
+    val j = graft.util.QueryCaches.tracked(tcc.join(ecc, "doc_id"))
+    val pairsBoth = j.groupBy("tc", "sc").agg(count(lit(1)).as("nij"))
+      .agg(coalesce(sum(comb2("nij")), lit(0L)).as("pairs_both"))
+    val pairsText = j.groupBy("tc").agg(count(lit(1)).as("na"))
+      .agg(coalesce(sum(comb2("na")), lit(0L)).as("pairs_text"))
+    val pairsEmbed = j.groupBy("sc").agg(count(lit(1)).as("nb"))
+      .agg(coalesce(sum(comb2("nb")), lit(0L)).as("pairs_embed"))
+    val nShared = j.agg(count(lit(1)).as("n_shared"))
+    val nText = tcc.agg(count(lit(1)).as("n_text_clustered"))
+    val nEmbed = ecc.agg(count(lit(1)).as("n_embed_clustered"))
+    nText.crossJoin(broadcast(nEmbed)).crossJoin(broadcast(nShared))
+      .crossJoin(broadcast(pairsText)).crossJoin(broadcast(pairsEmbed))
+      .crossJoin(broadcast(pairsBoth)) // all 1-row scalar broadcasts
+      .withColumn("n_pairs", expr("(n_shared * (n_shared - 1)) div 2"))
+      .withColumn("ari", expr(AriExpr))
+      .select(col("n_text_clustered"), col("n_embed_clustered"),
+        col("n_shared"), col("n_pairs"), col("pairs_text"),
+        col("pairs_embed"), col("pairs_both"), col("ari"))
+  }
+
+  /** The ARI finishing expression — ONE text interpolated into both the
+    * Spark plan and the DuckDB oracle, so the float arithmetic (and the
+    * degenerate-denominator convention) cannot drift.
+    */
+  private val AriExpr =
+    """CASE WHEN n_pairs = 0
+      |  OR (CAST(pairs_text + pairs_embed AS DOUBLE) / 2
+      |      - CAST(pairs_text AS DOUBLE) * CAST(pairs_embed AS DOUBLE)
+      |        / CAST(n_pairs AS DOUBLE)) = 0
+      |THEN CAST(1.0 AS DOUBLE)
+      |ELSE (CAST(pairs_both AS DOUBLE)
+      |      - CAST(pairs_text AS DOUBLE) * CAST(pairs_embed AS DOUBLE)
+      |        / CAST(n_pairs AS DOUBLE))
+      |   / (CAST(pairs_text + pairs_embed AS DOUBLE) / 2
+      |      - CAST(pairs_text AS DOUBLE) * CAST(pairs_embed AS DOUBLE)
+      |        / CAST(n_pairs AS DOUBLE)) END""".stripMargin
+
+  private val q167Sql =
+    s"""WITH RECURSIVE
+       |${TextDedup.clusterCtes},
+       |$embClusterCtes,
+       |j AS (SELECT cc.doc_id, cc.cluster_id AS tc, ecc.cluster_id AS sc
+       |  FROM cc JOIN ecc ON ecc.vec_id = cc.doc_id),
+       |cells AS (SELECT tc, sc, CAST(count(*) AS BIGINT) AS nij
+       |  FROM j GROUP BY 1, 2),
+       |agg AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_text_clustered,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ecc) AS n_embed_clustered,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_shared,
+       |  (SELECT CAST(coalesce(sum((nij * (nij - 1)) // 2), 0) AS BIGINT)
+       |     FROM cells) AS pairs_both,
+       |  (SELECT CAST(coalesce(sum((na * (na - 1)) // 2), 0) AS BIGINT) FROM
+       |     (SELECT CAST(count(*) AS BIGINT) AS na FROM j GROUP BY tc))
+       |    AS pairs_text,
+       |  (SELECT CAST(coalesce(sum((nb * (nb - 1)) // 2), 0) AS BIGINT) FROM
+       |     (SELECT CAST(count(*) AS BIGINT) AS nb FROM j GROUP BY sc))
+       |    AS pairs_embed)
+       |SELECT n_text_clustered, n_embed_clustered, n_shared, n_pairs,
+       |  pairs_text, pairs_embed, pairs_both, ari
+       |FROM (SELECT *, $AriExpr AS ari
+       |  FROM (SELECT *, (n_shared * (n_shared - 1)) // 2 AS n_pairs
+       |        FROM agg) t1) t2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q167_modal_agreement" -> q167,
     "q166_label_cohesion" -> q166,
     "q161_pq_distortion" -> q161,
     "q160_knn_label_consistency" -> q160,
@@ -1424,6 +1524,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q167_modal_agreement" -> q167Sql,
     "q166_label_cohesion" -> q166Sql,
     "q161_pq_distortion" -> q161Sql,
     "q160_knn_label_consistency" -> q160Sql,

@@ -243,10 +243,11 @@ object TextDedup {
   /** Oracle CTE chain for the resolved duplicate clusters (verified pairs
     * ≥ 0.5 → symmetric closure → recursive reachability → min-label
     * components as `cc(doc_id, cluster_id)`) — ONE definition shared by
-    * q56Sql/q144Sql/q162Sql so the cluster semantics cannot drift between
-    * consumers. Callers must open with `WITH RECURSIVE`.
+    * q56Sql/q144Sql/q162Sql (and Similarity's q167Sql, which composes it
+    * with the embedding-side chain) so the cluster semantics cannot
+    * drift between consumers. Callers must open with `WITH RECURSIVE`.
     */
-  private val clusterCtes =
+  private[ops] val clusterCtes =
     s"""$minhashVerifyCtes,
        |edges AS (
        |  SELECT doc_a, doc_b FROM (

@@ -208,6 +208,8 @@ class PlanSpec extends AnyFunSuite {
     // aggregate, like q151.)
     // (q163's running sum is a triangle join over the bounded 10-row
     // decile relation plus a 1-row totals cross — never a corpus window.)
+    // (q167 crosses six 1-row aggregates into its single output row —
+    // all scalar broadcasts.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
       "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
@@ -216,7 +218,7 @@ class PlanSpec extends AnyFunSuite {
       "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
       "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
       "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan",
-      "q159_dsir_weight", "q163_quality_token_curve")
+      "q159_dsir_weight", "q163_quality_token_curve", "q167_modal_agreement")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = planString(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("CartesianProduct"),

@@ -250,6 +250,35 @@ class AuditOpsSpec extends AnyFunSuite
     }
   }
 
+  test("q167 ARI reconciles with a driver-side computation from q56 and q129") {
+    val t = SparkEntry.queries("q56_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.QueryCaches.drain()
+    val e = SparkEntry.queries("q129_embed_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.util.QueryCaches.drain()
+    val shared = t.keySet intersect e.keySet
+    def comb2(n: Long) = n * (n - 1) / 2
+    val sumIj = shared.groupBy(id => (t(id), e(id)))
+      .map(g => comb2(g._2.size.toLong)).sum
+    val sumA = shared.groupBy(id => t(id)).map(g => comb2(g._2.size.toLong)).sum
+    val sumB = shared.groupBy(id => e(id)).map(g => comb2(g._2.size.toLong)).sum
+    val nPairs = comb2(shared.size.toLong)
+    val out = SparkEntry.queries("q167_modal_agreement")(spark, dir).collect()(0)
+    graft.util.QueryCaches.drain()
+    assert(out.getLong(0) === t.size.toLong)
+    assert(out.getLong(1) === e.size.toLong)
+    assert(out.getLong(2) === shared.size.toLong)
+    assert(out.getLong(3) === nPairs)
+    assert(out.getLong(4) === sumA)
+    assert(out.getLong(5) === sumB)
+    assert(out.getLong(6) === sumIj)
+    val exp = sumA.toDouble * sumB / nPairs
+    val den = (sumA + sumB) / 2.0 - exp
+    val ari = if (nPairs == 0 || den == 0) 1.0 else (sumIj - exp) / den
+    assert(math.abs(out.getDouble(7) - ari) < 1e-9)
+  }
+
   test("q160 agrees with a driver-side rollup of q136's declared graph") {
     val knn = SparkEntry.queries("q136_knn_graph")(spark, dir).collect()
     graft.util.QueryCaches.drain()
