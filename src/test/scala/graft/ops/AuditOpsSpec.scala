@@ -220,6 +220,38 @@ class AuditOpsSpec extends AnyFunSuite
     assert(out(0).getDouble(5) === 1.0)
   }
 
+  test("q165 kernel: the df cap executes — boilerplate grams generate no pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 60 docs share ONE boilerplate 13-gram (df=60 > cap 50); the rest of
+    // each doc is unique. Without the cap, every (holdout, train) pair
+    // would collide through the boilerplate gram — 59 pairs for one
+    // holdout doc; with it, only genuinely shared rare grams pair.
+    val ids = 0L until 4000L
+    val trainIds = ids.filter(splitBucket(_) < 98).take(59)
+    val valId = ids.find(splitBucket(_) == 98).get
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ")
+    val docs = (trainIds.zipWithIndex.map { case (id, i) =>
+      (id, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    } :+ ((valId, s"$boiler v0a v0b v0c v0d v0e v0f v0g")))
+      .toDF("doc_id", "text")
+    // holdout doc shares ONLY the (capped) boilerplate gram with anyone
+    assert(CorpusPrep.leakagePairs(docs).count() === 0L)
+    graft.util.QueryCaches.drain()
+    // plant a verbatim copy of train doc 0: its 7 rare grams (df=2) pair,
+    // the boilerplate gram still does not
+    val (t0, t0Text) = (trainIds.head,
+      s"$boiler u0a u0b u0c u0d u0e u0f u0g")
+    val docs2 = (trainIds.zipWithIndex.map { case (id, i) =>
+      (id, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    } :+ ((valId, t0Text))).toDF("doc_id", "text")
+    val out = CorpusPrep.leakagePairs(docs2).collect()
+    assert(out.length === 1, "exactly the planted pair survives the cap")
+    assert(out(0).getLong(0) === valId && out(0).getLong(2) === t0)
+    assert(out(0).getLong(3) === 7L, "the df-capped boilerplate gram is excluded")
+    assert(out(0).getLong(4) === 8L, "the denominator stays uncapped")
+  }
+
   test("q165 pairs never exceed q156's per-doc leaked gram count") {
     val pairs = SparkEntry.queries("q165_leakage_pairs")(spark, dir).collect()
     graft.util.QueryCaches.drain()
