@@ -1059,6 +1059,92 @@ object Similarity {
        |FROM u GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin
   }
 
+  /** q168 — one PQ-codebook Lloyd step: q124's training pattern applied
+    * per SUBSPACE to q133's product quantizer. Every vector's subvectors
+    * are assigned by the native `pq_assign` loop (the exact-integer
+    * argmin q133 ships), each (subspace, centroid) cell's new centroid
+    * is recomputed from exact per-dimension integer sums, and the
+    * per-cell member count and centroid SHIFT (seed → new, the
+    * convergence signal) come out — so training the PQ codebook at
+    * 100 TB is this job in a loop, exactly as q124/q126/q127/q128
+    * compose the IVF training loop. A dead codebook entry (q161's
+    * finding) is simply absent — nothing assigns to it on either
+    * engine — and shift quantifies how far the seed codebook sits from
+    * this corpus's geometry before a retrain ships.
+    *
+    * Dataflow: ONE pq_assign pass (wholly map-side), a 64-way dim
+    * explode reduced to per-(subspace, code, dim) BIGINT sums (bounded:
+    * m·k·subDim = 256 groups), a broadcast join against the 256-row
+    * seed table, and a 16-row rollup. Determinism: q115/q124's
+    * discipline — means from integer sums, each squared difference
+    * re-quantized before the cross-dim sum; the seed doubles reach both
+    * engines as the same shortest-roundtrip literals the codebook
+    * itself uses.
+    */
+  private val q168: Q = (s, dir) => {
+    val a = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"),
+        expr(s"pq_assign($vd, $pqCodebookSql, 4, 4)").as("pq"))
+    val dims = a.select(col("pq"), posexplode(col("v")))
+      .select(expr("CAST(pos div 16 AS INT)").as("m"),
+        (col("pos") % 16 + 1).cast("int").as("j"),
+        expr("CAST(element_at(pq, CAST(pos div 16 AS INT) + 1) AS INT)")
+          .as("code"),
+        expr("CAST(round(col * 1e7) AS BIGINT)").as("xq"))
+      .groupBy("m", "code", "j")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
+      .withColumn("mean", expr("CAST(s1q AS DOUBLE) / (n * 1e7)"))
+    val spark2 = s
+    import spark2.implicits._
+    val seed = (for (m <- 0 until 4; c <- 0 until 4; j <- 1 to 16)
+      yield (m, c, j, pqCent(m, c, j - 1))).toDF("m", "code", "j", "sv")
+    dims.join(broadcast(seed), Seq("m", "code", "j"))
+      .withColumn("dq",
+        expr("CAST(round((mean - sv) * (mean - sv) * 1e12) AS BIGINT)"))
+      .groupBy("m", "code")
+      .agg(max("n").as("n_members"), sum("dq").as("sq"))
+      .select(col("m").as("subspace"), col("code"), col("n_members"),
+        expr("sqrt(CAST(sq AS DOUBLE) / 1e12)").as("shift"))
+      .orderBy("subspace", "code")
+  }
+
+  private val q168Sql = {
+    val dcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"CAST(embedding[$i] AS DOUBLE)")} AS d_${m}_$c")
+      .mkString(",\n  ")
+    val codes = (0 until 4).map(m =>
+      s"${pqCode(m, c => s"d_${m}_$c")} AS code$m").mkString(",\n  ")
+    val seedRows = (for (m <- 0 until 4; c <- 0 until 4; j <- 1 to 16)
+      yield s"($m, $c, $j, ${pqCent(m, c, j - 1)})").mkString(", ")
+    s"""WITH d AS (SELECT vec_id,
+       |  $dcols
+       |  FROM embeddings),
+       |a AS (SELECT vec_id,
+       |  $codes
+       |  FROM d),
+       |dims AS (SELECT
+       |    CAST((i - 1) // 16 AS INTEGER) AS m,
+       |    CAST((i - 1) % 16 + 1 AS INTEGER) AS j,
+       |    CASE (i - 1) // 16 WHEN 0 THEN a.code0 WHEN 1 THEN a.code1
+       |         WHEN 2 THEN a.code2 ELSE a.code3 END AS code,
+       |    CAST(round(e.embedding[i]::DOUBLE * 1e7) AS BIGINT) AS xq
+       |  FROM embeddings e JOIN a USING (vec_id),
+       |       unnest(generate_series(1, 64)) AS t(i)),
+       |g AS (SELECT m, code, j, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s1q
+       |  FROM dims GROUP BY 1, 2, 3),
+       |mm AS (SELECT m, code, j, n,
+       |    CAST(s1q AS DOUBLE) / (n * 1e7) AS mean FROM g),
+       |seed(m, code, j, sv) AS (VALUES $seedRows),
+       |sh AS (SELECT mm.m, mm.code, mm.n,
+       |    CAST(round((mm.mean - seed.sv) * (mm.mean - seed.sv) * 1e12) AS BIGINT)
+       |      AS dq
+       |  FROM mm JOIN seed ON seed.m = mm.m AND seed.code = mm.code
+       |                   AND seed.j = mm.j)
+       |SELECT m AS subspace, code, CAST(max(n) AS BIGINT) AS n_members,
+       |  sqrt(CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) / 1e12) AS shift
+       |FROM sh GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin
+  }
+
   /** q140 — semantic dedup (SemDeDup, Abbas et al. 2023 shape): keep one
     * representative of every semantically-near group — the
     * embedding-space analogue of q40's exact text dedup, run before
@@ -1497,6 +1583,7 @@ object Similarity {
        |        FROM agg) t1) t2""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q168_pq_train_step" -> q168,
     "q167_modal_agreement" -> q167,
     "q166_label_cohesion" -> q166,
     "q161_pq_distortion" -> q161,
@@ -1524,6 +1611,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q168_pq_train_step" -> q168Sql,
     "q167_modal_agreement" -> q167Sql,
     "q166_label_cohesion" -> q166Sql,
     "q161_pq_distortion" -> q161Sql,

@@ -584,6 +584,18 @@ class PlanSpec extends AnyFunSuite {
       s"cohesion rollup must never need a window:\n$p")
   }
 
+  test("q168: PQ Lloyd step broadcasts the seed table; bounded partial+final aggs") {
+    val p = planString(SparkEntry.queries("q168_pq_train_step")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 256-row seed table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"seed lookup must stay an equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"centroid recompute must never need a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (m, code, j) reduce must aggregate partial then final:\n$p")
+  }
+
   test("q161: PQ distortion audit is join-free map-side work + a bounded aggregate") {
     val p = planString(SparkEntry.queries("q161_pq_distortion")(spark, dir))
     assert(!p.contains("Join"),

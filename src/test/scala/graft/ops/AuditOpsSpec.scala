@@ -133,6 +133,23 @@ class AuditOpsSpec extends AnyFunSuite
     }
   }
 
+  test("q168 training step reconciles with q161's assignment counts") {
+    val dist = SparkEntry.queries("q161_pq_distortion")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    graft.util.QueryCaches.drain()
+    val out = SparkEntry.queries("q168_pq_train_step")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    // both queries run the same pq_assign argmin, so occupied cells and
+    // member counts must agree exactly
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSet === dist.keySet)
+    out.foreach { r =>
+      assert(r.getLong(2) === dist((r.getInt(0), r.getInt(1))))
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // a Lloyd step moves a non-degenerate codebook: some cell must shift
+    assert(out.exists(_.getDouble(3) > 0.0))
+  }
+
   test("q162 histogram reconciles with q56's declared clusters") {
     val q56 = SparkEntry.queries("q56_dedup_clusters")(spark, dir).collect()
     graft.util.QueryCaches.drain()
