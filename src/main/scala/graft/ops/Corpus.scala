@@ -636,20 +636,28 @@ object Corpus {
 
   /** q91 — sequence packing: concatenate-then-chunk assignment of docs
     * into fixed 2000-token training sequences, per language shard —
-    * `chunk = (running_total - tokens) div budget` over a running sum, the
-    * streaming-pack every LLM data loader runs before tokenized shards
-    * are written. Sharding by `lang` keeps the window parallel (a single
-    * global ordering would funnel the corpus through one partition);
-    * within a shard the packing is order-deterministic by doc_id. One
-    * shuffle on the shard key; all-integer outputs.
+    * `chunk = exclusive_prefix div budget`, the streaming-pack every LLM
+    * data loader runs before tokenized shards are written. A
+    * `Window.partitionBy(lang)` running sum would funnel each language
+    * through ONE reducer — and language mass is zipfian, so at 100 TB
+    * the dominant language IS the corpus. Instead: one scale-safe GLOBAL
+    * exclusive prefix sum over the (lang, doc_id) total order
+    * ([[GlobalRank.prefixSum]]: range partition, per-range sums, P-long
+    * broadcast offsets — the q148 kernel), then the per-language prefix
+    * falls out by subtracting each language's start offset, which is
+    * simply `min(global_prefix)` within the language (the first doc of a
+    * language has exclusive prefix = total mass of all earlier
+    * languages). The offset table is |langs| rows — broadcast. No
+    * skewed-key window anywhere; all-integer outputs.
     */
   private val q91: Q = (s, dir) => {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .withColumn("tokens", size(split(col("text"), " ")))
-      .withColumn("run", sum("tokens").over(w))
-      .withColumn("chunk_id", expr("(run - tokens) div 2000"))
+    val gp = GlobalRank.prefixSum(toks, "gp", col("tokens"),
+      Seq(col("lang"), col("doc_id")))
+    val langOff = gp.groupBy("lang").agg(min("gp").as("lang_off"))
+    gp.join(broadcast(langOff), Seq("lang"))
+      .withColumn("chunk_id", expr("(gp - lang_off) div 2000"))
       .groupBy("lang", "chunk_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tokens").cast("long")).as("sum_tokens"))

@@ -623,26 +623,36 @@ class PlanSpec extends AnyFunSuite {
       s"per-source aggregate must be partial then final:\n$p")
   }
 
-  test("q148: the global prefix sum plans with no single-partition stage") {
+  test("q148/q91: the global prefix sums plan with no single-partition " +
+       "stage and no data-keyed window") {
     // GlobalRank.prefixSum's contract: the ONLY window partitions by the
     // range id (bounded partitions), and nothing — window, sort, or
     // exchange — funnels the full relation through one reducer before
-    // the final declared ORDER BY. Checked structurally, recursing into
-    // cached plans where the kernel hides its upstream.
+    // the final declared ORDER BY. For q91 specifically this also pins
+    // the round-6 verdict fix: the per-LANGUAGE running sum must NOT be
+    // a Window.partitionBy("lang") (zipfian language mass = one-reducer
+    // skew at 100 TB) — any surviving window may key only on the
+    // synthetic range id. Checked structurally, recursing into cached
+    // plans where the kernel hides its upstream.
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     def offending(plan: SparkPlan): Seq[SparkPlan] = plan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case w: WindowExec if w.partitionSpec.isEmpty ||
+        !w.partitionSpec.forall(_.references.map(_.name)
+          .forall(_ == "__gr_pid")) => Seq(w)
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => Seq(e)
       case a: AdaptiveSparkPlanExec => offending(a.executedPlan)
       case i: InMemoryTableScanExec => offending(i.relation.cachedPlan)
     }.flatten
-    val df = SparkEntry.queries("q148_shard_plan")(spark, dir)
-    val bad = offending(df.queryExecution.executedPlan)
-    graft.util.QueryCaches.drain()
-    assert(bad.isEmpty,
-      s"q148: single-partition stage(s) in the prefix-sum plan:\n${bad.mkString("\n")}")
+    Seq("q148_shard_plan", "q91_sequence_pack").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val bad = offending(df.queryExecution.executedPlan)
+      graft.util.QueryCaches.drain()
+      assert(bad.isEmpty,
+        s"$name: single-partition or data-keyed window stage(s) in the " +
+        s"prefix-sum plan:\n${bad.mkString("\n")}")
+    }
   }
 }
