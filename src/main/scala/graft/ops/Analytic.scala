@@ -445,26 +445,24 @@ object Analytic {
     * between engines at the last ulp). One map-side-combinable aggregate
     * per user + one hash join back to the events; groups with zero
     * variance are excluded by an integer comparison (s2·n > s1²), not a
-    * float guard. Quantization headroom: |q| ≤ 1e3·|value| ≤ 3e6, so the
-    * envelope bounds the PER-ROW term (q² ≤ 9e12) — it does NOT bound the
-    * aggregate: Σq² can still exceed 2⁶³ once a single group holds more
-    * than ~10⁶ max-magnitude rows (9.2e18 / 9e12 ≈ 1.02e6), where Spark
-    * wraps silently and DuckDB raises. The fixture's groups are far
-    * smaller; a deployment with billion-row users must widen s2 to
-    * DECIMAL(38,0) before trusting the variance.
+    * float guard. Quantization headroom: the per-row envelope
+    * ([[graft.util.MomentGuard.quantizeSpark]], |q| ≤ 3e6 ⇒ q² ≤ 9e12)
+    * bounds each term, and the POST-aggregate certificate
+    * ([[graft.util.MomentGuard.sumGuardSpark]], n·max(q²) ≤ 9.0e18)
+    * bounds the SUM — a group large enough that Σq² could exceed 2⁶³
+    * (~10⁶ max-magnitude rows) now raises identically on both engines
+    * instead of Spark wrapping silently where DuckDB raises.
     */
   private val q112: Q = (s, dir) => {
+    import graft.util.MomentGuard
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"),
-        // Loud envelope guard: past |value| <= 3000 the Σq² BIGINT could
-        // overflow, which Spark WRAPS silently while DuckDB raises — so
-        // both engines must fail identically, at the quantization step.
-        expr("""CASE WHEN abs(value) <= 3000
-               |  THEN CAST(round(value * 1000) AS BIGINT)
-               |  ELSE CAST(raise_error('q112: value outside quantization envelope (|value| > 3000)') AS BIGINT)
-               |END""".stripMargin).as("q"))
+        expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q112")).as("q"))
     val stats = ev.groupBy("user_id")
-      .agg(count(lit(1)).as("n"), sum("q").as("s1"), sum(expr("q*q")).as("s2"))
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(expr("q*q")).as("s2r"), max(expr("q*q")).as("m2"))
+      .select(col("user_id"), col("n"), col("s1"),
+        expr(MomentGuard.sumGuardSpark("s2r", "n", "m2", "q112")).as("s2"))
       .filter(col("n") >= 10)
     ev.join(stats, "user_id")
       .filter(col("s2") * col("n") > col("s1") * col("s1"))
@@ -478,12 +476,13 @@ object Analytic {
   }
 
   private val q112Sql =
-    """WITH ev AS (SELECT event_id, user_id, value,
-      |  CASE WHEN abs(value) <= 3000 THEN CAST(round(value*1000) AS BIGINT)
-      |       ELSE CAST(error('q112: value outside quantization envelope (|value| > 3000)') AS BIGINT)
-      |  END AS q FROM events),
+    s"""WITH ev AS (SELECT event_id, user_id, value,
+      |  ${graft.util.MomentGuard.quantizeDuck("value", 3000L, 1000L, "q112")} AS q
+      |  FROM events),
       |st AS (SELECT user_id, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
-      |  CAST(sum(q*q) AS BIGINT) AS s2 FROM ev GROUP BY 1 HAVING count(*) >= 10)
+      |  ${graft.util.MomentGuard.sumGuardDuck("CAST(sum(q*q) AS BIGINT)",
+           "count(*)", "max(q*q)", "q112")} AS s2
+      |  FROM ev GROUP BY 1 HAVING count(*) >= 10)
       |SELECT user_id, event_id, value,
       |  (CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE)/n) /
       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1)) AS z

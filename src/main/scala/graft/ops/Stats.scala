@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.source.Tables
-import graft.util.SqlArith
+import graft.util.{MomentGuard, SqlArith}
 
 /** Distributed statistical modeling over exact integer sufficient
   * statistics — the q112 discipline (quantize once, aggregate BIGINT
@@ -35,13 +35,15 @@ object Stats {
     * detector every metrics pipeline runs. Sufficient statistics
     * n/Σx/Σy/Σx²/Σy²/Σxy are exact BIGINTs: x is an integer minute offset
     * (envelope-guarded to |x| ≤ 2e6 ≈ 3.8 years, so x² ≤ 4e12) and y is
-    * `value` quantized to 0.001 (|value| ≤ 3000 guard ⇒ y² ≤ 9e12, as in
-    * q112). The guards bound the PER-ROW terms; Σx²/Σy² can still exceed
-    * 2⁶³ once a group holds ~2.3e6 max-magnitude rows — a deployment at
-    * that scale widens the moment sums to DECIMAL(38,0). The coefficient
-    * arithmetic runs in DOUBLE (moments < 2^53 cast exactly; products
-    * round identically on both engines), and the degenerate zero-variance
-    * group is excluded by the same double predicate on both sides.
+    * `value` quantized to 0.001 via [[graft.util.MomentGuard.quantizeSpark]]
+    * (|value| ≤ 3000 ⇒ y² ≤ 9e12, as in q112). The per-row envelopes bound
+    * each TERM; the POST-aggregate [[graft.util.MomentGuard.sumGuardSpark]]
+    * certificate (n·max|term| ≤ 9.0e18 per moment) bounds the SUMS, so a
+    * group big enough to wrap Σx²/Σy²/Σxy raises identically on both
+    * engines instead of diverging. The coefficient arithmetic runs in
+    * DOUBLE (moments < 2^53 cast exactly; products round identically on
+    * both engines), and the degenerate zero-variance group is excluded by
+    * the same double predicate on both sides.
     */
   private val q131: Q = (s, dir) => {
     val ev = Tables.events(s, dir).select(
@@ -50,14 +52,17 @@ object Stats {
               |  THEN ${SqlArith.floorDiv("unix_micros(ts)", 60000000L)} - 28401120L
               |  ELSE CAST(raise_error('q131: ts outside minute-offset envelope') AS BIGINT)
               |END""".stripMargin).as("x"),
-      expr("""CASE WHEN abs(value) <= 3000
-             |  THEN CAST(round(value * 1000) AS BIGINT)
-             |  ELSE CAST(raise_error('q131: value outside quantization envelope (|value| > 3000)') AS BIGINT)
-             |END""".stripMargin).as("y"))
+      expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q131")).as("y"))
     ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
-        sum(expr("x*y")).as("sxy"))
+        sum(expr("x*x")).as("sxxr"), sum(expr("y*y")).as("syyr"),
+        sum(expr("x*y")).as("sxyr"),
+        max(expr("x*x")).as("mxx"), max(expr("y*y")).as("myy"),
+        max(expr("abs(x*y)")).as("mxy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        expr(MomentGuard.sumGuardSpark("sxxr", "n", "mxx", "q131")).as("sxx"),
+        expr(MomentGuard.sumGuardSpark("syyr", "n", "myy", "q131")).as("syy"),
+        expr(MomentGuard.sumGuardSpark("sxyr", "n", "mxy", "q131")).as("sxy"))
       .withColumn("detx", expr(
         "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)"))
       .withColumn("dety", expr(
@@ -78,12 +83,16 @@ object Stats {
                |  THEN epoch_us(ts) // 60000000 - 28401120
                |  ELSE CAST(error('q131: ts outside minute-offset envelope') AS BIGINT) END""".stripMargin
     s"""WITH ev AS (SELECT event_type, $x AS x,
-      |  CASE WHEN abs(value) <= 3000 THEN CAST(round(value*1000) AS BIGINT)
-      |       ELSE CAST(error('q131: value outside quantization envelope (|value| > 3000)') AS BIGINT)
-      |  END AS y FROM events),
+      |  ${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q131")} AS y
+      |  FROM events),
       |m AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
-      |  CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
+      |  CAST(sum(y) AS BIGINT) AS sy,
+      |  ${MomentGuard.sumGuardDuck("CAST(sum(x*x) AS BIGINT)", "count(*)",
+           "max(x*x)", "q131")} AS sxx,
+      |  ${MomentGuard.sumGuardDuck("CAST(sum(y*y) AS BIGINT)", "count(*)",
+           "max(y*y)", "q131")} AS syy,
+      |  ${MomentGuard.sumGuardDuck("CAST(sum(x*y) AS BIGINT)", "count(*)",
+           "max(abs(x*y))", "q131")} AS sxy
       |  FROM ev GROUP BY 1),
       |d AS (SELECT *,
       |  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS detx,
@@ -103,15 +112,25 @@ object Stats {
     * integers, so the moments need no quantization step; the correlation
     * is the one IEEE expression `cov / sqrt(detx·dety)` from BIGINT casts.
     * One partial-aggregate shuffle on `lang`; wholly map-side before it.
+    * Lengths are unbounded a priori (no per-row envelope applies), which
+    * makes the post-aggregate [[graft.util.MomentGuard.sumGuardSpark]]
+    * certificate the ONLY thing standing between a pathological shard
+    * (a few billion long docs in one lang) and a silently wrapped Σx².
     */
   private val q132: Q = (s, dir) =>
     Tables.documents(s, dir)
-      .select(col("lang"), col("n_chars").as("x"),
+      .select(col("lang"), col("n_chars").cast("long").as("x"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("y"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
-        sum(expr("x*y")).as("sxy"))
+        sum(expr("x*x")).as("sxxr"), sum(expr("y*y")).as("syyr"),
+        sum(expr("x*y")).as("sxyr"),
+        max(expr("x*x")).as("mxx"), max(expr("y*y")).as("myy"),
+        max(expr("x*y")).as("mxy"))
+      .select(col("lang"), col("n"), col("sx"), col("sy"),
+        expr(MomentGuard.sumGuardSpark("sxxr", "n", "mxx", "q132")).as("sxx"),
+        expr(MomentGuard.sumGuardSpark("syyr", "n", "myy", "q132")).as("syy"),
+        expr(MomentGuard.sumGuardSpark("sxyr", "n", "mxy", "q132")).as("sxy"))
       .withColumn("detx", expr(
         "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)"))
       .withColumn("dety", expr(
@@ -124,13 +143,20 @@ object Stats {
       .orderBy("lang")
 
   private val q132Sql =
-    """WITH m AS (SELECT lang, count(*) AS n,
+    s"""WITH m AS (SELECT lang, count(*) AS n,
       |  CAST(sum(n_chars) AS BIGINT) AS sx,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sy,
-      |  CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx,
-      |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)
-      |    * len(string_split(text, ' '))) AS BIGINT) AS syy,
-      |  CAST(sum(n_chars * len(string_split(text, ' '))) AS BIGINT) AS sxy
+      |  ${MomentGuard.sumGuardDuck("CAST(sum(n_chars*n_chars) AS BIGINT)",
+           "count(*)", "max(n_chars*n_chars)", "q132")} AS sxx,
+      |  ${MomentGuard.sumGuardDuck(
+           "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT) * len(string_split(text, ' '))) AS BIGINT)",
+           "count(*)",
+           "max(CAST(len(string_split(text, ' ')) AS BIGINT) * len(string_split(text, ' ')))",
+           "q132")} AS syy,
+      |  ${MomentGuard.sumGuardDuck(
+           "CAST(sum(n_chars * len(string_split(text, ' '))) AS BIGINT)",
+           "count(*)",
+           "max(n_chars * len(string_split(text, ' ')))", "q132")} AS sxy
       |  FROM documents GROUP BY 1),
       |d AS (SELECT *,
       |  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS detx,
@@ -156,7 +182,11 @@ object Stats {
   private val q135: Q = (s, dir) => {
     Tables.events(s, dir)
       .select(col("event_type"),
-        expr("CAST(round(value * 1000) AS BIGINT)").as("q"))
+        // Same shared per-row envelope as q112/q131: medians themselves
+        // cannot overflow, but the envelope keeps the whole family's
+        // quantization contract (and the 3·MAD predicate's headroom)
+        // uniform and loudly enforced on both engines.
+        expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q135")).as("q"))
       .createOrReplaceTempView("events_q135")
     s.sql(
       """WITH med AS (SELECT event_type,
@@ -178,7 +208,8 @@ object Stats {
   }
 
   private val q135Sql =
-    """WITH ev AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS q
+    s"""WITH ev AS (SELECT event_type,
+      |  ${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q135")} AS q
       |  FROM events),
       |med AS (SELECT event_type, CAST(quantile_disc(q, 0.5) AS BIGINT) AS med_q
       |  FROM ev GROUP BY 1),
@@ -229,7 +260,15 @@ object Stats {
     val cnt = tok.groupBy("token").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
-    val tot = cnt.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    // Corpus-total token counts could only wrap past ~9.2e18 tokens, but
+    // the shared certificate is one cheap aggregate pair — keep the whole
+    // moment family under the same loud guard.
+    val tot = cnt.agg(count(lit(1)).as("nt"),
+        sum("n_a").as("ta"), sum("n_b").as("tb"),
+        max("n_a").as("ma"), max("n_b").as("mb"))
+      .select(
+        expr(MomentGuard.sumGuardSpark("ta", "nt", "ma", "q137")).as("tot_a"),
+        expr(MomentGuard.sumGuardSpark("tb", "nt", "mb", "q137")).as("tot_b"))
     cnt.crossJoin(broadcast(tot)) // scalar broadcast: 1-row totals
       .filter(expr("n_a + n_b < tot_a + tot_b"))
       .withColumn("dd", expr(chi2Num))
@@ -245,8 +284,11 @@ object Stats {
       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
       |  FROM tok WHERE len(token) > 0 GROUP BY 1),
-      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
-      |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM cnt),
+      |tot AS (SELECT
+      |    ${MomentGuard.sumGuardDuck("CAST(sum(n_a) AS BIGINT)", "count(*)",
+             "max(n_a)", "q137")} AS tot_a,
+      |    ${MomentGuard.sumGuardDuck("CAST(sum(n_b) AS BIGINT)", "count(*)",
+             "max(n_b)", "q137")} AS tot_b FROM cnt),
       |d AS (SELECT token, n_a, n_b, tot_a, tot_b, $chi2Num AS dd
       |  FROM cnt CROSS JOIN tot
       |  WHERE n_a + n_b < tot_a + tot_b)

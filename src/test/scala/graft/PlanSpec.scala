@@ -318,6 +318,31 @@ class PlanSpec extends AnyFunSuite {
       s"expected whole-stage-codegen *(n) spans in:\n$p")
   }
 
+  test("q41: LSH signature pipeline executes with codegen fallback disabled") {
+    // Round-6 driver bench showed q41 at 1.31 s vs 0.93 s in r5; the
+    // drained Probe re-run converges to ~1.0 s steady-state, so the delta
+    // was JVM/host warmup, not a plan change. This pin makes the innocent
+    // explanation durable: if the sigColsFor kernel (or anything above
+    // it) ever falls back to interpreted evaluation, fallback=false turns
+    // the silent slowdown into a hard failure — the PqAssignSpec
+    // discipline applied to the LSH hot path.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = SparkEntry.queries("q41_dedup_minhash_lsh")(spark, dir)
+      assert(df.count() > 0)
+      val p = df.queryExecution.executedPlan.toString()
+      assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+        s"expected whole-stage-codegen *(n) spans in the LSH plan:\n$p")
+    } finally {
+      graft.util.QueryCaches.drain()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("q131/q132: moment aggregation is partial then final (map-side combine)") {
     for (q <- Seq("q131_ols_trend", "q132_corr_moments")) {
       val p = planString(SparkEntry.queries(q)(spark, dir))
