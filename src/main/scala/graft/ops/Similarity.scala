@@ -1082,9 +1082,18 @@ object Similarity {
     * itself uses.
     */
   private val q168: Q = (s, dir) => {
+    // n_members is max(n) over the per-(m, code, dim) counts, which is
+    // exact ONLY when every vector contributes all 64 dims — a short or
+    // null-holed embedding would skew counts AND means silently (the
+    // oracle shares the assumption via generate_series(1,64)). Assert
+    // the shape loudly on both engines instead of trusting it.
     val a = Tables.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), expr(vd).as("v"),
-        expr(s"pq_assign($vd, $pqCodebookSql, 4, 4)").as("pq"))
+      .select(col("vec_id"),
+        expr(s"""CASE WHEN size($vd) = 64
+                |  AND size(filter($vd, x -> x IS NULL)) = 0 THEN $vd
+                |  ELSE CAST(raise_error('q168: embedding must have exactly 64 non-null dims') AS array<double>)
+                |END""".stripMargin).as("v"))
+      .withColumn("pq", expr(s"pq_assign(v, $pqCodebookSql, 4, 4)"))
     val dims = a.select(col("pq"), posexplode(col("v")))
       .select(expr("CAST(pos div 16 AS INT)").as("m"),
         (col("pos") % 16 + 1).cast("int").as("j"),
@@ -1116,9 +1125,14 @@ object Similarity {
       s"${pqCode(m, c => s"d_${m}_$c")} AS code$m").mkString(",\n  ")
     val seedRows = (for (m <- 0 until 4; c <- 0 until 4; j <- 1 to 16)
       yield s"($m, $c, $j, ${pqCent(m, c, j - 1)})").mkString(", ")
-    s"""WITH d AS (SELECT vec_id,
+    s"""WITH e0 AS (SELECT vec_id,
+       |  CASE WHEN len(embedding) = 64
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0 THEN embedding
+       |    ELSE error('q168: embedding must have exactly 64 non-null dims')
+       |  END AS embedding FROM embeddings),
+       |d AS (SELECT vec_id,
        |  $dcols
-       |  FROM embeddings),
+       |  FROM e0),
        |a AS (SELECT vec_id,
        |  $codes
        |  FROM d),
@@ -1128,7 +1142,7 @@ object Similarity {
        |    CASE (i - 1) // 16 WHEN 0 THEN a.code0 WHEN 1 THEN a.code1
        |         WHEN 2 THEN a.code2 ELSE a.code3 END AS code,
        |    CAST(round(e.embedding[i]::DOUBLE * 1e7) AS BIGINT) AS xq
-       |  FROM embeddings e JOIN a USING (vec_id),
+       |  FROM e0 e JOIN a USING (vec_id),
        |       unnest(generate_series(1, 64)) AS t(i)),
        |g AS (SELECT m, code, j, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s1q
        |  FROM dims GROUP BY 1, 2, 3),
@@ -1341,13 +1355,22 @@ object Similarity {
        |    list_slice(embedding::DOUBLE[], 1, 16) AS vt FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv, vt AS qt FROM e WHERE vec_id < 5),
        |scored AS (
+       |  -- zero-norm guard as an explicit CASE on the norms, NOT
+       |  -- coalesce over the division: with ieee_floating_point_ops
+       |  -- (newer DuckDB default) 0/0 is NaN, which coalesce passes
+       |  -- through and max() sorts above every real score — the guard
+       |  -- must not depend on the engine's division-by-zero mode.
        |  SELECT q.query_id, e.vec_id,
-       |    round(coalesce(list_dot_product(q.qv, e.v)
-       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 0), 6)
-       |      AS cs_full,
-       |    round(coalesce(list_dot_product(q.qt, e.vt)
-       |      / (sqrt(list_dot_product(q.qt, q.qt)) * sqrt(list_dot_product(e.vt, e.vt))), 0), 6)
-       |      AS cs_trunc
+       |    round(CASE WHEN list_dot_product(q.qv, q.qv) = 0
+       |                 OR list_dot_product(e.v, e.v) = 0 THEN 0
+       |      ELSE list_dot_product(q.qv, e.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+       |      END, 6) AS cs_full,
+       |    round(CASE WHEN list_dot_product(q.qt, q.qt) = 0
+       |                 OR list_dot_product(e.vt, e.vt) = 0 THEN 0
+       |      ELSE list_dot_product(q.qt, e.vt)
+       |      / (sqrt(list_dot_product(q.qt, q.qt)) * sqrt(list_dot_product(e.vt, e.vt)))
+       |      END, 6) AS cs_trunc
        |  FROM q JOIN e ON e.vec_id <> q.query_id),
        |f AS (SELECT query_id, vec_id FROM (
        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
@@ -1423,10 +1446,15 @@ object Similarity {
        |    CASE WHEN sb = 98 THEN 'val' ELSE 'test' END AS split, bucket, v
        |  FROM sp WHERE sb >= 98),
        |j AS (SELECT h.vec_id, h.split, t.tid,
-       |    CASE WHEN t.tid IS NOT NULL THEN round(coalesce(
-       |      list_dot_product(h.v, t.tv)
-       |        / (sqrt(list_dot_product(h.v, h.v)) * sqrt(list_dot_product(t.tv, t.tv))),
-       |      0), 6) END AS cs
+       |    -- explicit zero-norm CASE (not coalesce over the division):
+       |    -- ieee mode makes 0/0 NaN, which would survive coalesce and
+       |    -- win max(), flipping `leaked` where Spark reports false
+       |    CASE WHEN t.tid IS NOT NULL THEN round(
+       |      CASE WHEN list_dot_product(h.v, h.v) = 0
+       |             OR list_dot_product(t.tv, t.tv) = 0 THEN 0
+       |      ELSE list_dot_product(h.v, t.tv)
+       |        / (sqrt(list_dot_product(h.v, h.v)) * sqrt(list_dot_product(t.tv, t.tv)))
+       |      END, 6) END AS cs
        |  FROM hold h LEFT JOIN train t USING (bucket))
        |SELECT vec_id, split, CAST(count(tid) AS BIGINT) AS n_train_cand,
        |  coalesce(max(cs), CAST(-2.0 AS DOUBLE)) AS max_train_cos,
