@@ -35,6 +35,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (GramPostings) must never land in the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

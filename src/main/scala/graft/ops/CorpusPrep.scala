@@ -186,21 +186,12 @@ object CorpusPrep {
       .select(col("doc_id"),
         expr(rollingGram(k, j => s"element_at(wh, i + $j)")).as("gram"))
 
-  private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    // The postings relation feeds the df aggregate AND both sides of the
-    // pair join — persist it once (drained by Bench/Verify after the
-    // query's action) instead of re-running the explode+distinct three
-    // times.
-    // Grams are hashed to longs before any shuffle (q43's discipline,
-    // replayed by the oracle): a 13-gram string is ~80 bytes through
-    // distinct + df + the pair join; the hash is 8.
-    val g = graft.util.QueryCaches.tracked(hashedGrams(docs, k)
-      // one shuffle on gram serves the whole pipeline: HashPartitioning
-      // on a SUBSET of the grouping keys satisfies the distinct's
-      // ClusteredDistribution, and the df aggregate + both pair-join
-      // sides cluster on gram too — all read the cache exchange-free
-      .repartition(col("gram"))
-      .distinct())
+  /** Pair generation over a prepared distinct (doc_id, gram) postings
+    * relation — the shared core of [[substringPairs]] (per-query cache
+    * build, synthetic-docs tests) and q109's production path (the
+    * [[GramPostings]] bucketed table).
+    */
+  private[ops] def substringPairsOver(g: DataFrame, maxDf: Int): DataFrame = {
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf").between(2, maxDf))
     val gk = g.join(keep.select("gram"), "gram")
@@ -211,8 +202,26 @@ object CorpusPrep {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  private[ops] def substringPairs(docs: DataFrame, k: Int, maxDf: Int): DataFrame =
+    // The postings relation feeds the df aggregate AND both sides of the
+    // pair join — persist it once (drained by Bench/Verify after the
+    // query's action) instead of re-running the explode+distinct three
+    // times.
+    // Grams are hashed to longs before any shuffle (q43's discipline,
+    // replayed by the oracle): a 13-gram string is ~80 bytes through
+    // distinct + df + the pair join; the hash is 8.
+    substringPairsOver(graft.util.QueryCaches.tracked(hashedGrams(docs, k)
+      // one shuffle on gram serves the whole pipeline: HashPartitioning
+      // on a SUBSET of the grouping keys satisfies the distinct's
+      // ClusteredDistribution, and the df aggregate + both pair-join
+      // sides cluster on gram too — all read the cache exchange-free
+      .repartition(col("gram"))
+      .distinct()), maxDf)
+
   private val q109: Q = (s, dir) =>
-    substringPairs(Tables.spread(Tables.documents(s, dir)), k = 13, maxDf = 50)
+    substringPairsOver(
+      graft.util.QueryCaches.tracked(GramPostings.postings13(s, dir)),
+      maxDf = 50)
       .orderBy("doc_a", "doc_b")
 
   /** Oracle twin of [[hashedGrams]](k=13) + distinct — CTEs `w`/`g0`/`g`
@@ -444,10 +453,9 @@ object CorpusPrep {
     * novelty ratio is one IEEE divide of two exact BIGINTs.
     */
   private val q149: Q = (s, dir) => {
-    val g = graft.util.QueryCaches.tracked(
-      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
-        .repartition(col("gram"))
-        .distinct())
+    // postings come from the corpus-wide bucketed table ([[GramPostings]]),
+    // not a per-query rebuild; the per-query cache is a cheap bucketed scan
+    val g = graft.util.QueryCaches.tracked(GramPostings.postings13(s, dir))
     // Attribution without a postings-sized join-back: a doc's novel-gram
     // count is just how many grams' min-doc aggregate landed on it, so
     // both sides reduce FIRST (per-doc totals; per-gram min → per-doc
@@ -492,10 +500,7 @@ object CorpusPrep {
     * the per-doc totals read one exchange.
     */
   private val q150: Q = (s, dir) => {
-    val g = graft.util.QueryCaches.tracked(
-      hashedGrams(Tables.spread(Tables.documents(s, dir)), k = 13)
-        .repartition(col("gram"))
-        .distinct())
+    val g = graft.util.QueryCaches.tracked(GramPostings.postings13(s, dir))
     // keep is a bare gram list (no df payload), so the persisted gd
     // relation the three consumers read is exactly (doc_id, gram)
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
@@ -561,13 +566,23 @@ object CorpusPrep {
   /** Distinct (doc_id, gram, split-bucket) postings, gram-partitioned and
     * persisted — the one cache q156/q164/q165 all read.
     */
+  private def withSplitBucket(g: DataFrame): DataFrame =
+    g.withColumn("bucket", expr(
+      "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 100"))
+
   private[graft] def splitGrams(docs: DataFrame): DataFrame =
-    graft.util.QueryCaches.tracked(
+    graft.util.QueryCaches.tracked(withSplitBucket(
       hashedGrams(docs, k = 13)
         .repartition(col("gram"))
-        .distinct()
-        .withColumn("bucket", expr(
-          "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS INT) % 100")))
+        .distinct()))
+
+  /** Production path: split-bucketed postings over the corpus-wide
+    * [[GramPostings]] bucketed table — the split bucket is still derived
+    * map-side per posting; only the explode+distinct build is amortized.
+    */
+  private def splitGramsFor(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.tracked(
+      withSplitBucket(GramPostings.postings13(s, dir)))
 
   /** Per-holdout-doc leak counts over a prepared [[splitGrams]] relation. */
   private def leakCounts(g: DataFrame): DataFrame = {
@@ -586,15 +601,18 @@ object CorpusPrep {
   private[graft] def splitLeakageRaw(docs: DataFrame): DataFrame =
     leakCounts(splitGrams(docs))
 
-  private[graft] def splitLeakage(docs: DataFrame): DataFrame =
-    splitLeakageRaw(docs)
+  private def splitLeakageOver(g: DataFrame): DataFrame =
+    leakCounts(g)
       .select(col("doc_id"), col("split"), col("n_grams"), col("n_leaked"),
         (col("n_leaked").cast("double") / col("n_grams").cast("double"))
           .as("leak_rate"))
       .orderBy("doc_id")
 
+  private[graft] def splitLeakage(docs: DataFrame): DataFrame =
+    splitLeakageOver(splitGrams(docs))
+
   private val q156: Q = (s, dir) =>
-    splitLeakage(Tables.spread(Tables.documents(s, dir)))
+    splitLeakageOver(splitGramsFor(s, dir))
 
   /** Oracle CTE chain ending in `lk(doc_id, split, n_grams, n_leaked)` —
     * one definition of the leakage core shared by q156Sql and q164Sql.
@@ -635,7 +653,7 @@ object CorpusPrep {
     */
   private val q164: Q = (s, dir) => {
     val docs = Tables.spread(Tables.documents(s, dir))
-    splitLeakageRaw(docs)
+    leakCounts(splitGramsFor(s, dir))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"),
@@ -750,8 +768,10 @@ object CorpusPrep {
     * one |holdout|-row join back to the leak totals — all reading the
     * single [[splitGrams]] cache.
     */
-  private[graft] def leakagePairs(docs: DataFrame): DataFrame = {
-    val g = splitGrams(docs)
+  private[graft] def leakagePairs(docs: DataFrame): DataFrame =
+    leakagePairsOver(splitGrams(docs))
+
+  private def leakagePairsOver(g: DataFrame): DataFrame = {
     val lk = leakCounts(g) // (doc_id, split, n_grams, n_leaked)
     val keep = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= 50).select("gram")
@@ -774,7 +794,7 @@ object CorpusPrep {
   }
 
   private val q165: Q = (s, dir) =>
-    leakagePairs(Tables.spread(Tables.documents(s, dir)))
+    leakagePairsOver(splitGramsFor(s, dir))
 
   private val q165Sql =
     s"""WITH $leakCtes,

@@ -496,14 +496,22 @@ object Similarity {
     * keeps. Same scale shape as q56: edges persisted once, two narrow
     * equi-joins + a groupBy-min per O(log d) round.
     */
-  private val q129: Q = (s, dir) => {
-    val edges = bucketNearDupPairs(s, dir)
-      .filter(col("cos_sim") >= 0.4).select("vec_a", "vec_b")
-    TextDedup.connectedComponents(edges)
+  /** Resolved embedding duplicate clusters (doc_id, label) — the
+    * semantic twin of [[TextDedup.lexicalClusters]], shared through the
+    * same keyed registry so q129 and q167 pay the CC pipeline once per
+    * undrained session.
+    */
+  private[graft] def embedClusters(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"cc:embed:$dir") {
+      TextDedup.connectedComponents(bucketNearDupPairs(s, dir)
+        .filter(col("cos_sim") >= 0.4).select("vec_a", "vec_b"))
+    }
+
+  private val q129: Q = (s, dir) =>
+    embedClusters(s, dir)
       .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),
         (col("label") === col("doc_id")).as("is_canonical"))
       .orderBy("vec_id")
-  }
 
   private val q57Sql =
     s"""WITH $bucketPairCtes
@@ -1537,13 +1545,12 @@ object Similarity {
     */
   private val q167: Q = (s, dir) => {
     val comb2 = (c: String) => expr(s"($c * ($c - 1)) div 2")
-    val tcc = TextDedup.connectedComponents(
-      TextDedup.verifiedPairs(s, dir)
-        .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+    // both cluster relations come from the keyed shared registry: in a
+    // composed job that already ran q56/q129 (or runs q167 twice), the
+    // CC pipelines are NOT re-executed here
+    val tcc = TextDedup.lexicalClusters(s, dir)
       .select(col("doc_id"), col("label").as("tc"))
-    val ecc = TextDedup.connectedComponents(
-      bucketNearDupPairs(s, dir)
-        .filter(col("cos_sim") >= 0.4).select("vec_a", "vec_b"))
+    val ecc = embedClusters(s, dir)
       .select(col("doc_id"), col("label").as("sc"))
     // contingency input: docs clustered on BOTH sides (4 aggregate
     // consumers — persisted)

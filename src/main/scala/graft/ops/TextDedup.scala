@@ -410,10 +410,8 @@ object TextDedup {
     * never a per-cluster ranking window.
     */
   private val q144: Q = (s, dir) => {
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
     val best = struct(col("quality"), (-col("doc_id")).as("nd"))
-    connectedComponents(edges)
+    lexicalClusters(s, dir)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .join(TextStats.qualityScored(s, dir)
         .select(col("doc_id"), col("quality"), col("n_chars")), "doc_id")
@@ -518,9 +516,7 @@ object TextDedup {
     val qual = TextStats.qualityScored(s, dir)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
       .transform(graft.util.QueryCaches.tracked)
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    val cc = connectedComponents(edges)
+    val cc = lexicalClusters(s, dir)
       .select(col("doc_id"), col("label").as("cluster_id"))
     val best = struct(col("quality"), (-col("doc_id")).as("nd"))
     val surv = cc.join(qual, "doc_id")
@@ -937,22 +933,32 @@ object TextDedup {
     labels
   }
 
+  /** Resolved lexical duplicate clusters (doc_id, label) — connected
+    * components over the verified Jaccard ≥ 0.5 edges, shared through
+    * [[graft.util.QueryCaches.keyed]] so q56/q144/q146/q162/q167 pay the
+    * O(log d) pipeline ONCE per undrained session instead of each
+    * re-running it (q167 composes this AND the embedding-side twin).
+    */
+  private[graft] def lexicalClusters(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"cc:text:$dir") {
+      // Sort-free internals: q41b's declared ORDER BY (oracle
+      // determinism) would cost a full extra pipeline pass here
+      // (range-sort sampling).
+      connectedComponents(verifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+    }
+
   /** q56 — duplicate-CLUSTER resolution, the stage after pair scoring that
     * an actual dedup pipeline needs before it can pick survivors: connected
     * components over the verified near-dup pairs (q41b edges with
     * Jaccard ≥ 0.5), cluster id = min doc_id reachable, `is_canonical`
     * marks the survivor each cluster keeps.
     */
-  private val q56: Q = (s, dir) => {
-    // Sort-free internals: q41b's declared ORDER BY (oracle determinism)
-    // would cost a full extra pipeline pass here (range-sort sampling).
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    connectedComponents(edges)
+  private val q56: Q = (s, dir) =>
+    lexicalClusters(s, dir)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("label") === col("doc_id")).as("is_canonical"))
       .orderBy("doc_id")
-  }
 
   private val q56Sql =
     s"""WITH RECURSIVE
@@ -978,9 +984,7 @@ object TextDedup {
   private val q162: Q = (s, dir) => {
     val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"))
-    val edges = verifiedPairs(s, dir)
-      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-    connectedComponents(edges)
+    lexicalClusters(s, dir)
       .join(docs, "doc_id")
       .groupBy("label")
       .agg(count(lit(1)).as("sz"), sum("n_chars").as("chars"),

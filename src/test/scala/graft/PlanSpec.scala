@@ -88,6 +88,9 @@ class PlanSpec extends AnyFunSuite {
         val table = f.relation.location.rootPaths.headOption
           .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
         val nCols = f.requiredSchema.size
+        // the shared postings table IS the projection (2 columns, both
+        // needed by every consumer) — full-width reads of it are the point
+        if (!table.startsWith("graft_postings13"))
         withClue(s"$name scanning $table: ") {
           assert(fullWidth.contains(table),
             s"table '$table' missing from the fullWidth map — add it")
@@ -480,6 +483,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final aggregates for word counts AND pair rollup in:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the merge-table cut must be a bounded TakeOrdered, not a sort+limit:\n$p")
+  }
+
+  test("q109/q149/q150/q156/q165: gram queries read the shared bucketed postings table") {
+    // The corpus-wide GramPostings table replaces the per-query
+    // explode+distinct rebuild: each query's cache build must scan the
+    // gram-bucketed parquet table (amortized once per JVM), not re-derive
+    // postings from `documents`. Recurse into cached plans — the table
+    // scan hides inside the per-query tracked cache.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def planTexts(plan: SparkPlan): Seq[String] = plan.toString() +: plan.collect {
+      case a: AdaptiveSparkPlanExec => planTexts(a.executedPlan)
+      case i: InMemoryTableScanExec => planTexts(i.relation.cachedPlan)
+    }.flatten
+    Seq("q109_substring_pairs", "q149_gram_novelty", "q150_gram_containment",
+      "q156_split_leakage", "q165_leakage_pairs").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val texts = planTexts(df.queryExecution.executedPlan)
+      graft.util.QueryCaches.drain()
+      assert(texts.exists(_.contains("graft_postings13")),
+        s"$name: expected a scan of the shared graft_postings13 bucketed " +
+        s"table in:\n${texts.mkString("\n---\n")}")
+    }
   }
 
   test("q149: novelty join is an equi-join reading one gram-partitioned cache") {

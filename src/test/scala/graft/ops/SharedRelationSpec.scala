@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.util.QueryCaches
+
+/** The keyed shared-relation registry: connected-components cluster
+  * relations build once per undrained session and are handed to every
+  * composing consumer (q56/q144/q146/q162 share the lexical relation;
+  * q129/q167 the embedding one; q167 composes both). Drain invalidates,
+  * so the per-query bench/verify protocol stays hermetic.
+  */
+class SharedRelationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("lexical cluster relation is built once per undrained session") {
+    QueryCaches.drain()
+    val a = TextDedup.lexicalClusters(spark, dir)
+    val b = TextDedup.lexicalClusters(spark, dir)
+    assert(a eq b, "second call must return the SAME cached relation")
+    QueryCaches.drain()
+    val c = TextDedup.lexicalClusters(spark, dir)
+    assert(!(a eq c), "drain must invalidate the keyed relation")
+    QueryCaches.drain()
+  }
+
+  test("q167 composes the same shared relations q56/q129 would build") {
+    QueryCaches.drain()
+    // Prime the registry the way a composed pipeline would (q56 + q129
+    // ran first), then run q167: its cluster inputs must be the primed
+    // instances, not re-executions of the CC pipelines.
+    val tcc = TextDedup.lexicalClusters(spark, dir)
+    val ecc = Similarity.embedClusters(spark, dir)
+    val before = QueryCaches.pending
+    val row = graft.SparkEntry.queries("q167_modal_agreement")(spark, dir)
+      .collect()
+    assert(row.length == 1)
+    assert(tcc eq TextDedup.lexicalClusters(spark, dir))
+    assert(ecc eq Similarity.embedClusters(spark, dir))
+    // q167 may add its own contingency cache but must NOT have re-built
+    // either cluster pipeline (each build registers a tracked cache)
+    assert(QueryCaches.pending <= before + 1,
+      s"q167 registered ${QueryCaches.pending - before} new caches — " +
+      "did it rebuild a cluster relation?")
+    QueryCaches.drain()
+  }
+}
