@@ -63,6 +63,17 @@ object StreamingLshDedup {
     */
   def admitBatch(batch: DataFrame, index: Index,
       jaccardMin: Double = 0.5): (DataFrame, DataFrame, Index) = {
+    val (admitted, dropped, aBands, aSets) = admitCore(batch, index, jaccardMin)
+    (admitted, dropped,
+      Index(index.bands.unionByName(aBands), index.sets.unionByName(aSets)))
+  }
+
+  /** [[admitBatch]]'s core, exposing the index DELTA (the admitted docs'
+    * bands/sets) instead of the unioned index — what a durable store
+    * APPENDS ([[IndexStore]]) and what the functional path unions.
+    */
+  private def admitCore(batch: DataFrame, index: Index,
+      jaccardMin: Double): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val bBands = TextDedup.bandsFor(batch).persist()
     val bSets = TextDedup.shingleSetsFor(batch).persist()
     // new×old: batch bands against the corpus index
@@ -99,34 +110,149 @@ object StreamingLshDedup {
       .localCheckpoint(true)
     bBands.unpersist()
     bSets.unpersist()
-    (admitted, dropped,
-      Index(index.bands.unionByName(aBands), index.sets.unionByName(aSets)))
+    (admitted, dropped, aBands, aSets)
   }
 
-  /** Drive a (doc_id, text) stream through the admission gate.
-    * `onBatch` receives (admitted, dropped, batchId) — the production
-    * sink writes admitted docs to the corpus and appends the index
-    * tables; tests observe both.
+  /** Drive a (doc_id, text) stream through the admission gate with
+    * FUNCTIONAL (in-memory) index state. `onBatch` receives
+    * (admitted, dropped, batchId).
+    *
+    * NOT restart-safe: the accumulated index lives in this JVM and dies
+    * with the query, while a checkpointed source would resume offsets
+    * PAST already-admitted docs — a restarted query starting from the
+    * caller's `initial` index would silently re-admit near-dups. Use
+    * [[runDurable]] with an [[IndexStore]] for any checkpointed /
+    * restartable deployment; this mode is for tests and one-shot
+    * (AvailableNow) backfills.
     */
   def run(docs: DataFrame, initial: Index,
       onBatch: (DataFrame, DataFrame, Long) => Unit,
       jaccardMin: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // serialized state handoff between micro-batches: foreachBatch runs
-    // them strictly in order, so a simple reference is safe here; a
-    // production deployment would append to index TABLES instead of
-    // holding DataFrames (the state is the data, not driver memory)
+    // them strictly in order, so a simple reference is safe here
     var index = initial
+    var sinceCollapse = 0
     docs.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (admitted, dropped, next) = admitBatch(batch, index, jaccardMin)
-        index = next
+        // the index otherwise grows one unionByName LAYER per batch:
+        // analysis cost and lineage depth rise linearly with batch count
+        // on a long-running stream. Collapse the union chain every few
+        // batches — localCheckpoint materializes the accumulated index
+        // into one flat scan.
+        sinceCollapse += 1
+        index = if (sinceCollapse >= 8) {
+          sinceCollapse = 0
+          Index(next.bands.localCheckpoint(true), next.sets.localCheckpoint(true))
+        } else next
         onBatch(admitted, dropped, id)
         // per-batch working caches end with the batch
         admitted.unpersist()
         dropped.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Durable corpus signature index: the band/shingle relations persisted
+    * as a pair of bucketed catalog tables the stream APPENDS to — q145's
+    * "persisted corpus signature index" made concrete. Because the state
+    * IS the tables (not driver memory), a killed-and-restarted query
+    * resumes admission against everything previously admitted: no
+    * duplicate admission across restarts (proven in
+    * StreamingLshDedupSpec's kill/restart test). Bands bucket on the
+    * band-hash join key, sets on doc_id, so the per-batch new×old join
+    * and the verification lookups read bucket-aligned files.
+    */
+  final class IndexStore(spark: SparkSession, prefix: String,
+      buckets: Int = 8) {
+    val bandsTable: String = s"${prefix}_bands"
+    val setsTable: String = s"${prefix}_sets"
+
+    private def write(df: DataFrame, table: String, key: String,
+        mode: String): Unit =
+      df.write.mode(mode).format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+
+    /** Create both tables empty if absent. A stale on-disk location with
+      * no catalog entry (a previous JVM's warehouse leftovers) is
+      * removed — adopting it silently would resurrect an index whose
+      * corpus this query never saw.
+      */
+    def init(): Unit =
+      Seq((bandsTable, "bh", (i: Index) => i.bands),
+          (setsTable, "doc_id", (i: Index) => i.sets)).foreach {
+        case (t, key, sel) =>
+          if (!spark.catalog.tableExists(t)) {
+            val loc = new org.apache.hadoop.fs.Path(
+              spark.conf.get("spark.sql.warehouse.dir"), t)
+            val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(loc)) fs.delete(loc, true)
+            write(sel(emptyIndex(spark)), t, key, "errorifexists")
+          }
+      }
+
+    def index: Index = {
+      // appends land through foreachBatch's CLONED session, which
+      // invalidates the clone's relation cache but not this session's —
+      // without an explicit refresh this session would keep serving the
+      // stale (initially empty) file listing forever
+      spark.catalog.refreshTable(bandsTable)
+      spark.catalog.refreshTable(setsTable)
+      Index(spark.table(bandsTable), spark.table(setsTable))
+    }
+
+    private[streaming] def append(bands: DataFrame, sets: DataFrame): Unit = {
+      write(bands, bandsTable, "bh", "append")
+      write(sets, setsTable, "doc_id", "append")
+    }
+
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $bandsTable")
+      spark.sql(s"DROP TABLE IF EXISTS $setsTable")
+    }
+  }
+
+  /** Restart-durable admission: per micro-batch, admit against the
+    * CURRENT persisted index tables and append the survivors' signatures
+    * back — state survives the query, the session, and the JVM. Pair
+    * with a `checkpointLocation` so the source resumes exactly where it
+    * stopped; a batch replayed after a crash re-admits nothing (every
+    * previously-admitted doc self-matches at Jaccard 1.0), so the gate
+    * stays idempotent under at-least-once delivery.
+    */
+  def runDurable(docs: DataFrame, store: IndexStore,
+      onBatch: (DataFrame, DataFrame, Long) => Unit,
+      jaccardMin: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    store.init()
+    val base = docs.writeStream.trigger(trigger).outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (admitted0, dropped0, aBands, aSets) =
+          admitCore(batch, store.index, jaccardMin)
+        // store.index is a LAZY table reference: everything derived from
+        // it must be MATERIALIZED (lineage severed) before the append
+        // below mutates the tables, or the sink-side collect would
+        // re-join the batch against its own freshly-appended signatures
+        // and drop every doc as a self-match. aBands/aSets are already
+        // eager localCheckpoints (admitCore); do the same for the two
+        // caller-visible outputs.
+        val admitted = admitted0.localCheckpoint(true)
+        val dropped = dropped0.localCheckpoint(true)
+        admitted0.unpersist()
+        dropped0.unpersist()
+        // append BEFORE the user sink sees the batch: if the job dies
+        // between the two, the replayed batch re-verifies against an
+        // index that already holds these docs and re-emits nothing
+        // twice — no duplicate admission under at-least-once delivery.
+        store.append(aBands, aSets)
+        onBatch(admitted, dropped, id)
         ()
       }
       .start()

@@ -76,4 +76,56 @@ class StreamingLshDedupSpec extends AnyFunSuite {
       assert(dropped.toSet === Set((12L, 10L)))
     } finally q.stop()
   }
+
+  test("runDurable: a killed-and-restarted query admits no duplicates " +
+       "(index state survives in the bucketed tables)") {
+    val store = new StreamingLshDedup.IndexStore(spark, "graft_lsh_idx_spec")
+    store.drop() // hermetic: clear any leftovers from a previous run
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val dropped = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    def start(in: MemoryStream[(Long, String)]) = StreamingLshDedup.runDurable(
+      in.toDF().toDF("doc_id", "text"), store,
+      (adm, drop, _) => {
+        admitted ++= adm.select("doc_id").collect().map(_.getLong(0))
+        dropped ++= drop.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(3)))
+      },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      val in1 = MemoryStream[(Long, String)](spark)
+      val q1 = start(in1)
+      in1.addData((20L, textA), (21L, textB))
+      q1.processAllAvailable()
+      assert(q1.exception.isEmpty, s"q1 failed: ${q1.exception}")
+      q1.stop() // kill the query — the in-memory session keeps NOTHING
+      assert(admitted.sorted.toSeq === Seq(20L, 21L),
+        s"dropped=${dropped.toList} idx=${store.index.sets.count()} " +
+        s"recent=${q1.recentProgress.map(_.numInputRows).toList}")
+
+      // restart as a brand-new query: its ONLY state is the persisted
+      // index tables. The new source REPLAYS one pre-restart doc
+      // verbatim (at-least-once delivery after a crash) alongside a
+      // near-copy of a pre-restart admit and one novel doc.
+      val in2 = MemoryStream[(Long, String)](spark)
+      val q2 = start(in2)
+      in2.addData((22L, textANear), (20L, textA), (24L, textD))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"q2 failed: ${q2.exception}")
+      q2.stop()
+      assert(admitted.sorted.toSeq === Seq(20L, 21L, 24L),
+        s"only the novel doc may be admitted after restart; " +
+        s"dropped=${dropped.toList} bands=${store.index.bands.count()} " +
+        s"sets=${store.index.sets.collect().map(_.getLong(0)).toList}")
+      // evidence: the near-copy and the replayed doc both match the
+      // PERSISTED index (the replay as a Jaccard-1.0 self-match); the
+      // near-copy additionally pairs with the replayed doc INSIDE the
+      // batch — both sightings are legitimate evidence rows
+      assert(dropped.toSet === Set((22L, 20L, "corpus"), (20L, 20L, "corpus"),
+        (22L, 20L, "batch")))
+      assert(store.index.sets.select("doc_id").as[Long].collect().sorted
+        .toSeq === Seq(20L, 21L, 24L), "index holds exactly the survivors")
+    } finally {
+      store.drop()
+    }
+  }
 }
