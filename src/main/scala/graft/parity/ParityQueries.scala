@@ -20,11 +20,21 @@ object ParityQueries {
 
   import ParityData.{srcSql, tgtSql, resourcesSql}
 
+  /** O1's declared plan over ANY `(resource: string)` relation. q01
+    * applies it to the parquet-backed harness relation (the oracle can
+    * replay that); production applies it to the DSv2 `blaze` source,
+    * whose page-partitioned scan produces the same schema —
+    * `BlazeV2Spec`'s e2e test pins that both inputs yield the identical
+    * result through this one plan, so the verified path and the
+    * production path are the same code.
+    */
+  def scanPlan(resources: DataFrame): DataFrame = resources.orderBy("resource")
+
   /** q01 — paginated source scan (O1, reference `src/main.rs:150-157,
     * 199-270`): the flattened resource stream, as raw JSON text.
     */
   private val q01: Q = (s, dir) =>
-    ParityData.sourceResources(s, dir).orderBy("resource")
+    scanPlan(ParityData.sourceResources(s, dir))
 
   private val q01Sql =
     s"""WITH $resourcesSql

@@ -24,9 +24,60 @@ class FixtureFetcher extends PageFetcher {
   }
 }
 
+/** Page server over an arbitrary corpus of raw resource JSON docs — set
+  * by the test, read by name-instantiated fetchers (same JVM in
+  * local mode).
+  */
+object CorpusPages {
+  @volatile var docs: Array[String] = Array.empty
+}
+
+class CorpusFixtureFetcher extends PageFetcher {
+  override def fetch(url: String): String = {
+    val docs = CorpusPages.docs
+    val pageSize = "_count=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+    if (pageSize == 0)
+      s"""{"resourceType":"Bundle","type":"searchset","total":${docs.length}}"""
+    else {
+      val offset = "_getpagesoffset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      val entries = docs.slice(offset, offset + pageSize)
+        .map(d => s"""{"resource":$d}""").mkString(",")
+      s"""{"resourceType":"Bundle","type":"searchset","total":${docs.length},"entry":[$entries]}"""
+    }
+  }
+}
+
 class BlazeV2Spec extends AnyFunSuite {
 
   private val spark = SparkTestSession.spark
+
+  test("e2e: a multi-page V2 scan feeds the exact q01 plan and matches " +
+       "the verified parquet-backed result") {
+    // The production path (DSv2 blaze source, one InputPartition per
+    // page) and the oracle-verified path (q01 over the parquet harness
+    // relation) must be ONE plan over two inputs. Serve the sf0.001
+    // corpus through the page protocol and drive it through
+    // ParityQueries.scanPlan — the very function q01 declares.
+    val dir = "/root/testdata/sf0.001"
+    CorpusPages.docs = graft.parity.ParityData.sourceResources(spark, dir)
+      .collect().map(_.getString(0))
+    val v2 = spark.read.format("blaze")
+      .option("baseUrl", "http://fixture")
+      .option("resourceType", "Observation")
+      .option("pageSize", "512")
+      .option("fetcher", classOf[CorpusFixtureFetcher].getName)
+      .load()
+    assert(v2.rdd.getNumPartitions ===
+      (CorpusPages.docs.length + 511) / 512,
+      "one partition per page, full corpus paged")
+    val got = graft.parity.ParityQueries.scanPlan(v2)
+      .collect().map(_.getString(0))
+    val want = graft.SparkEntry.queries("q01_scan")(spark, dir)
+      .collect().map(_.getString(0))
+    assert(got.length === want.length)
+    assert(got.sameElements(want),
+      "V2-scanned corpus must be row-identical through the q01 plan")
+  }
 
   test("DSv2 source plans one partition per page and reads all resources") {
     val df = spark.read.format("blaze")
