@@ -650,7 +650,9 @@ object Corpus {
     * languages). The offset table is |langs| rows — broadcast. No
     * skewed-key window anywhere; all-integer outputs.
     */
-  private val q91: Q = (s, dir) => {
+  /** The packed-chunk relation (lang, chunk_id, n_docs, sum_tokens)
+    * shared by q91 (the manifest) and q169 (the efficiency audit). */
+  private def packedChunks(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .withColumn("tokens", size(split(col("text"), " ")))
     val gp = GlobalRank.prefixSum(toks, "gp", col("tokens"),
@@ -661,8 +663,10 @@ object Corpus {
       .groupBy("lang", "chunk_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tokens").cast("long")).as("sum_tokens"))
-      .orderBy("lang", "chunk_id")
   }
+
+  private val q91: Q = (s, dir) =>
+    packedChunks(s, dir).orderBy("lang", "chunk_id")
 
   private val q91Sql =
     """WITH t AS (SELECT lang, doc_id,
@@ -676,6 +680,53 @@ object Corpus {
       |SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
       |FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
+  /** q169 — packing-efficiency audit over q91's manifest: per language,
+    * how well the concatenate-then-chunk layout fills its fixed
+    * 2000-token training windows. `fill_rate` is the number a pipeline
+    * owner watches before changing chunk budget or document ordering —
+    * wasted window mass is wasted training compute at exactly corpus
+    * scale. `max_chunk_tokens` exposes the straddle overhang (a chunk
+    * owns every doc that STARTS in it, so its mass can exceed the
+    * budget); `n_underfull` counts windows that would pad.
+    *
+    * Scale shape: q91's zero-skew-window pipeline (GlobalRank.prefixSum)
+    * plus one |langs|-row rollup; the fill arithmetic is one IEEE divide
+    * of exact BIGINTs per output row.
+    */
+  private val q169: Q = (s, dir) =>
+    packedChunks(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_docs").as("n_docs"),
+        sum("sum_tokens").as("total_tokens"),
+        max("sum_tokens").as("max_chunk_tokens"),
+        sum(when(col("sum_tokens") < 2000, 1L).otherwise(0L))
+          .as("n_underfull"))
+      .withColumn("fill_rate",
+        expr("CAST(total_tokens AS DOUBLE) / (n_chunks * 2000)"))
+      .orderBy("lang")
+
+  private val q169Sql =
+    """WITH t AS (SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS tokens
+      |  FROM documents),
+      |c AS (SELECT lang, tokens,
+      |    CAST((sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS UNBOUNDED PRECEDING) - tokens) // 2000 AS BIGINT)
+      |      AS chunk_id
+      |  FROM t),
+      |ch AS (SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(tokens) AS BIGINT) AS sum_tokens
+      |  FROM c GROUP BY lang, chunk_id)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+      |  max(sum_tokens) AS max_chunk_tokens,
+      |  CAST(sum(CASE WHEN sum_tokens < 2000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_underfull,
+      |  CAST(CAST(sum(sum_tokens) AS BIGINT) AS DOUBLE)
+      |    / (count(*) * 2000) AS fill_rate
+      |FROM ch GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q92 — per-row weighted (importance) sampling: keep a doc iff its
     * digest-derived uniform draw falls below its OWN quality-derived
@@ -771,6 +822,7 @@ object Corpus {
     "q87_dedup_incremental" -> q87,
     "q88_equidepth_buckets" -> q88,
     "q91_sequence_pack" -> q91,
+    "q169_pack_efficiency" -> q169,
     "q92_weighted_sample" -> q92,
     "q71_sessionize_gap" -> q71,
     "q72_dedup_keep_best" -> q72,
@@ -792,6 +844,7 @@ object Corpus {
     "q87_dedup_incremental" -> q87Sql,
     "q88_equidepth_buckets" -> q88Sql,
     "q91_sequence_pack" -> q91Sql,
+    "q169_pack_efficiency" -> q169Sql,
     "q92_weighted_sample" -> q92Sql,
     "q71_sessionize_gap" -> q71Sql,
     "q72_dedup_keep_best" -> q72Sql,

@@ -161,7 +161,9 @@ object Layout {
     * per-range local running sums under a bounded-partition window,
     * broadcast per-range cumulative offsets). All-integer end to end.
     */
-  private val q148: Q = (s, dir) => {
+  /** The (doc → shard) manifest shared by q148 (sorted emission) and
+    * q170 (the balance audit). */
+  private def shardPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("n_chars"))
     GlobalRank.prefixSum(docs, "chars_before", col("n_chars"),
@@ -169,8 +171,10 @@ object Layout {
       .withColumn("shard_id", expr("CAST(chars_before div 50000 AS BIGINT)"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("chars_before"), col("shard_id"))
-      .orderBy("lang", "doc_id")
   }
+
+  private val q148: Q = (s, dir) =>
+    shardPlan(s, dir).orderBy("lang", "doc_id")
 
   private val q148Sql =
     """WITH c AS (SELECT doc_id, lang, n_chars,
@@ -182,14 +186,53 @@ object Layout {
       |  chars_before // 50000 AS shard_id
       |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  /** q170 — shard-balance audit over q148's plan: per shard, document
+    * count, character mass, and language mixing (`n_langs` — contiguous
+    * (lang, doc_id) packing means most shards hold ONE language; the
+    * boundary shards where a language run ends hold two). The numbers a
+    * layout owner checks before committing a write plan: near-uniform
+    * `chars` validates the cumulative-mass packing under length skew
+    * (the final shard is the only legitimately light one), and a shard
+    * whose mass far exceeds the 50k budget names a single document
+    * bigger than the shard size — a re-chunking decision, not a packing
+    * bug.
+    *
+    * Scale shape: q148's prefix-sum pipeline plus one partial+final
+    * aggregate on shard_id (|corpus|/50k groups) — the audit costs one
+    * narrow shuffle more than the plan it audits.
+    */
+  private val q170: Q = (s, dir) =>
+    shardPlan(s, dir)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        countDistinct("lang").as("n_langs"),
+        max("n_chars").as("max_doc_chars"))
+      .orderBy("shard_id")
+
+  private val q170Sql =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+      |  CAST(coalesce(SUM(n_chars) OVER (ORDER BY lang, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS chars_before
+      |  FROM documents)
+      |SELECT chars_before // 50000 AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  max(n_chars) AS max_doc_chars
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_zorder" -> q104,
     "q111_rle_estimate" -> q111,
     "q121_zorder_audit" -> q121,
-    "q148_shard_plan" -> q148)
+    "q148_shard_plan" -> q148,
+    "q170_shard_balance" -> q170)
   val oracle: Map[String, String] = Map(
     "q104_zorder" -> q104Sql,
     "q111_rle_estimate" -> q111Sql,
     "q121_zorder_audit" -> q121Sql,
-    "q148_shard_plan" -> q148Sql)
+    "q148_shard_plan" -> q148Sql,
+    "q170_shard_balance" -> q170Sql)
 }

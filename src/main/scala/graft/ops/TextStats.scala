@@ -422,7 +422,112 @@ object TextStats {
        |FROM dec a JOIN dec b ON b.decile <= a.decile CROSS JOIN tot
        |GROUP BY 1, 2, 3, tot_tokens ORDER BY a.decile""".stripMargin
 
+  /** q171 — exact corpus heavy hitters via a Misra–Gries candidate pass:
+    * every token whose frequency exceeds n/100, found WITHOUT a
+    * full-vocabulary aggregate. The exact route shuffles one row per
+    * distinct token — at web scale that is billions of singleton keys
+    * shuffled only to be discarded by the threshold filter. Here one
+    * bounded-state sketch pass ([[graft.functions.MisraGries]], ≤ 99
+    * counters per partial, O(partitions·k) shuffle volume, candidate set
+    * PROVABLY a superset of the true heavy hitters) produces ≤ 99
+    * candidates, and a second pass counts ONLY those — a broadcast
+    * semi-join + a ≤ 99-group aggregate, both trivially cheap. The
+    * output is EXACT (the sketch prunes, the verification decides), so
+    * the full-aggregate DuckDB oracle must match it row for row; the
+    * threshold is tested in exact integers (`cnt·100 > n`).
+    */
+  private val q171: Q = (s, dir) => {
+    val tok = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.documents(s, dir))
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0))
+    val mg = udaf(new graft.functions.MisraGries(100))
+    val cand = tok.agg(mg(col("token")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("token"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 100 > col("n"))
+      .select(col("token"), col("cnt"), col("n").as("n_total"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  private val q171Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |t2 AS (SELECT token FROM tok WHERE len(token) > 0),
+      |tot AS (SELECT count(*) AS n FROM t2),
+      |c AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY 1)
+      |SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt,
+      |  CAST(tot.n AS BIGINT) AS n_total
+      |FROM c, tot WHERE c.cnt * 100 > tot.n
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  /** q172 — vocabulary-growth (Heaps-law) curve over word TRIGRAMS: per
+    * corpus decile in ingest order, how many distinct trigrams appear
+    * for the FIRST time, and the cumulative trigram-vocabulary size.
+    * A flattening curve says the crawl is recycling phrasing (mirrors,
+    * templates — the q149 novelty signal at corpus granularity); a
+    * still-steep tail says more data still buys coverage — the cheap
+    * look-before-you-crawl number, and the curve a tokenizer-training
+    * budget reads. Trigrams, not unigrams: a closed unigram vocabulary
+    * saturates in the first decile of any corpus and measures nothing.
+    *
+    * Scale shape: first-seen is ONE gram-stream reduce (min doc_id per
+    * trigram — the q149 kernel); deciles come from the zero-window
+    * [[GlobalRank.rowNumber]] (q163's discipline, corpus count read back
+    * from the rank cache); the cumulative sum is the bounded 10×10
+    * triangle join, never a global running window.
+    */
+  private val q172: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+    val ranked = GlobalRank.rowNumber(docs.select(col("doc_id")), "rk",
+      Seq(col("doc_id")))
+    val n = ranked.agg(max("rk").as("n_docs_total"))
+    val dd = graft.util.QueryCaches.tracked(
+      ranked.crossJoin(broadcast(n)) // scalar broadcast: 1-row count
+        .select(col("doc_id"),
+          (expr("((rk - 1) * 10) div n_docs_total").cast("int") + 1)
+            .as("decile")))
+    val fs = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(3))).as("g"))
+      .groupBy("g").agg(min("doc_id").as("doc_id"))
+    val nv = graft.util.QueryCaches.tracked(
+      fs.join(dd, "doc_id")
+        .groupBy("decile").agg(count(lit(1)).as("n_new")))
+    nv.as("a").join(nv.as("b"), col("b.decile") <= col("a.decile"))
+      .select(col("a.decile").as("decile"), col("a.n_new").as("n_new"),
+        col("b.n_new").as("bn"))
+      .groupBy("decile", "n_new").agg(sum("bn").as("vocab_cum"))
+      .orderBy("decile")
+  }
+
+  private val q172Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS g
+      |  FROM w),
+      |fs AS (SELECT g, min(doc_id) AS doc_id FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents),
+      |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+      |    AS rk FROM documents),
+      |dd AS (SELECT doc_id,
+      |    CAST(((rk - 1) * 10) // n_docs_total AS INTEGER) + 1 AS decile
+      |  FROM r CROSS JOIN n),
+      |nv AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM fs JOIN dd USING (doc_id) GROUP BY 1)
+      |SELECT a.decile, a.n_new, CAST(sum(b.n_new) AS BIGINT) AS vocab_cum
+      |FROM nv a JOIN nv b ON b.decile <= a.decile
+      |GROUP BY 1, 2 ORDER BY a.decile""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q171_heavy_hitters" -> q171,
+    "q172_vocab_growth" -> q172,
     "q47_textstats" -> q47,
     "q48_langid" -> q48,
     "q49_fingerprint" -> q49,
@@ -436,6 +541,8 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q171_heavy_hitters" -> q171Sql,
+    "q172_vocab_growth" -> q172Sql,
     "q47_textstats" -> q47Sql,
     "q48_langid" -> q48Sql,
     "q49_fingerprint" -> q49Sql,
