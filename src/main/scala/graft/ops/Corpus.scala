@@ -110,6 +110,60 @@ object Corpus {
       |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** q173 — session-sequence materialization: each gap session (q71's
+    * 45-minute sessionization) rendered as an ORDERED event-type
+    * sequence, truncated to its first 20 steps — the
+    * behavioral-training-example extraction step (next-action modeling,
+    * session embedding) that turns an event log into model inputs.
+    *
+    * Determinism is the whole trick: `collect_list` alone has no order
+    * contract (partials arrive in shuffle order), so the sequence is
+    * assembled as `sort_array(collect_list(struct(us, event_id, type)))`
+    * — the struct's (us, event_id) prefix is a total order, making the
+    * sorted array, the truncation, and the joined string bit-identical
+    * to DuckDB's `ORDER BY`-qualified `list()`. Scale: one shuffle on
+    * user_id that the session windows and the aggregate all reuse;
+    * per-group state is the session's events, bounded by the cap after
+    * truncation (a runaway bot session costs its raw events once,
+    * map-side).
+    */
+  private val q173: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 45L * 60 * 1000000
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""array_join(
+                |  slice(transform(
+                |    sort_array(collect_list(struct(us, event_id, event_type))),
+                |    x -> x.event_type), 1, 20), '>')""".stripMargin).as("seq"))
+      .withColumn("truncated", col("n_events") > 20)
+      .orderBy("user_id", "sid")
+  }
+
+  private val q173Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 45 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM o)
+      |SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+      |  array_to_string(list_slice(
+      |    list(event_type ORDER BY us, event_id), 1, 20), '>') AS seq,
+      |  count(*) > 20 AS truncated
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   /** q72 — keep-best duplicate resolution: for each exact-duplicate group
     * (md5 digest), keep the doc with the most characters, ties to the
     * lowest doc_id — `max_by` over a (n_chars, -doc_id) struct. One
@@ -825,6 +879,7 @@ object Corpus {
     "q169_pack_efficiency" -> q169,
     "q92_weighted_sample" -> q92,
     "q71_sessionize_gap" -> q71,
+    "q173_session_sequences" -> q173,
     "q72_dedup_keep_best" -> q72,
     "q74_embed_quantize" -> q74,
     "q75_bm25" -> q75,
@@ -847,6 +902,7 @@ object Corpus {
     "q169_pack_efficiency" -> q169Sql,
     "q92_weighted_sample" -> q92Sql,
     "q71_sessionize_gap" -> q71Sql,
+    "q173_session_sequences" -> q173Sql,
     "q72_dedup_keep_best" -> q72Sql,
     "q74_embed_quantize" -> q74Sql,
     "q75_bm25" -> q75Sql,

@@ -816,21 +816,25 @@ object Similarity {
     * truth (ex_-prefixed CTEs, no name collision with the IVF chain) left-
     * joined to the index's ranked `ann0`.
     */
+  /** Exact brute-force cosine top-5 ground truth (ex_-prefixed CTEs, no
+    * name collision with any index chain) — shared by [[recallSql]] and
+    * q175Sql. */
+  private val exactTop5Cte =
+    """ex_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ex_q AS (SELECT vec_id AS query_id, v AS qv FROM ex_e WHERE vec_id < 5),
+      |ex_scored AS (
+      |  SELECT ex_q.query_id, ex_e.vec_id,
+      |         round(list_dot_product(ex_q.qv, ex_e.v)
+      |           / (sqrt(list_dot_product(ex_q.qv, ex_q.qv)) * sqrt(list_dot_product(ex_e.v, ex_e.v))), 6)
+      |           AS cos_sim
+      |  FROM ex_q JOIN ex_e ON ex_e.vec_id <> ex_q.query_id),
+      |exact AS (SELECT query_id, vec_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ex_scored) t
+      |  WHERE rank <= 5)""".stripMargin
+
   private def recallSql(centDefs: String): String = {
-    val exactCte =
-      """ex_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ex_q AS (SELECT vec_id AS query_id, v AS qv FROM ex_e WHERE vec_id < 5),
-        |ex_scored AS (
-        |  SELECT ex_q.query_id, ex_e.vec_id,
-        |         round(list_dot_product(ex_q.qv, ex_e.v)
-        |           / (sqrt(list_dot_product(ex_q.qv, ex_q.qv)) * sqrt(list_dot_product(ex_e.v, ex_e.v))), 6)
-        |           AS cos_sim
-        |  FROM ex_q JOIN ex_e ON ex_e.vec_id <> ex_q.query_id),
-        |exact AS (SELECT query_id, vec_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ex_scored) t
-        |  WHERE rank <= 5)""".stripMargin
-    s"""WITH $exactCte,
+    s"""WITH $exactTop5Cte,
        |${ivfCteBlock(centDefs)},
        |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM ann0)
        |SELECT exact.query_id, CAST(count(*) AS BIGINT) AS k,
@@ -1320,6 +1324,144 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q174 — IVF-PQ search: the production ANN index shape, composing the
+    * two halves this inventory already ships separately — q126's TRAINED
+    * coarse quantizer restricts each query to its 2 probed cells, and
+    * within those cells candidates are scored by q141's asymmetric
+    * distance over their PQ CODES (4 table lookups + 3 adds per
+    * candidate), never their raw vectors. This is the FAISS
+    * IVFx,PQy layout: at 100 TB the index stores one byte-quartet per
+    * vector partitioned by cell, a query touches |probes|/|cells| of the
+    * corpus, and the scan it touches is 64× narrower than the raw
+    * embeddings — the two reductions COMPOSE.
+    *
+    * Scale shape: cell assignment and PQ encoding are one shared
+    * map-side pass (the ≤8-row quantizer and 256-double codebook both
+    * broadcast, `pq_assign` native and codegen'd); the per-query
+    * distance tables ride the ≤10-row probes broadcast; scoring is
+    * map-side lookups; the top-10 is the bounded TopKTagged
+    * partial+final aggregation. Exact-integer ADC (< 2^53) keeps the
+    * ranking bit-identical cross-engine.
+    */
+  private val q174: Q = (s, dir) => {
+    val topkCells = udaf(new graft.functions.TopKByScore(2))
+    val topk = udaf(new graft.functions.TopKTagged(10))
+    val e = embVecs(s, dir)
+    val cent = trainedCentroids(e)
+    val assign = graft.util.QueryCaches.tracked(assignCells(e, cent))
+    val codes = assign
+      .select(col("vec_id"), col("cell"),
+        expr(s"pq_assign(v, $pqCodebookSql, 4, 4)").as("pq"))
+      .select(col("vec_id"), col("cell"),
+        expr("CAST(element_at(pq, 1) AS INT)").as("code0"),
+        expr("CAST(element_at(pq, 2) AS INT)").as("code1"),
+        expr("CAST(element_at(pq, 3) AS INT)").as("code2"),
+        expr("CAST(element_at(pq, 4) AS INT)").as("code3"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(expr(cosExpr("qv", "cv")), 6).as("cs"))
+      .groupBy("query_id")
+      .agg(topkCells(col("cs"), col("cell")).as("pc"), first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("pc.id")).as("cell"))
+    val qd = (0 until 4).foldLeft(probes) { (df, m) =>
+        df.withColumn(s"dt$m", expr((0 until 4)
+          .map(c => pqDist(m, c, j => s"element_at(qv, $j)"))
+          .mkString("array(", ", ", ")")))
+      }
+      .select(col("query_id"), col("cell"),
+        concat(col("dt0"), col("dt1"), col("dt2"), col("dt3")).as("dt"))
+    codes.join(broadcast(qd), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        expr("element_at(dt, code0 + 1) + element_at(dt, code1 + 5) + " +
+          "element_at(dt, code2 + 9) + element_at(dt, code3 + 13)"))
+      .groupBy("query_id")
+      .agg(topk((-col("adc")).cast("double"), col("vec_id"), col("adc")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.tag").as("adc"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVF-PQ CTE chain ending in `scored(query_id, vec_id, adc)` —
+    * one definition shared by q174Sql (the ranked search) and q175Sql
+    * (its recall audit), so the index the audit measures IS the index
+    * the search ships.
+    */
+  private val ivfpqCtes: String = {
+    val dcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"a.v[$i]")} AS d_${m}_$c").mkString(",\n  ")
+    val codeCols = (0 until 4).map(m =>
+      s"${pqCode(m, c => s"d_${m}_$c")} AS code$m").mkString(",\n  ")
+    val qdcols = (for (m <- 0 until 4; c <- 0 until 4) yield
+      s"${pqDist(m, c, i => s"e.v[$i]")} AS d_${m}_$c").mkString(",\n  ")
+    val adc = (0 until 4).map(m =>
+      s"(CASE c.code$m WHEN 0 THEN q.d_${m}_0 WHEN 1 THEN q.d_${m}_1 " +
+        s"WHEN 2 THEN q.d_${m}_2 ELSE q.d_${m}_3 END)").mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$trainedCentSql,
+       |assign AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |d AS (SELECT a.vec_id, a.cell,
+       |  $dcols
+       |  FROM assign a),
+       |codes AS (SELECT vec_id, cell,
+       |  $codeCols
+       |  FROM d),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |qd AS (SELECT e.vec_id AS query_id,
+       |  $qdcols
+       |  FROM e WHERE e.vec_id < 5),
+       |scored AS (SELECT p.query_id, c.vec_id, CAST($adc AS BIGINT) AS adc
+       |  FROM probes p
+       |  JOIN codes c ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |  JOIN qd q ON q.query_id = p.query_id)""".stripMargin
+  }
+
+  private val q174Sql =
+    s"""WITH $ivfpqCtes
+       |SELECT query_id, vec_id, adc, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q175 — recall@5 of the IVF-PQ index (q174) against the exact
+    * brute-force cosine top-5 — the audit that closes the composed-index
+    * loop the way q125/q127 close the raw-vector IVF loop. This number
+    * prices BOTH approximations at once (probed cells AND 8-bit codes):
+    * the go/no-go check before a 64×-smaller, |probes|/|cells|-cheaper
+    * index replaces exact search. Pure composition of two bounded
+    * pipelines; recall is an exact small-integer ratio.
+    */
+  private val q175: Q = (s, dir) => recallAudit(s, dir, q174(s, dir))
+
+  private val q175Sql =
+    s"""WITH $exactTop5Cte,
+       |$ivfpqCtes,
+       |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, vec_id) AS rank FROM scored) t WHERE rank <= 5)
+       |SELECT exact.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(coalesce(ann.hit, 0)) AS BIGINT) AS hits,
+       |  CAST(sum(coalesce(ann.hit, 0)) AS DOUBLE) / count(*) AS recall
+       |FROM exact LEFT JOIN ann
+       |  ON exact.query_id = ann.query_id AND exact.vec_id = ann.vec_id
+       |GROUP BY exact.query_id
+       |ORDER BY exact.query_id""".stripMargin
+
   /** q152 — dimension-truncation recall audit (the Matryoshka/MRL
     * question): if the index stored only the first 16 of 64 dimensions —
     * 4× smaller vectors, 4× cheaper scans at 100 TB — how much of the
@@ -1627,6 +1769,8 @@ object Similarity {
     "q155_paraphrase_mining" -> q155,
     "q152_trunc_recall" -> q152,
     "q141_pq_adc_topk" -> q141,
+    "q174_ivfpq_search" -> q174,
+    "q175_ivfpq_recall" -> q175,
     "q140_semdedup" -> q140,
     "q136_knn_graph" -> q136,
     "q133_pq_assign" -> q133,
@@ -1655,6 +1799,8 @@ object Similarity {
     "q155_paraphrase_mining" -> q155Sql,
     "q152_trunc_recall" -> q152Sql,
     "q141_pq_adc_topk" -> q141Sql,
+    "q174_ivfpq_search" -> q174Sql,
+    "q175_ivfpq_recall" -> q175Sql,
     "q140_semdedup" -> q140Sql,
     "q136_knn_graph" -> q136Sql,
     "q133_pq_assign" -> q133Sql,
