@@ -812,7 +812,66 @@ object CorpusPrep {
       |WHERE pr.shared_grams >= 3
       |ORDER BY hold_id, train_id""".stripMargin
 
+  /** q178 — source-level gram overlap matrix: for every pair of ingest
+    * sources, the Jaccard and containment of their distinct 13-gram
+    * SETS — the source-forensics view that names whole-corpus mirroring
+    * (a high-containment pair means one source is substantially inside
+    * the other) before any per-document pair is examined. Complements
+    * q139 (which counts verified DOC pairs across sources): gram-set
+    * overlap sees partial mirroring and shared boilerplate that never
+    * produces a verified near-dup pair.
+    *
+    * Scale shape: reads the corpus-wide [[GramPostings]] bucketed table;
+    * the (source, gram) relation is ≤ |sources|·|grams| and the per-gram
+    * pair fanout is bounded by C(|sources|, 2) — sources are a bounded
+    * domain (an ingest registry), so the matrix is small no matter the
+    * corpus. Exact-integer set sizes; one IEEE divide per output cell.
+    */
+  private val q178: Q = (s, dir) => {
+    val g = graft.util.QueryCaches.tracked(
+      GramPostings.postings13(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("gram")).distinct())
+    val tot = g.groupBy("source").agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n").as("n_a"))),
+        "source_a")
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .as("jaccard"),
+        (col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q178Sql =
+    s"""WITH $gram13Ctes,
+      |sg AS (SELECT DISTINCT d.source, g.gram
+      |  FROM g JOIN documents d USING (doc_id)),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+      |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT pr.source_a, pr.source_b, ta.n AS n_a, tb.n AS n_b, pr.shared,
+      |  CAST(pr.shared AS DOUBLE) / CAST(ta.n + tb.n - pr.shared AS DOUBLE)
+      |    AS jaccard,
+      |  CAST(pr.shared AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE)
+      |    AS containment
+      |FROM pr JOIN tot ta ON ta.source = pr.source_a
+      |JOIN tot tb ON tb.source = pr.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q178_source_gram_overlap" -> q178,
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
     "q108_pmi_colloc" -> q108,
@@ -829,6 +888,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q178_source_gram_overlap" -> q178Sql,
     "q106_fuzzy_match" -> q106Sql,
     "q107_chunk_split" -> q107Sql,
     "q108_pmi_colloc" -> q108Sql,

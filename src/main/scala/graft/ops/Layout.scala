@@ -223,13 +223,83 @@ object Layout {
       |  max(n_chars) AS max_doc_chars
       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** q176 — batch-padding audit: the padding mass a fixed-size-32
+    * training batcher wastes under ARRIVAL order versus LENGTH-SORTED
+    * order (bucketed batching). Each batch pads every member to its
+    * longest sequence, so arrival order (lengths mixed) wastes
+    * `Σ(batch_max·32 − batch_sum)` tokens while length-sorting packs
+    * near-equal lengths together — the measured gap is the classic
+    * 2-4× padding-compute saving that justifies bucketed batching, and
+    * this query is the audit that prices it for THIS corpus before the
+    * loader is rebuilt.
+    *
+    * Scale shape: q121's two-orderings comparison applied to batching —
+    * both orderings go through the zero-window [[GlobalRank.rowNumber]]
+    * (range partition + broadcast offsets), per-batch rollups are
+    * partial+final aggregates on the batch id, and each ordering's
+    * result is a 1-row reduce; no ranking window anywhere.
+    */
+  private val q176: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    def audit(ordering: Seq[org.apache.spark.sql.Column], name: String) =
+      GlobalRank.rowNumber(docs, "rk", ordering)
+        .withColumn("batch", expr("(rk - 1) div 32"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("bn"), max("n_tokens").as("mx"),
+          sum("n_tokens").as("sm"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("mx") * col("bn") - col("sm")).as("padding_tokens"),
+          sum("sm").as("total_tokens"))
+        .select(lit(name).as("ordering"), col("n_batches"),
+          col("total_tokens"), col("padding_tokens"),
+          (col("padding_tokens").cast("double") /
+            (col("padding_tokens") + col("total_tokens")).cast("double"))
+            .as("padding_frac"))
+    audit(Seq(col("doc_id")), "arrival")
+      .unionByName(audit(Seq(col("n_tokens"), col("doc_id")), "length_sorted"))
+      .orderBy("ordering")
+  }
+
+  private val q176Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |ba AS (SELECT n_tokens, (row_number() OVER (ORDER BY doc_id) - 1) // 32
+      |    AS batch FROM d),
+      |bl AS (SELECT n_tokens, (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32
+      |    AS batch FROM d),
+      |ga AS (SELECT batch, count(*) AS bn, max(n_tokens) AS mx,
+      |    sum(n_tokens) AS sm FROM ba GROUP BY 1),
+      |gl AS (SELECT batch, count(*) AS bn, max(n_tokens) AS mx,
+      |    sum(n_tokens) AS sm FROM bl GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'arrival' AS ordering, CAST(count(*) AS BIGINT) AS n_batches,
+      |    CAST(sum(sm) AS BIGINT) AS total_tokens,
+      |    CAST(sum(mx * bn - sm) AS BIGINT) AS padding_tokens,
+      |    CAST(CAST(sum(mx * bn - sm) AS BIGINT) AS DOUBLE)
+      |      / CAST(CAST(sum(mx * bn - sm) AS BIGINT)
+      |             + CAST(sum(sm) AS BIGINT) AS DOUBLE) AS padding_frac
+      |  FROM ga
+      |  UNION ALL
+      |  SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+      |    CAST(sum(sm) AS BIGINT), CAST(sum(mx * bn - sm) AS BIGINT),
+      |    CAST(CAST(sum(mx * bn - sm) AS BIGINT) AS DOUBLE)
+      |      / CAST(CAST(sum(mx * bn - sm) AS BIGINT)
+      |             + CAST(sum(sm) AS BIGINT) AS DOUBLE)
+      |  FROM gl)
+      |ORDER BY ordering""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q176_batch_padding" -> q176,
     "q104_zorder" -> q104,
     "q111_rle_estimate" -> q111,
     "q121_zorder_audit" -> q121,
     "q148_shard_plan" -> q148,
     "q170_shard_balance" -> q170)
   val oracle: Map[String, String] = Map(
+    "q176_batch_padding" -> q176Sql,
     "q104_zorder" -> q104Sql,
     "q111_rle_estimate" -> q111Sql,
     "q121_zorder_audit" -> q121Sql,

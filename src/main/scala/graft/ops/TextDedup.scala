@@ -445,6 +445,59 @@ object TextDedup {
        |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** q177 — duplication↔quality bias audit: are near-duplicated
+    * documents systematically lower-quality than unique ones? Joins the
+    * cluster relation (every doc in some verified near-dup cluster)
+    * against the q54 quality blend and compares the two populations —
+    * the check that tells a pipeline whether dedup DOUBLES as a quality
+    * filter on this corpus (boilerplate and mirrored spam cluster
+    * heavily) or is orthogonal to it, i.e. whether the q144 keep-best
+    * rule actually changes what survives.
+    *
+    * Third consumer of the shared [[lexicalClusters]] relation (after
+    * q56-family and q167) — in a composed job the CC pipeline has
+    * already run. Determinism: per-doc quality is quantized to BIGINT
+    * BEFORE the population sums, so the means derive from exact
+    * integers. One |docs|-row left join + a 2-row aggregate.
+    */
+  private val q177: Q = (s, dir) => {
+    val cc = lexicalClusters(s, dir)
+      .select(col("doc_id"), lit(1L).as("in_c"))
+    TextStats.qualityScored(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("role",
+        when(col("in_c").isNotNull, "duplicated").otherwise("unique"))
+      .withColumn("qq", expr("CAST(round(quality * 1e7) AS BIGINT)"))
+      .groupBy("role")
+      .agg(count(lit(1)).as("n_docs"), sum("qq").as("sqq"),
+        sum("n_chars").as("schars"))
+      .select(col("role"), col("n_docs"),
+        (col("sqq").cast("double") / (col("n_docs").cast("double") * 1e7))
+          .as("mean_quality"),
+        (col("schars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"))
+      .orderBy("role")
+  }
+
+  private val q177Sql =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |${TextStats.qualityMeasuresCte("qw", "qm")},
+       |qual AS (SELECT doc_id, ${TextStats.qualityBlendSql} AS quality FROM qm),
+       |mk AS (SELECT q.doc_id,
+       |    CAST(round(q.quality * 1e7) AS BIGINT) AS qq, d.n_chars,
+       |    CASE WHEN cc.doc_id IS NOT NULL THEN 'duplicated'
+       |         ELSE 'unique' END AS role
+       |  FROM qual q JOIN documents d USING (doc_id)
+       |  LEFT JOIN cc ON cc.doc_id = q.doc_id)
+       |SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(sum(qq) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 1e7) AS mean_quality,
+       |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mean_chars
+       |FROM mk GROUP BY role ORDER BY role""".stripMargin
+
   /** q145 — incremental LSH dedup: a new crawl batch deduped against the
     * EXISTING corpus without ever re-pairing the corpus with itself — the
     * daily-ingest path (q87 is the exact-hash twin; this is the near-dup
@@ -1019,6 +1072,7 @@ object TextDedup {
     "q42_dedup_simhash" -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
+    "q177_dup_quality_bias" -> q177,
     "q61_dedup_simhash_pairs" -> q61,
     "q139_source_dup_matrix" -> q139,
     "q143_band_tuning" -> q143,
@@ -1035,6 +1089,7 @@ object TextDedup {
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,
+    "q177_dup_quality_bias" -> q177Sql,
     "q61_dedup_simhash_pairs" -> q61Sql,
     "q139_source_dup_matrix" -> q139Sql,
     "q143_band_tuning" -> q143Sql,
