@@ -300,6 +300,15 @@ object Similarity {
     * index, closing the train → index → audit loop.
     */
   private def trainedCentroids(e: DataFrame): DataFrame =
+    // keyed on the analyzed input plan: q126/q127/q174/q175 all consume
+    // the same trained quantizer — in a composed (undrained) job the
+    // Lloyd step runs once, not once per index query
+    graft.util.QueryCaches.keyed(
+      s"ivf:trained:${e.queryExecution.analyzed.semanticHash()}") {
+      trainedCentroidsBuild(e)
+    }
+
+  private def trainedCentroidsBuild(e: DataFrame): DataFrame =
     assignCells(e, seedCentroids(e))
       .select(col("cell"), posexplode(col("v")))
       .select(col("cell"), (col("pos") + 1).as("dim"),
