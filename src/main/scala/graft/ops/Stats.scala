@@ -295,13 +295,76 @@ object Stats {
       |SELECT token, n_a, n_b, $chi2Expr AS chi2
       |FROM d ORDER BY token""".stripMargin
 
+  /** q180 — per-source token-distribution KL divergence from the corpus:
+    * `D_KL(source ‖ corpus) = Σ_t p_s(t)·log2(p_s(t)/p_c(t))` — the
+    * single-number drift/quality score per ingest source (a spammy or
+    * templated source's distribution diverges hard from the mix), the
+    * per-source generalization of q137's per-token chi-square. The
+    * number a source-weighting policy (q151/q157) reads before trusting
+    * a source's token mass.
+    *
+    * Determinism: each (source, token) term is quantized
+    * `round(·1e7)::BIGINT` BEFORE the per-source sum (q103/q108's log2
+    * discipline — identical parse, identical IEEE sequence on both
+    * engines), so the cross-token accumulation is exact integer
+    * arithmetic. Scale shape: one token-stream reduce to (source, token)
+    * counts, a token-keyed equi-join against per-token corpus counts
+    * (vocabulary-sized, unbounded — stays a shuffle join, per q70's
+    * rationale), and |sources|-row / 1-row broadcasts for the
+    * denominators; the rollup is |sources| rows.
+    */
+  private val q180: Q = (s, dir) => {
+    val tok = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val st = graft.util.QueryCaches.tracked(
+      tok.groupBy("source", "token").agg(count(lit(1)).as("cst")))
+    val ct = st.groupBy("token").agg(sum("cst").as("ct"))
+    val ns = st.groupBy("source").agg(sum("cst").as("ns"))
+    val n = ns.agg(sum("ns").as("n"))
+    st.join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n)) // scalar broadcast: 1-row corpus total
+      .withColumn("termq", expr(
+        """CAST(round((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+          |  * log2((CAST(cst AS DOUBLE) * CAST(n AS DOUBLE))
+          |         / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))) * 1e7)
+          |  AS BIGINT)""".stripMargin))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"), sum("termq").as("sq"))
+      .select(col("source"), col("n_tokens"),
+        (col("sq").cast("double") / 1e7).as("kl_bits"))
+      .orderBy("source")
+  }
+
+  private val q180Sql =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |t2 AS (SELECT source, token FROM tok WHERE len(token) > 0),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cst
+      |  FROM t2 GROUP BY 1, 2),
+      |ct AS (SELECT token, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM ns),
+      |terms AS (SELECT st.source, ns.ns,
+      |    CAST(round((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+      |      * log2((CAST(st.cst AS DOUBLE) * CAST(n.n AS DOUBLE))
+      |             / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE))) * 1e7)
+      |      AS BIGINT) AS termq
+      |  FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN n)
+      |SELECT source, max(ns) AS n_tokens,
+      |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS kl_bits
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q180_source_token_kl" -> q180,
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
     "q135_mad_outliers" -> q135,
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q180_source_token_kl" -> q180Sql,
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
     "q135_mad_outliers" -> q135Sql,

@@ -213,6 +213,38 @@ object TextDedup {
        |  ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q179 — LSH join cost model: per band, the bucket-size histogram and
+    * its IMPLIED candidate volume `Σ C(sz, 2)` — the exact number of
+    * pairs the band self-join will emit, computed from one aggregate
+    * BEFORE any pair materializes. This is the capacity-planning read
+    * that sizes (or vetoes) a corpus dedup run: a single hot bucket
+    * (boilerplate that survives shingling) shows up as `max_bucket`
+    * here, predicting the q41 join's skew long before 100 TB of shuffle
+    * discovers it, and the per-band totals are exactly what q143's
+    * precision numbers trade against.
+    *
+    * Scale shape: reads the SAME persisted band relation as the q41
+    * pipeline; two partial+final aggregates ((b, bh) sizes → per-band
+    * rollup); all-integer outputs, no pair relation anywhere.
+    */
+  private val q179: Q = (s, dir) =>
+    bandRelation(s, dir)
+      .groupBy("b", "bh").agg(count(lit(1)).as("sz"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"),
+        max("sz").as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy("b")
+
+  private val q179Sql =
+    s"""WITH $minhashCtes,
+       |bs AS (SELECT b, bh, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT CAST(b AS INTEGER) AS b, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs, max(sz) AS max_bucket,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM bs GROUP BY 1 ORDER BY b""".stripMargin
+
   /** q41b — LSH candidate VERIFICATION: the canonical second stage of the
     * MinHash pipeline. The band join over-generates (collisions); here each
     * candidate pair — and ONLY candidates, never all O(n²) pairs — is
@@ -1073,6 +1105,7 @@ object TextDedup {
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
     "q177_dup_quality_bias" -> q177,
+    "q179_lsh_cost_model" -> q179,
     "q61_dedup_simhash_pairs" -> q61,
     "q139_source_dup_matrix" -> q139,
     "q143_band_tuning" -> q143,
@@ -1090,6 +1123,7 @@ object TextDedup {
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,
     "q177_dup_quality_bias" -> q177Sql,
+    "q179_lsh_cost_model" -> q179Sql,
     "q61_dedup_simhash_pairs" -> q61Sql,
     "q139_source_dup_matrix" -> q139Sql,
     "q143_band_tuning" -> q143Sql,

@@ -217,8 +217,10 @@ class PlanSpec extends AnyFunSuite {
     // q171 crosses the candidate counts with the 1-row token total, like
     // q70; q172 is q163's bounded 10-row triangle join + 1-row count
     // cross; q174/q175 cross every vector with the <=8-row broadcast
-    // quantizer exactly like q126/q127, whose composition they are.)
+    // quantizer exactly like q126/q127, whose composition they are;
+    // q180 crosses the 1-row corpus token total, like q70.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
+      "q180_source_token_kl",
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
