@@ -291,8 +291,80 @@ object Layout {
       |  FROM gl)
       |ORDER BY ordering""".stripMargin
 
+  /** q182 — shard-migration audit: when a corpus grows from 8 to 10
+    * shards, what fraction of documents must MOVE under (a) naive
+    * hash-mod placement and (b) rendezvous (highest-random-weight)
+    * hashing? Mod placement reshuffles ~1 − 1/lcm-ish of the corpus
+    * (every doc whose hash lands differently mod 8 vs mod 10); rendezvous
+    * moves only docs whose argmax over the candidate-shard hash family
+    * falls on one of the two NEW shards (≈ 2/10) — the property that
+    * makes consistent placement the only sane layout policy for a 100 TB
+    * store that resizes. All arithmetic is exact: the per-(doc, shard)
+    * weight is a 56-bit md5 prefix left-shifted 4 bits with the shard id
+    * as an embedded tiebreak (`w·16 + s`, < 2⁶⁰ — argmax is UNIQUE by
+    * construction, so `max_by`/`arg_max` cannot diverge on ties), and the
+    * whole audit is one map-side explode of a 10-element literal sequence
+    * followed by a partial+final aggregate — no join, no window, one
+    * 2-row result. At 100 TB this runs as a scan-shaped audit before any
+    * physical move is scheduled.
+    */
+  private val q182: Q = (s, dir) => {
+    val perDoc = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 14), 16, 10) AS BIGINT)")
+          .as("hd"))
+      .select(col("doc_id"), col("hd"), explode(expr("sequence(0, 9)")).as("sh"))
+      .withColumn("w", expr(
+        """CAST(conv(substring(md5(concat(cast(doc_id AS string), '_', cast(sh AS string))), 1, 14), 16, 10) AS BIGINT) * 16L
+          |  + sh""".stripMargin))
+      .groupBy("doc_id")
+      .agg(first(col("hd")).as("hd"),
+        expr("max_by(sh, w)").as("s10"),
+        expr("max_by(sh, IF(sh < 8, w, -1L))").as("s8"))
+    val summary = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(expr("pmod(hd, 8) <> pmod(hd, 10)"), 1L).otherwise(0L)).as("mv_mod"),
+      sum(when(col("s8") =!= col("s10"), 1L).otherwise(0L)).as("mv_rdv"))
+    summary.select(lit("mod").as("scheme"), col("n_docs"),
+        col("mv_mod").as("n_moved"))
+      .unionByName(summary.select(lit("rendezvous").as("scheme"),
+        col("n_docs"), col("mv_rdv").as("n_moved")))
+      .select(col("scheme"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 6).as("frac_moved"))
+      .orderBy("scheme")
+  }
+
+  private val q182Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 14)) AS BIGINT) AS hd
+      |  FROM documents),
+      |w AS (
+      |  SELECT h.doc_id, h.hd, t.sh,
+      |    CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || sh::VARCHAR), 1, 14)) AS BIGINT) * 16
+      |      + sh AS w
+      |  FROM h, unnest(generate_series(0, 9)) AS t(sh)),
+      |pd AS (
+      |  SELECT doc_id, max(hd) AS hd,
+      |    arg_max(sh, w) AS s10,
+      |    arg_max(sh, CASE WHEN sh < 8 THEN w ELSE -1 END) AS s8
+      |  FROM w GROUP BY doc_id),
+      |summ AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN hd % 8 <> hd % 10 THEN 1 ELSE 0 END) AS BIGINT) AS mv_mod,
+      |    CAST(sum(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT) AS mv_rdv
+      |  FROM pd)
+      |SELECT scheme, n_docs, n_moved,
+      |  round(n_moved::DOUBLE / n_docs, 6) AS frac_moved
+      |FROM (
+      |  SELECT 'mod' AS scheme, n_docs, mv_mod AS n_moved FROM summ
+      |  UNION ALL
+      |  SELECT 'rendezvous', n_docs, mv_rdv FROM summ)
+      |ORDER BY scheme""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q176_batch_padding" -> q176,
+    "q182_shard_migration" -> q182,
     "q104_zorder" -> q104,
     "q111_rle_estimate" -> q111,
     "q121_zorder_audit" -> q121,
@@ -300,6 +372,7 @@ object Layout {
     "q170_shard_balance" -> q170)
   val oracle: Map[String, String] = Map(
     "q176_batch_padding" -> q176Sql,
+    "q182_shard_migration" -> q182Sql,
     "q104_zorder" -> q104Sql,
     "q111_rle_estimate" -> q111Sql,
     "q121_zorder_audit" -> q121Sql,

@@ -325,8 +325,8 @@ object Similarity {
     * [[graft.functions.TopKTagged]]). The quantizer is always tiny and
     * broadcast; no all-pairs scoring anywhere.
     */
-  private def ivfTopK(e: DataFrame, cent: DataFrame): DataFrame = {
-    val topkCells = udaf(new graft.functions.TopKByScore(2))
+  private def ivfTopK(e: DataFrame, cent: DataFrame, nprobe: Int = 2): DataFrame = {
+    val topkCells = udaf(new graft.functions.TopKByScore(nprobe))
     val topk = udaf(new graft.functions.TopKTagged(5))
     val assign = assignCells(e, cent)
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -370,7 +370,7 @@ object Similarity {
     * this one block, so the oracle can never drift from the pipeline
     * (replaces the earlier fragile string-replace surgery on q53Sql).
     */
-  private def ivfCteBlock(centDefs: String): String =
+  private def ivfCteBlock(centDefs: String, nprobe: Int = 2): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$centDefs,
        |assign AS (
@@ -385,7 +385,7 @@ object Similarity {
        |    SELECT q.query_id, q.qv, c.cell,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
        |        round(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
-       |    FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+       |    FROM q CROSS JOIN cent c) t WHERE rn <= $nprobe),
        |scored AS (
        |  SELECT p.query_id, a.vec_id, a.cell,
        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
@@ -857,6 +857,165 @@ object Similarity {
 
   private val q125Sql = recallSql(seedCentSql)
   private val q127Sql = recallSql(trainedCentSql)
+
+  /** q185 — nprobe sweep: recall@5 of the TRAINED IVF index (q126's
+    * quantizer) at nprobe ∈ {1, 2, 4} against the exact brute-force
+    * ground truth — the accuracy-vs-cost curve that sizes nprobe before
+    * an index ships (q127 reports the single default point; this is the
+    * whole dial). Each branch is the same bounded [[ivfTopK]] dataflow
+    * (broadcast quantizer, candidates only from probed cells, bounded
+    * top-k aggregation); the trained quantizer comes from the keyed
+    * registry so the Lloyd step is paid ONCE across all three branches,
+    * and each branch's extra cost is one broadcast-assign pass — linear,
+    * never all-pairs. Recall aggregates from exact small-integer
+    * hit counts; the 3-row curve is the output.
+    */
+  private val q185: Q = (s, dir) => {
+    val e = embVecs(s, dir)
+    Seq(1, 2, 4).map { np =>
+      recallAudit(s, dir, ivfTopK(e, trainedCentroids(e), np))
+        .agg(sum("k").as("k_total"), sum("hits").as("hits_total"))
+        .select(lit(np).as("nprobe"), col("k_total"), col("hits_total"),
+          (col("hits_total").cast("double") / col("k_total")).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  private val q185Sql =
+    Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe, k_total, hits_total, recall FROM (
+         |WITH $exactTop5Cte,
+         |${ivfCteBlock(trainedCentSql, np)},
+         |ann AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS hit FROM ann0)
+         |SELECT CAST(count(*) AS BIGINT) AS k_total,
+         |  CAST(sum(coalesce(ann.hit, 0)) AS BIGINT) AS hits_total,
+         |  CAST(sum(coalesce(ann.hit, 0)) AS DOUBLE) / count(*) AS recall
+         |FROM exact LEFT JOIN ann
+         |  ON exact.query_id = ann.query_id AND exact.vec_id = ann.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe"
+
+  /** q181 — PageRank over the bounded kNN graph (q136's edges): 5 exact
+    * integer power iterations with damping 0.85 — the graph-centrality
+    * signal behind representative-document selection and graph-based
+    * quality propagation. Every node in the edge relation has out-degree
+    * ≥ 1 (a vector with an in-bucket neighbor ranks at least that
+    * neighbor), so there is no dangling mass. Determinism discipline:
+    * ranks live as BIGINTs at scale 10¹² — r₀ = ⌊S/N⌋, each step is
+    * r' = ⌊0.15·S/N⌋ + Σ ⌊85·r(u) / (100·outdeg(u))⌋ — floor division on
+    * non-negative BIGINTs (`div` ⇄ `//` agree), so the sum is
+    * associative-exact and bit-identical on both engines after any
+    * shuffle order. Scale shape: the classic Pregel loop as 5 chained
+    * (edge ⨝ rank → groupBy dst) rounds over a persisted ≤3-out-degree
+    * edge relation — O(iterations) bounded shuffles declared in ONE plan
+    * (the loop builds the plan; no driver-side data movement), the same
+    * shape as [[TextDedup.connectedComponents]]' pointer jumping.
+    */
+  private val q181: Q = (s, dir) => {
+    val S = 1000000000000L
+    val edges = knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = graft.util.QueryCaches.tracked(edges.join(deg, "src"))
+    val nodes = graft.util.QueryCaches.tracked(
+      edges.select(col("src").as("vec_id")).distinct())
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("vec_id"), expr(s"CAST(${S}L div n AS BIGINT)").as("r"))
+    for (_ <- 1 to 5) {
+      val inc = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst").as("vec_id"),
+          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("inc"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(inc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr(s"CAST((15L * ${S}L) div (100L * n) + coalesce(inc, 0L) AS BIGINT)")
+            .as("r"))
+    }
+    ranks.select(col("vec_id"), col("r").as("pr_q"),
+        (col("r").cast("double") / lit(1e12)).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  private val q181Sql = {
+    val S = "1000000000000"
+    def iter(i: Int): String =
+      s"""r$i AS (
+         |  SELECT nodes.vec_id,
+         |    (15 * $S) // (100 * nn.n) + coalesce(inc.s, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT ed.dst AS vec_id,
+         |      CAST(sum((85 * p.r) // (100 * deg.outdeg)) AS BIGINT) AS s
+         |    FROM ed JOIN r${i - 1} p ON ed.src = p.vec_id
+         |    JOIN deg ON deg.src = ed.src
+         |    GROUP BY 1) inc ON inc.vec_id = nodes.vec_id)""".stripMargin
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS vec_id FROM ed),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT nodes.vec_id, $S // nn.n AS r FROM nodes CROSS JOIN nn),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT vec_id, r AS pr_q, CAST(r AS DOUBLE) / 1e12 AS pr
+       |FROM r5 ORDER BY vec_id""".stripMargin
+  }
+
+  /** q184 — hard-negative mining: per vector, the top-2 most-similar
+    * in-bucket neighbors with a DIFFERENT label — the pairs contrastive
+    * training wants as negatives precisely because they are close in
+    * embedding space but semantically distinct. Same hash-bounded shape
+    * as q136's kNN kernel (the hyperplane bucket bounds every block; the
+    * label predicate only FILTERS inside it, never keys the join), and
+    * the per-vector top-k is the bounded [[graft.functions.TopKByScore]]
+    * partial+final aggregation — no ranking window. Vectors whose bucket
+    * holds only same-label neighbors have no hard negatives and are
+    * absent by definition on both engines.
+    */
+  private val q184: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(2))
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      // bounded 16-way key: not pre-partitioned, per q44's cache note
+      .transform(graft.util.QueryCaches.tracked)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+        round(expr(cosExpr("a.v", "b.v")), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(topk(col("cs"), col("nb")).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val q184Sql =
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(generate_series(1,64), j ->
+       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e0.vec_id, planes.p,
+       |    CASE WHEN list_dot_product(e0.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM e0 CROSS JOIN planes),
+       |buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |e AS (SELECT e0.vec_id, e0.label, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id)),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, round($duckCos, 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.label <> b.label)
+       |SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 2
+       |ORDER BY vec_id, rank""".stripMargin
 
   /** Oracle CTE chain for the resolved EMBEDDING dedup clusters (q57's
     * bucket pairs at cos ≥ 0.4 → symmetric closure → recursive
@@ -1782,6 +1941,9 @@ object Similarity {
     "q175_ivfpq_recall" -> q175,
     "q140_semdedup" -> q140,
     "q136_knn_graph" -> q136,
+    "q181_pagerank" -> q181,
+    "q184_hard_negatives" -> q184,
+    "q185_nprobe_sweep" -> q185,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -1812,6 +1974,9 @@ object Similarity {
     "q175_ivfpq_recall" -> q175Sql,
     "q140_semdedup" -> q140Sql,
     "q136_knn_graph" -> q136Sql,
+    "q181_pagerank" -> q181Sql,
+    "q184_hard_negatives" -> q184Sql,
+    "q185_nprobe_sweep" -> q185Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

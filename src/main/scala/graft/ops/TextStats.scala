@@ -525,7 +525,64 @@ object TextStats {
       |FROM nv a JOIN nv b ON b.decile <= a.decile
       |GROUP BY 1, 2 ORDER BY a.decile""".stripMargin
 
+  /** q183 — filter-funnel audit: the corpus partitioned by every
+    * combination of the three standard admission gates — length
+    * (n_chars ≥ 150), quality (q54's blend ≥ 0.5 with ≥ 5 tokens), and
+    * exact-uniqueness (the doc is the min-doc_id canonical of its md5
+    * digest group, q40's rule) — with document count, token mass, and
+    * token share per cell. This is the table a pipeline owner reads
+    * before turning filters on: how much mass each gate (and each gate
+    * interaction) would remove. Scale shape: the quality and length
+    * flags are map-side over the scan (one codegen stage); uniqueness is
+    * one digest-keyed partial+final groupBy plus a digest equi-join back
+    * (the q40 dedup shape — two shuffles on an unbounded key, linear);
+    * the funnel itself is a ≤8-row aggregate with the 1-row token total
+    * broadcast for the share.
+    */
+  private val q183: Q = (s, dir) => {
+    val canon = Tables.spread(Tables.documents(s, dir))
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("canon_id"))
+    val flags = qualityScored(s, dir)
+      .withColumn("digest", md5(col("text")))
+      .join(canon, "digest")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_chars") >= 150).as("len_ok"),
+        (col("quality") >= 0.5 && col("n_tokens") >= 5).as("qual_ok"),
+        (col("doc_id") === col("canon_id")).as("uniq_ok"))
+    val tot = flags.agg(sum("n_tokens").as("tot_tokens"))
+    flags.groupBy("len_ok", "qual_ok", "uniq_ok")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("len_ok"), col("qual_ok"), col("uniq_ok"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("token_share"))
+      .orderBy("len_ok", "qual_ok", "uniq_ok")
+  }
+
+  private val q183Sql =
+    s"""WITH ${qualityMeasuresCte()},
+       |can AS (SELECT md5(text) AS digest, min(doc_id) AS canon_id
+       |  FROM documents GROUP BY 1),
+       |f AS (SELECT m.doc_id, m.n_tokens,
+       |    d.n_chars >= 150 AS len_ok,
+       |    ($qualityBlendSql >= 0.5 AND n_tokens >= 5) AS qual_ok,
+       |    m.doc_id = can.canon_id AS uniq_ok
+       |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+       |  JOIN can ON md5(d.text) = can.digest),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM f)
+       |SELECT len_ok, qual_ok, uniq_ok,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / tot.tot_tokens, 6)
+       |    AS token_share
+       |FROM f CROSS JOIN tot
+       |GROUP BY len_ok, qual_ok, uniq_ok, tot.tot_tokens
+       |ORDER BY len_ok, qual_ok, uniq_ok""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q183_filter_funnel" -> q183,
     "q171_heavy_hitters" -> q171,
     "q172_vocab_growth" -> q172,
     "q47_textstats" -> q47,
@@ -541,6 +598,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q183_filter_funnel" -> q183Sql,
     "q171_heavy_hitters" -> q171Sql,
     "q172_vocab_growth" -> q172Sql,
     "q47_textstats" -> q47Sql,

@@ -58,14 +58,14 @@ class PlanSpec extends AnyFunSuite {
     // the full text corpus through a two-column query. The one exemption
     // is justified: q30's scalar suite deliberately exercises every
     // events column (incl. the JSON props blob), and q44's labeled
-    // near-dup and q166's label-cohesion audit genuinely consume all 3
-    // embeddings columns (vec_id, embedding, label) — full width IS the
-    // pruned width there.
+    // near-dup, q166's label-cohesion audit, and q184's hard-negative
+    // mining genuinely consume all 3 embeddings columns (vec_id,
+    // embedding, label) — full width IS the pruned width there.
     val fullWidth = Map("documents" -> 5, "embeddings" -> 3, "events" -> 6,
       "lineitem" -> 16, "orders" -> 9, "customer" -> 8, "part" -> 9,
       "supplier" -> 7, "nation" -> 4, "region" -> 3)
     val exempt = Set("q30_scalar_suite", "q44_embed_neardup",
-      "q166_label_cohesion")
+      "q166_label_cohesion", "q184_hard_negatives")
     // Structural, not textual: the plan's toString TRUNCATES wide
     // ReadSchema strings ("struct<...,l_returnflag:s..." with no closing
     // '>'), so the old regex parse silently skipped exactly the wide
@@ -219,8 +219,13 @@ class PlanSpec extends AnyFunSuite {
     // cross; q174/q175 cross every vector with the <=8-row broadcast
     // quantizer exactly like q126/q127, whose composition they are;
     // q180 crosses the 1-row corpus token total, like q70.)
+    // (q181 crosses the 1-row node count into each rank iteration;
+    // q183 crosses the 1-row token total, like q70; q185 composes
+    // q45's broadcast brute-force ground truth and the ≤8-row broadcast
+    // quantizer across its three nprobe branches, like q125/q127.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q180_source_token_kl",
+      "q181_pagerank", "q183_filter_funnel", "q185_nprobe_sweep",
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
@@ -713,5 +718,42 @@ class PlanSpec extends AnyFunSuite {
         s"$name: single-partition or data-keyed window stage(s) in the " +
         s"prefix-sum plan:\n${bad.mkString("\n")}")
     }
+  }
+
+  test("q181: PageRank iterations are equi-joins over bounded edges, no window") {
+    // The Pregel shape must hold in the plan: 5 declared iterations of
+    // (edge ⨝ rank → partial+final groupBy), never a ranking window and
+    // never a cartesian rank×rank product. The only nested-loop joins
+    // are the 1-row node-count broadcasts.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
+    }.flatten
+    val df = SparkEntry.queries("q181_pagerank")(spark, dir)
+    val p = planString(df)
+    val wins = windows(df.queryExecution.executedPlan)
+    graft.util.QueryCaches.drain()
+    assert(wins.isEmpty, s"q181: unexpected Window stage(s):\n$wins")
+    assert(!p.contains("CartesianProduct"), s"q181 cartesian:\n$p")
+  }
+
+  test("q182: shard-migration audit is join-free map-side work + aggregates") {
+    val p = planString(SparkEntry.queries("q182_shard_migration")(spark, dir))
+    assert(!p.contains("Join"), s"q182 must not join anything:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregates in:\n$p")
+  }
+
+  test("q184: hard-negative mining joins on the hyperplane bucket, top-k is an aggregation") {
+    val p = planString(SparkEntry.queries("q184_hard_negatives")(spark, dir))
+    graft.util.QueryCaches.drain()
+    assert(p.contains("bucket"), s"expected the bucket equi-join key in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q184 must stay an equi join:\n$p")
+    assert(!p.contains("Window"), s"q184 top-k must not be a window:\n$p")
   }
 }
