@@ -657,6 +657,84 @@ object Corpus {
       |  AND NOT EXISTS (SELECT 1 FROM k WHERE k.digest = d.digest)
       |ORDER BY doc_id""".stripMargin
 
+  /** q186 — q87's incremental dedup with a BLOOM-FILTER pre-pass: the
+    * known-corpus digest set is folded into a 16384-bit Bloom filter
+    * (5 probes per key, double hashing over two 31-bit xxhash64-derived
+    * values) by ONE partial+final `bit_or` aggregate, broadcast as a
+    * 1-row ≤256-entry (word → bits) map, and every candidate tests
+    * membership map-side with 5 unrolled codegen'd bit probes. A bit
+    * MISS proves the digest is new — those docs pass with NO join at
+    * all; only the maybe-present sliver (true duplicates + false
+    * positives) pays the exact anti-join, which then removes the false
+    * positives, so the result is IDENTICAL to q87 (same oracle SQL) while
+    * the join's left side shrinks from the whole candidate corpus to
+    * ~fp·|candidates| + |dups|. This is the shuffle-elimination shape
+    * q87's scaladoc promises at 100 TB: the bloom build is a scan +
+    * 256-row aggregate, the broadcast is KBs (size m with ~10-16
+    * bits/key as |known| grows), and the unioned fast path never touches
+    * an exchange. `BloomPrefilterSpec` proves the pre-filter actually
+    * prunes and the output matches q87 row-for-row.
+    */
+  private val BloomBits = 16384
+  private val BloomProbes = 5
+
+  /** Known-corpus digest set (even doc_ids), persisted — the q87/q186
+    * "already ingested" side. */
+  private def knownDigests(s: SparkSession, dir: String): DataFrame =
+    // keyed: q186 consumes it on both the bloom-build and anti-join
+    // sides — one persisted build serves both within the query's run
+    graft.util.QueryCaches.keyed(s"bloom:known:$dir") {
+      Tables.spread(Tables.documents(s, dir))
+        .filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("digest")).distinct()
+    }
+
+  /** Candidate docs (odd doc_ids) with their bloom verdict `mc` (might
+    * the digest be in the known set?), persisted. The bloom is built by
+    * one partial+final `bit_or` aggregate over the known digests and
+    * broadcast as a 1-row ≤256-entry (word → bits) map; each candidate
+    * tests 5 unrolled codegen'd bit probes map-side (no interpreted
+    * higher-order function in the path). Shared by [[q186]] and
+    * `BloomPrefilterSpec`'s pruning measurement.
+    */
+  private[graft] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
+    val (m, k) = (BloomBits, BloomProbes)
+    // two independent 31-bit hash streams off the digest (masking keeps
+    // pos arithmetic overflow-free: h1 + 4·h2 < 2^34)
+    def hashed(df: DataFrame): DataFrame = df
+      .withColumn("h1", expr("xxhash64(digest) & 2147483647L"))
+      .withColumn("h2", expr("xxhash64(digest, digest) & 2147483647L"))
+    val bloom = hashed(knownDigests(s, dir))
+      .select(explode(expr(s"sequence(0, ${k - 1})")).as("i"), col("h1"), col("h2"))
+      .select(expr(s"pmod(h1 + i * h2, $m)").as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("w"), expr("pos % 64").as("b"))
+      .groupBy("w").agg(expr("bit_or(shiftleft(1L, CAST(b AS INT)))").as("bits"))
+      .agg(expr("map_from_entries(sort_array(collect_list(struct(w, bits))))").as("bm"))
+    val mightContain = (0 until k).map { i =>
+      s"""(coalesce(element_at(bm, CAST(pmod(h1 + $i * h2, $m) div 64 AS INT)), 0L)
+         |  & shiftleft(1L, CAST(pmod(h1 + $i * h2, $m) % 64 AS INT))) != 0L""".stripMargin
+    }.mkString("(", ") AND (", ")")
+    hashed(Tables.spread(Tables.documents(s, dir))
+        .filter(col("doc_id") % 2 =!= 0)
+        .withColumn("digest", md5(col("text"))))
+      .crossJoin(broadcast(bloom))
+      .withColumn("mc", expr(mightContain))
+      .select("doc_id", "digest", "mc")
+      .transform(graft.util.QueryCaches.tracked)
+  }
+
+  private val q186: Q = (s, dir) => {
+    val cand = bloomCandidates(s, dir)
+    // bit miss ⇒ provably new: no join. Only the maybe sliver (true dups
+    // + bloom false positives) pays the exact anti-join, which removes
+    // the false positives — the result is identical to q87's.
+    val sure = cand.filter(!col("mc")).select("doc_id", "digest")
+    val maybe = cand.filter(col("mc"))
+      .join(knownDigests(s, dir), Seq("digest"), "left_anti")
+      .select("doc_id", "digest")
+    sure.unionByName(maybe).orderBy("doc_id")
+  }
+
   /** q88 — equi-depth length bucketing: quartile boundaries from one
     * exact-percentile aggregate (1 row, broadcast), then every doc
     * bucketed map-side by counting boundaries below its length — the
@@ -874,6 +952,7 @@ object Corpus {
     "q79_contamination" -> q79,
     "q83_source_stats" -> q83,
     "q87_dedup_incremental" -> q87,
+    "q186_dedup_bloom" -> q186,
     "q88_equidepth_buckets" -> q88,
     "q91_sequence_pack" -> q91,
     "q169_pack_efficiency" -> q169,
@@ -897,6 +976,9 @@ object Corpus {
     "q79_contamination" -> q79Sql,
     "q83_source_stats" -> q83Sql,
     "q87_dedup_incremental" -> q87Sql,
+    // q186 computes EXACTLY q87's result (the bloom is a plan-level
+    // pre-filter, not a semantic change) — one oracle, two plans
+    "q186_dedup_bloom" -> q87Sql,
     "q88_equidepth_buckets" -> q88Sql,
     "q91_sequence_pack" -> q91Sql,
     "q169_pack_efficiency" -> q169Sql,

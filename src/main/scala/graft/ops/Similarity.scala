@@ -638,6 +638,87 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
       .withColumn("mean", expr("CAST(s1q AS DOUBLE) / (n * 1e7)"))
 
+  /** q188 — embedding-distribution drift monitor: the corpus split into
+    * two pseudo-snapshots by a stable digest-mod on vec_id (q154's split
+    * discipline, 50/50), then per label the cosine between the two
+    * halves' centroids plus both member counts — the continuous-ingest
+    * health check that catches an embedding-model change, a source
+    * distribution shift, or a pipeline bug between snapshots (drift_cos
+    * near 1 = stable class geometry; low = the class moved). Determinism
+    * is q115+q166's composed discipline: centroids from exact
+    * per-(label, half, dim) integer sums; every cross-half per-dim
+    * product (m₀·m₁, m₀², m₁²) quantized `round(·1e12)::BIGINT` BEFORE
+    * its cross-dimension sum; the final cosine one IEEE expression of
+    * those exact integers with an integer zero-norm short-circuit.
+    * Scale shape: one (label, half, dim)-keyed reduce (tiny result), a
+    * |labels|×64 join of the two half relations, a |labels|-row
+    * aggregate — linear in the corpus, no pair join.
+    */
+  private val q188: Q = (s, dir) => {
+    val ex = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("label"),
+        expr("pmod(CAST(conv(substring(md5(cast(vec_id AS string)), 1, 4), 16, 10) AS INT), 2)")
+          .as("half"),
+        expr(vd).as("v"))
+      .transform(graft.util.QueryCaches.tracked)
+    val counts = ex.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val means = ex
+      .select(col("label"), col("half"), posexplode(col("v")))
+      .select(col("label"), col("half"), (col("pos") + 1).as("dim"),
+        expr("CAST(round(col * 1e7) AS BIGINT)").as("xq"))
+      .groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1q"))
+      .select(col("label"), col("half"), col("dim"),
+        expr("CAST(s1q AS DOUBLE) / (n * 1e7)").as("mean"))
+      .transform(graft.util.QueryCaches.tracked)
+    val m0 = means.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("mean").as("m0"))
+    val m1 = means.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("mean").as("m1"))
+    val sums = m0.join(m1, Seq("label", "dim"))
+      .select(col("label"),
+        expr("CAST(round(m0 * m1 * 1e12) AS BIGINT)").as("pq"),
+        expr("CAST(round(m0 * m0 * 1e12) AS BIGINT)").as("aq"),
+        expr("CAST(round(m1 * m1 * 1e12) AS BIGINT)").as("bq"))
+      .groupBy("label")
+      .agg(sum("pq").as("spq"), sum("aq").as("saq"), sum("bq").as("sbq"))
+    val ca = counts.filter(col("half") === 0).select(col("label"), col("n").as("n_a"))
+    val cb = counts.filter(col("half") === 1).select(col("label"), col("n").as("n_b"))
+    sums.join(ca, "label").join(cb, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("""CASE WHEN saq = 0 OR sbq = 0 THEN 0D
+                |ELSE CAST(spq AS DOUBLE) /
+                |  (sqrt(CAST(saq AS DOUBLE)) * sqrt(CAST(sbq AS DOUBLE))) END"""
+          .stripMargin).as("drift_cos"))
+      .orderBy("label")
+  }
+
+  private val q188Sql =
+    """WITH ex AS (SELECT vec_id, label,
+      |    CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 4)) AS INTEGER) % 2 AS half,
+      |    embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |cnt AS (SELECT label, half, CAST(count(*) AS BIGINT) AS n
+      |  FROM ex GROUP BY 1, 2),
+      |m AS (SELECT label, half, CAST(i AS INTEGER) AS dim,
+      |    CAST(CAST(sum(CAST(round(v[i] * 1e7) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |      / (count(*) * 1e7) AS mean
+      |  FROM ex, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1, 2, 3),
+      |s AS (SELECT a.label,
+      |    CAST(sum(CAST(round(a.mean * b.mean * 1e12) AS BIGINT)) AS BIGINT) AS spq,
+      |    CAST(sum(CAST(round(a.mean * a.mean * 1e12) AS BIGINT)) AS BIGINT) AS saq,
+      |    CAST(sum(CAST(round(b.mean * b.mean * 1e12) AS BIGINT)) AS BIGINT) AS sbq
+      |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      |    AND a.half = 0 AND b.half = 1
+      |  GROUP BY 1)
+      |SELECT s.label AS label, ca.n AS n_a, cb.n AS n_b,
+      |  CASE WHEN saq = 0 OR sbq = 0 THEN 0.0
+      |  ELSE CAST(spq AS DOUBLE) /
+      |    (sqrt(CAST(saq AS DOUBLE)) * sqrt(CAST(sbq AS DOUBLE))) END AS drift_cos
+      |FROM s JOIN cnt ca ON ca.label = s.label AND ca.half = 0
+      |       JOIN cnt cb ON cb.label = s.label AND cb.half = 1
+      |ORDER BY s.label""".stripMargin
+
   private val q115: Q = (s, dir) => {
     val cent = labelDimMeans(s, dir)
     val a = cent.select(col("label").as("label_a"), col("dim"), col("mean").as("ma"))
@@ -1944,6 +2025,7 @@ object Similarity {
     "q181_pagerank" -> q181,
     "q184_hard_negatives" -> q184,
     "q185_nprobe_sweep" -> q185,
+    "q188_centroid_drift" -> q188,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -1977,6 +2059,7 @@ object Similarity {
     "q181_pagerank" -> q181Sql,
     "q184_hard_negatives" -> q184Sql,
     "q185_nprobe_sweep" -> q185Sql,
+    "q188_centroid_drift" -> q188Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -667,6 +667,118 @@ object TextDedup {
        |          JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q187 — dedup threshold policy curve: for Jaccard thresholds
+    * 0.5/0.7/0.9, how many verified pairs fire, how many documents the
+    * keep-first rule (drop the higher doc_id of each pair, q41b's
+    * orientation) would remove, and how much character mass that
+    * reclaims — the cost/benefit table that picks a dedup threshold
+    * before a corpus run commits to one. Scale shape: the verified-pair
+    * relation (already bounded: candidates only) is scored ONCE and the
+    * 3 thresholds explode map-side onto it — no threshold re-runs the
+    * pipeline and no theta join anywhere; the drop-set dedup is one
+    * (threshold, doc) distinct + an equi-join to the 2-column doc-size
+    * projection; thresholds with zero pairs survive via the 3-row
+    * literal frame's left joins.
+    */
+  private val q187: Q = (s, dir) => {
+    val vp = graft.util.QueryCaches.tracked(verifiedPairs(s, dir))
+    val thresholds = array(lit(0.5), lit(0.7), lit(0.9))
+    val pt = vp.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(thresholds).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .transform(graft.util.QueryCaches.tracked)
+    val np = pt.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val sizes = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"))
+    val dr = pt.select("threshold", "doc_b").distinct()
+      .join(sizes, col("doc_b") === col("doc_id"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_dropped"), sum("n_chars").as("reclaimed_chars"))
+    s.range(1).select(explode(thresholds).as("threshold"))
+      .join(broadcast(np), Seq("threshold"), "left")
+      .join(broadcast(dr), Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("reclaimed_chars"), lit(0L)).as("reclaimed_chars"))
+      .orderBy("threshold")
+  }
+
+  private val q187Sql =
+    s"""WITH $minhashVerifyCtes,
+       |vp AS (SELECT doc_a, doc_b,
+       |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |            JOIN sets sb ON sb.doc_id = doc_b),
+       |t AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold),
+       |pt AS (SELECT t.threshold, vp.doc_a, vp.doc_b
+       |  FROM t JOIN vp ON vp.jaccard >= t.threshold),
+       |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pt GROUP BY 1),
+       |dr AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_dropped,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS reclaimed_chars
+       |  FROM (SELECT DISTINCT threshold, doc_b FROM pt) x
+       |  JOIN documents d ON d.doc_id = x.doc_b GROUP BY 1)
+       |SELECT t.threshold,
+       |  coalesce(np.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  coalesce(dr.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  coalesce(dr.reclaimed_chars, CAST(0 AS BIGINT)) AS reclaimed_chars
+       |FROM t LEFT JOIN np USING (threshold) LEFT JOIN dr USING (threshold)
+       |ORDER BY threshold""".stripMargin
+
+  /** q189 — MinHash estimator calibration: candidate pairs bucketed by
+    * their 8-hash signature agreement (0..8 matching minhashes, q78's
+    * estimator) against the EXACT shingle Jaccard of the same pairs —
+    * the empirical S-curve that tells you what an estimated similarity
+    * actually means before trusting the estimator at 100 TB (where exact
+    * verification of every pair is the expensive step being rationed).
+    * Scale shape: signatures and shingle sets are the pipeline's
+    * already-persisted relations; the match count is a map-side
+    * zip_with over two 8-long arrays on the bounded candidate relation;
+    * the mean exact Jaccard aggregates from integer-quantized per-pair
+    * scores (round(j·10⁴), the q128 exact-mean discipline).
+    */
+  private val q189: Q = (s, dir) => {
+    val sigs = minhashSignatures(s, dir)
+    val scored = graft.util.QueryCaches.tracked(
+      jaccardScored(candPairs(s, dir), shingleSets(s, dir)))
+    scored
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .select(
+        expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b)) AS INT)")
+          .as("est_matches"),
+        expr("CAST(round(jaccard * 1e4) AS BIGINT)").as("jq"))
+      .groupBy("est_matches")
+      .agg(count(lit(1)).as("n_pairs"), sum("jq").as("sjq"))
+      .select(col("est_matches"),
+        (col("est_matches").cast("double") / 8).as("est_sim"),
+        col("n_pairs"),
+        (col("sjq").cast("double") / col("n_pairs") / 1e4).as("mean_jaccard"))
+      .orderBy("est_matches")
+  }
+
+  private val q189Sql =
+    s"""WITH $minhashVerifyCtes,
+       |vp AS (SELECT doc_a, doc_b,
+       |    CAST(round(round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      * 1e4) AS BIGINT) AS jq
+       |  FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |            JOIN sets sb ON sb.doc_id = doc_b),
+       |em AS (SELECT vp.doc_a, vp.doc_b, vp.jq,
+       |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+       |      CASE WHEN a.mh[i] = b.mh[i] THEN 1 ELSE 0 END)) AS INTEGER)
+       |      AS est_matches
+       |  FROM vp JOIN sig a ON a.doc_id = vp.doc_a
+       |          JOIN sig b ON b.doc_id = vp.doc_b)
+       |SELECT est_matches, est_matches::DOUBLE / 8 AS est_sim,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(sum(jq) AS BIGINT) AS DOUBLE) / count(*) / 1e4 AS mean_jaccard
+       |FROM em GROUP BY 1 ORDER BY est_matches""".stripMargin
+
   /** q42 — SimHash: 16-bit fingerprint from per-word md5 bit votes. Entirely
     * map-side (no shuffle until the final orderBy): each word hashed once,
     * each of 16 nibble-high-bits voted ±1, majority forms the bit.
@@ -1101,6 +1213,8 @@ object TextDedup {
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
     "q41b_dedup_lsh_verified" -> q41b,
+    "q187_dedup_threshold_curve" -> q187,
+    "q189_minhash_calibration" -> q189,
     "q42_dedup_simhash" -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
@@ -1119,6 +1233,8 @@ object TextDedup {
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,
     "q41b_dedup_lsh_verified" -> q41bSql,
+    "q187_dedup_threshold_curve" -> q187Sql,
+    "q189_minhash_calibration" -> q189Sql,
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,

@@ -581,8 +581,52 @@ object TextStats {
        |GROUP BY len_ok, qual_ok, uniq_ok, tot.tot_tokens
        |ORDER BY len_ok, qual_ok, uniq_ok""".stripMargin
 
+  /** q190 — tokenizer-fertility audit: per language, exact corpus totals
+    * of BPE-ish tokens (q55's pretoken regex), whitespace words, and
+    * characters, with the two ratios tokenizer work cares about —
+    * fertility (tokens per word) and chars per token. Fertility decides
+    * real training cost per language (a 2× fertility language pays 2×
+    * the sequence length for the same text) and flags scripts the
+    * pretokenizer mishandles. Pure map-side regex counts into one
+    * partial+final |langs|-row aggregate; ratios derived from exact
+    * BIGINT sums with one identical IEEE division per engine.
+    */
+  private val q190: Q = (s, dir) =>
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("n_bpe"),
+        sum("n_words").as("n_words"), sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_bpe"), col("n_words"),
+        col("n_chars"),
+        (col("n_bpe").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe")).as("chars_per_token"))
+      .orderBy("lang")
+
+  private val q190Sql =
+    """WITH t AS (SELECT lang,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+      |    AS n_bpe,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(n_words) AS BIGINT) AS fertility,
+      |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(n_bpe) AS BIGINT) AS chars_per_token
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q183_filter_funnel" -> q183,
+    "q190_token_fertility" -> q190,
     "q171_heavy_hitters" -> q171,
     "q172_vocab_growth" -> q172,
     "q47_textstats" -> q47,
@@ -599,6 +643,7 @@ object TextStats {
 
   val oracle: Map[String, String] = Map(
     "q183_filter_funnel" -> q183Sql,
+    "q190_token_fertility" -> q190Sql,
     "q171_heavy_hitters" -> q171Sql,
     "q172_vocab_growth" -> q172Sql,
     "q47_textstats" -> q47Sql,

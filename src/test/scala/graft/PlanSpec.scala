@@ -64,8 +64,11 @@ class PlanSpec extends AnyFunSuite {
     val fullWidth = Map("documents" -> 5, "embeddings" -> 3, "events" -> 6,
       "lineitem" -> 16, "orders" -> 9, "customer" -> 8, "part" -> 9,
       "supplier" -> 7, "nation" -> 4, "region" -> 3)
+    // (q188's drift split genuinely consumes all 3 embeddings columns
+    // too: vec_id keys the digest-mod half, label the class, embedding
+    // the centroid.)
     val exempt = Set("q30_scalar_suite", "q44_embed_neardup",
-      "q166_label_cohesion", "q184_hard_negatives")
+      "q166_label_cohesion", "q184_hard_negatives", "q188_centroid_drift")
     // Structural, not textual: the plan's toString TRUNCATES wide
     // ReadSchema strings ("struct<...,l_returnflag:s..." with no closing
     // '>'), so the old regex parse silently skipped exactly the wide
@@ -223,9 +226,12 @@ class PlanSpec extends AnyFunSuite {
     // q183 crosses the 1-row token total, like q70; q185 composes
     // q45's broadcast brute-force ground truth and the ≤8-row broadcast
     // quantizer across its three nprobe branches, like q125/q127.)
+    // (q186 crosses the 1-row broadcast bloom map onto the candidate
+    // scan — the pre-filter that REPLACES a corpus-wide join.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q180_source_token_kl",
       "q181_pagerank", "q183_filter_funnel", "q185_nprobe_sweep",
+      "q186_dedup_bloom",
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
