@@ -436,6 +436,69 @@ object Corpus {
       |    (CAST(src_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) AS boost
       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q193 — exact budget allocation by largest remainder: q151's
+    * temperature weights turned into an INTEGER token allocation that
+    * sums to the budget EXACTLY (1 000 000 here) — the step between "the
+    * mixture says 23.7%" and a shard writer that needs whole tokens and
+    * a total that reconciles. Naive per-source rounding drifts by up to
+    * |sources|/2 tokens and the books don't balance; largest-remainder
+    * (Hamilton) apportionment floors every share and hands the shortfall
+    * to the largest remainders, ties broken by source name. Every step
+    * is integer arithmetic on both engines: base = ⌊B·w/W⌋ and the
+    * remainder B·w mod W are exact BIGINTs (w is q151's floor-quantized
+    * √mass), and the remainder RANK comes from a bounded |sources|²
+    * triangle join (q163's pattern — 5×5 here, never a window, never a
+    * data-sized cross). `AuditOpsSpec` asserts Σ alloc = B.
+    */
+  private val q193: Q = (s, dir) => {
+    val B = 1000000L
+    val src = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum("n_chars").as("src_chars"))
+      .withColumn("sq",
+        expr("CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = src.agg(sum("sq").as("tot_sq"))
+    val based = src.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr(s"CAST((${B}L * sq) div tot_sq AS BIGINT)").as("base"),
+        expr(s"(${B}L * sq) % tot_sq").as("rem"))
+      .transform(graft.util.QueryCaches.tracked)
+    val shortfall = based.agg((lit(B) - sum("base")).as("shortfall"))
+    val rk = based.as("a").join(based.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+        "left")
+      .groupBy(col("a.source").as("source"))
+      .agg((count(col("b.source")) + 1).as("rem_rank"))
+    based.join(rk, "source").crossJoin(broadcast(shortfall))
+      .select(col("source"), col("base"), col("rem_rank"),
+        (col("base") +
+          when(col("rem_rank") <= col("shortfall"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  private val q193Sql =
+    """WITH src AS (SELECT source,
+      |    CAST(floor(sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS sq
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(sq) AS BIGINT) AS tot_sq FROM src),
+      |based AS (SELECT source,
+      |    CAST((1000000 * sq) // tot.tot_sq AS BIGINT) AS base,
+      |    CAST((1000000 * sq) % tot.tot_sq AS BIGINT) AS rem
+      |  FROM src CROSS JOIN tot),
+      |sf AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS shortfall FROM based),
+      |rk AS (SELECT a.source, CAST(count(b.source) + 1 AS BIGINT) AS rem_rank
+      |  FROM based a LEFT JOIN based b
+      |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+      |  GROUP BY 1)
+      |SELECT based.source, based.base, rk.rem_rank,
+      |  based.base + CASE WHEN rk.rem_rank <= sf.shortfall THEN 1 ELSE 0 END
+      |    AS alloc_tokens
+      |FROM based JOIN rk USING (source) CROSS JOIN sf
+      |ORDER BY source""".stripMargin
+
   /** q157 — data-constrained epoch plan: given a training-token budget of
     * 2× the corpus and q151's temperature-share mixture targets, how many
     * EPOCHS of each source does the run consume, with repeats capped at 4
@@ -953,6 +1016,7 @@ object Corpus {
     "q83_source_stats" -> q83,
     "q87_dedup_incremental" -> q87,
     "q186_dedup_bloom" -> q186,
+    "q193_budget_allocation" -> q193,
     "q88_equidepth_buckets" -> q88,
     "q91_sequence_pack" -> q91,
     "q169_pack_efficiency" -> q169,
@@ -979,6 +1043,7 @@ object Corpus {
     // q186 computes EXACTLY q87's result (the bloom is a plan-level
     // pre-filter, not a semantic change) — one oracle, two plans
     "q186_dedup_bloom" -> q87Sql,
+    "q193_budget_allocation" -> q193Sql,
     "q88_equidepth_buckets" -> q88Sql,
     "q91_sequence_pack" -> q91Sql,
     "q169_pack_efficiency" -> q169Sql,

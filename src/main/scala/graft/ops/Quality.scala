@@ -208,7 +208,78 @@ object Quality {
       |  (CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / 1e7) / count(*) AS avg_logp
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** q192 — held-out perplexity by source: q103's add-one-smoothed bigram
+    * LM trained on the even-doc_id HALF only (q87's stable split), scored
+    * on the odd-doc_id holdout, rolled up per source — the
+    * contamination-free form of the perplexity quality signal (q103
+    * scores the corpus under a model of itself, which flatters
+    * duplicated text; a held-out model cannot). A source whose holdout
+    * avg_logp collapses relative to others is out-of-distribution or
+    * noisy — the per-source read that feeds q151/q157's weighting next
+    * to q180's KL. Unseen holdout bigrams/unigrams back off to the
+    * smoothing floor via left joins (coalesce 0), never dropped — that
+    * asymmetry IS the signal. Scale shape: q103's — two narrow train
+    * groupBys, the holdout bigram relation hash-joined to both (left),
+    * vocabulary as a 1-row broadcast, per-bigram log terms
+    * integer-quantized before the per-source sum.
+    */
+  private val q192: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val cb = train
+      .select(explode(expr(TextDedup.shinglesExpr(2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val uni = train.select(explode(col("words")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+      .transform(graft.util.QueryCaches.tracked)
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("source"), explode(expr(TextDedup.shinglesExpr(2))).as("bg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(cb, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_q", expr(
+        """CAST(round(log2(CAST(coalesce(cb, 0L) + 1 AS DOUBLE)
+          |  / (coalesce(cu, 0L) + v)) * 1e7) AS BIGINT)""".stripMargin))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_q").as("lpq"))
+      .select(col("source"), col("n_bigrams"),
+        ((col("lpq").cast("double") / lit(1e7)) / col("n_bigrams"))
+          .as("avg_logp"))
+      .orderBy("source")
+  }
+
+  private val q192Sql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+      |  FROM documents),
+      |tbg AS (SELECT
+      |  unnest(CASE WHEN len(words) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-1), i ->
+      |      words[i] || ' ' || words[i+1]) END) AS bg
+      |  FROM w WHERE doc_id % 2 = 0),
+      |cb AS (SELECT bg, count(*) AS cb FROM tbg GROUP BY 1),
+      |uni AS (SELECT w1, count(*) AS cu FROM
+      |  (SELECT unnest(words) AS w1 FROM w WHERE doc_id % 2 = 0) GROUP BY 1),
+      |voc AS (SELECT count(*) AS v FROM uni),
+      |hb AS (SELECT source,
+      |  unnest(CASE WHEN len(words) < 2 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-1), i ->
+      |      words[i] || ' ' || words[i+1]) END) AS bg
+      |  FROM w WHERE doc_id % 2 <> 0),
+      |scored AS (SELECT hb.source,
+      |  CAST(round(log2(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE)
+      |    / (coalesce(uni.cu, 0) + voc.v)) * 1e7) AS BIGINT) AS lp_q
+      |  FROM hb LEFT JOIN cb USING (bg)
+      |  LEFT JOIN uni ON uni.w1 = string_split(hb.bg, ' ')[1]
+      |  CROSS JOIN voc)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  (CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / 1e7) / count(*) AS avg_logp
+      |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q192_holdout_perplexity" -> q192,
     "q98_topk_per_group" -> q98,
     "q99_word_entropy" -> q99,
     "q100_repetition" -> q100,
@@ -216,6 +287,7 @@ object Quality {
     "q103_bigram_lm" -> q103)
 
   val oracle: Map[String, String] = Map(
+    "q192_holdout_perplexity" -> q192Sql,
     "q98_topk_per_group" -> q98Sql,
     "q99_word_entropy" -> q99Sql,
     "q100_repetition" -> q100Sql,

@@ -1044,6 +1044,45 @@ object Similarity {
        |FROM r5 ORDER BY vec_id""".stripMargin
   }
 
+  /** q191 — hubness audit of the kNN graph: the in-degree histogram of
+    * q136's bounded edges. High-dimensional embedding spaces famously
+    * grow HUBS — points that appear in many other points' neighbor
+    * lists — which poison kNN-based dedup, label propagation, and
+    * retrieval (the hub matches everything). Out-degree is bounded (≤3)
+    * by construction; in-degree is the free variable this audits: a
+    * heavy right tail here says the space (or its normalization) needs
+    * fixing BEFORE any graph consumer runs. Scale shape: one groupBy
+    * over the ≤3|V|-row edge relation, a left join back to the node set
+    * for the in-degree-0 row, and a ≤|V|-key histogram aggregate — all
+    * equi-keyed partial+final, linear.
+    */
+  private val q191: Q = (s, dir) => {
+    val edges = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+    val nodes = edges.select(col("src").as("vec_id")).distinct()
+    val indeg = edges.select(col("dst").as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("in_degree"))
+    nodes.join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("in_degree")
+  }
+
+  private val q191Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |nodes AS (SELECT DISTINCT vec_id FROM knn),
+       |ind AS (SELECT neighbor_id AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+       |  FROM knn GROUP BY 1)
+       |SELECT coalesce(ind.in_degree, CAST(0 AS BIGINT)) AS in_degree,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM nodes LEFT JOIN ind USING (vec_id)
+       |GROUP BY 1 ORDER BY in_degree""".stripMargin
+
   /** q184 — hard-negative mining: per vector, the top-2 most-similar
     * in-bucket neighbors with a DIFFERENT label — the pairs contrastive
     * training wants as negatives precisely because they are close in
@@ -2026,6 +2065,7 @@ object Similarity {
     "q184_hard_negatives" -> q184,
     "q185_nprobe_sweep" -> q185,
     "q188_centroid_drift" -> q188,
+    "q191_hub_audit" -> q191,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2060,6 +2100,7 @@ object Similarity {
     "q184_hard_negatives" -> q184Sql,
     "q185_nprobe_sweep" -> q185Sql,
     "q188_centroid_drift" -> q188Sql,
+    "q191_hub_audit" -> q191Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

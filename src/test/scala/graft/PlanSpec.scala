@@ -228,10 +228,13 @@ class PlanSpec extends AnyFunSuite {
     // quantizer across its three nprobe branches, like q125/q127.)
     // (q186 crosses the 1-row broadcast bloom map onto the candidate
     // scan — the pre-filter that REPLACES a corpus-wide join.)
+    // (q192 crosses the 1-row train vocabulary like q103; q193's
+    // remainder rank is q163's bounded |sources|² triangle join plus
+    // two 1-row broadcasts.)
     val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
       "q180_source_token_kl",
       "q181_pagerank", "q183_filter_funnel", "q185_nprobe_sweep",
-      "q186_dedup_bloom",
+      "q186_dedup_bloom", "q192_holdout_perplexity", "q193_budget_allocation",
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",

@@ -352,4 +352,31 @@ class AuditOpsSpec extends AnyFunSuite
       assert(ne <= 3 * nv, "bounded k: at most 3 edges per vector")
     }
   }
+
+  test("q193 allocation reconciles: sums to the budget exactly, ranks are a permutation") {
+    val out = SparkEntry.queries("q193_budget_allocation")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(3)).sum === 1000000L,
+      "largest-remainder apportionment must balance the books to the token")
+    assert(out.map(_.getLong(2)).sorted.toSeq === (1L to out.length).toSeq,
+      "remainder ranks must be a 1..n permutation (unique tiebreaks)")
+    out.foreach { r =>
+      val d = r.getLong(3) - r.getLong(1)
+      assert(d == 0L || d == 1L, "each source gets its floor or floor+1")
+    }
+  }
+
+  test("q181 PageRank conserves probability mass up to floor loss") {
+    // each iteration floors N + |E| divisions: total mass can only leak
+    // DOWNWARD from S=1e12, by < (N + |E|) per iteration — a wrong join
+    // (dropped nodes, double-counted edges) would violate the envelope
+    val out = SparkEntry.queries("q181_pagerank")(spark, dir).collect()
+    val n = out.length.toLong
+    val mass = out.map(_.getLong(1)).sum
+    val s = 1000000000000L
+    val maxLoss = 5 * (n + 3 * n + 1) // 5 iterations, outdeg <= 3
+    assert(mass <= s, s"mass $mass exceeds S=$s")
+    assert(mass >= s - maxLoss, s"mass $mass lost more than the floor envelope $maxLoss")
+    out.foreach(r => assert(r.getLong(1) > 0, "every node keeps positive rank"))
+  }
 }
