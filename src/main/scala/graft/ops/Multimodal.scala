@@ -193,12 +193,73 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q194 — GPU decode-batch planning: media grouped into (format,
+    * resolution-class) decode groups — mixed shapes can't share a GPU
+    * batch without padding waste, and mixed codecs can't share a decoder
+    * — then each group's batch count from TWO integer ceilings: a 64 MB
+    * decoded-RGB budget (w·h·3 summed exactly) and a 256-item batch cap,
+    * whichever binds. `fill` is the budget utilization the padding cost
+    * shows up in (the multimodal twin of q176's token-padding audit).
+    * Metadata derives from q50's md5 stub arithmetic, so the oracle
+    * validates the same fields end-to-end. Scale shape: pure map-side
+    * metadata + one partial+final groupBy over a bounded (format ×
+    * 4 × 4) key space; the plan this emits is exactly the repartition
+    * spec a real decode stage would execute with `mapPartitions`.
+    */
+  private val q194: Q = (s, dir) => {
+    val cap = 64L * 1024 * 1024
+    Tables.documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("digest"))
+      .select(
+        (conv(substring(col("digest"), 1, 4), 16, 10).cast("int") % 1024).as("width"),
+        (conv(substring(col("digest"), 5, 4), 16, 10).cast("int") % 1024).as("height"),
+        when(expr("conv(substring(digest, 9, 1), 16, 10) % 2 = 0"), "jpeg")
+          .otherwise("png").as("format"))
+      .select(col("format"),
+        expr("CAST(width div 256 AS INT)").as("wb"),
+        expr("CAST(height div 256 AS INT)").as("hb"),
+        expr("CAST(width AS BIGINT) * height * 3").as("decoded"))
+      .groupBy("format", "wb", "hb")
+      .agg(count(lit(1)).as("n_items"), sum("decoded").as("decoded_bytes"))
+      .select(col("format"), col("wb"), col("hb"), col("n_items"),
+        col("decoded_bytes"),
+        expr(s"greatest((decoded_bytes + ${cap - 1}L) div ${cap}L, " +
+          "(n_items + 255L) div 256L)").as("n_batches"))
+      .withColumn("fill", col("decoded_bytes").cast("double") /
+        (col("n_batches") * lit(cap)).cast("double"))
+      .orderBy("format", "wb", "hb")
+  }
+
+  private val q194Sql =
+    """WITH m AS (SELECT
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 AS width,
+      |    CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 AS height,
+      |    CASE WHEN CAST(('0x' || substr(md5(text), 9, 1)) AS INTEGER) % 2 = 0
+      |         THEN 'jpeg' ELSE 'png' END AS format
+      |  FROM documents),
+      |g AS (SELECT format,
+      |    CAST(width // 256 AS INTEGER) AS wb,
+      |    CAST(height // 256 AS INTEGER) AS hb,
+      |    CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(CAST(width AS BIGINT) * height * 3) AS BIGINT)
+      |      AS decoded_bytes
+      |  FROM m GROUP BY 1, 2, 3)
+      |SELECT format, wb, hb, n_items, decoded_bytes,
+      |  CAST(greatest((decoded_bytes + 67108863) // 67108864,
+      |                (n_items + 255) // 256) AS BIGINT) AS n_batches,
+      |  CAST(decoded_bytes AS DOUBLE) /
+      |    CAST(greatest((decoded_bytes + 67108863) // 67108864,
+      |                  (n_items + 255) // 256) * 67108864 AS DOUBLE) AS fill
+      |FROM g ORDER BY format, wb, hb""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q194_gpu_batch_plan" -> q194,
     "q50_multimodal_meta" -> q50,
     "q58_frame_sample" -> q58,
     "q80_resize_plan" -> q80,
     "q81_feature_extract" -> q81)
   val oracle: Map[String, String] = Map(
+    "q194_gpu_batch_plan" -> q194Sql,
     "q50_multimodal_meta" -> q50Sql,
     "q58_frame_sample" -> q58Sql,
     "q80_resize_plan" -> q80Sql,

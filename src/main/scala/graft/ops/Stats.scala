@@ -356,8 +356,81 @@ object Stats {
       |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS kl_bits
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** q195 — Zipf-law fit of the token frequency distribution: OLS slope
+    * of log₂(freq) on log₂(rank) over the top-1000 tokens, with R² —
+    * the one-number sanity check of a text corpus's statistical health
+    * (natural language sits near slope −1; synthetic, deduplicated-to-
+    * death, or template-dominated corpora bend away, and the fit
+    * quality R² says HOW power-law-like the distribution still is).
+    *
+    * Scale shape: the unbounded vocabulary is ranked by the zero-window
+    * [[GlobalRank.rowNumber]] (range partition + broadcast offsets — no
+    * single-partition stage), the fit then runs on the BOUNDED top-1000
+    * relation in one aggregate. Determinism: both logs are quantized
+    * `round(·1e4)::BIGINT` before any cross-row sum, so the five moments
+    * are associative-exact; static envelopes keep every product far
+    * inside BIGINT even at 100 TB (rank ≤ 1000 ⇒ |x| ≤ 1e5; freq ≤ 2⁶³
+    * ⇒ |y| ≤ 6.3e5; n ≤ 1000 ⇒ n·Σxy ≤ 6.3e16). The slope/R²
+    * derivations are single IEEE expressions over exactly-representable
+    * integer diffs (< 2⁵³), mirrored verbatim in the oracle.
+    */
+  private val q195: Q = (s, dir) => {
+    val freq = Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val pts = GlobalRank.rowNumber(freq, "rank",
+        Seq(col("freq").desc, col("token")))
+      .filter(col("rank") <= 1000)
+      .select(
+        expr("CAST(round(log2(CAST(rank AS DOUBLE)) * 1e4) AS BIGINT)").as("x"),
+        expr("CAST(round(log2(CAST(freq AS DOUBLE)) * 1e4) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"),
+        sum(expr("y*y")).as("syy"))
+      .select(col("n"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 THEN 0D
+                |ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                |END""".stripMargin).as("slope"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 THEN 0D
+                |ELSE 0D - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                |END""".stripMargin).as("zipf_exp"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0D
+                |ELSE (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+                |  / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                |END""".stripMargin).as("r2"))
+  }
+
+  private val q195Sql =
+    """WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1),
+      |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token)
+      |  AS rank FROM f),
+      |p AS (SELECT
+      |    CAST(round(log2(CAST(rank AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+      |    CAST(round(log2(CAST(freq AS DOUBLE)) * 1e4) AS BIGINT) AS y
+      |  FROM r WHERE rank <= 1000),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+      |    CAST(sum(y*y) AS BIGINT) AS syy
+      |  FROM p)
+      |SELECT n,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+      |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |  END AS slope,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+      |  ELSE 0.0 - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |  END AS zipf_exp,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+      |  ELSE (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+      |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+      |  END AS r2
+      |FROM m""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q180_source_token_kl" -> q180,
+    "q195_zipf_fit" -> q195,
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
     "q135_mad_outliers" -> q135,
@@ -365,6 +438,7 @@ object Stats {
 
   val oracle: Map[String, String] = Map(
     "q180_source_token_kl" -> q180Sql,
+    "q195_zipf_fit" -> q195Sql,
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
     "q135_mad_outliers" -> q135Sql,

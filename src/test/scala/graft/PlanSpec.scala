@@ -325,7 +325,7 @@ class PlanSpec extends AnyFunSuite {
       case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
     }.flatten
     Seq("q121_zorder_audit", "q110_vocab_build", "q138_curriculum_order",
-      "q163_quality_token_curve")
+      "q163_quality_token_curve", "q195_zipf_fit")
       .foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
