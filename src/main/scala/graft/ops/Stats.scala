@@ -428,9 +428,68 @@ object Stats {
       |  END AS r2
       |FROM m""".stripMargin
 
+  /** q196 — daily volume anomaly detection: per (event_type, day) counts
+    * flagged against that type's median ± 3·MAD — q135's robust-outlier
+    * discipline lifted from row values to the TIME SERIES of daily
+    * volumes, the monitoring query that catches a broken producer or an
+    * ingest gap before it poisons a training snapshot. Everything is
+    * integer end-to-end: days from epoch-µs floor division (the
+    * [[graft.util.SqlArith.floorDiv]] form that agrees with `//` on
+    * pre-1970 rows too), counts exact, both medians exact
+    * `percentile_disc` ⇄ `quantile_disc` twins (the q95-proven pair),
+    * and the anomaly predicate an integer comparison. Scale shape: one
+    * (type, day) partial+final count, two grouped exact medians over
+    * the ALREADY-AGGREGATED ≤|types|·|days| relation (tiny — the raw
+    * events never pass through a median), one broadcast-sized join
+    * back. A zero MAD (over half the days identical) flags every
+    * deviating day — the strictest consistent reading, identical on
+    * both engines.
+    */
+  private val q196: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr(SqlArith.floorDiv("unix_micros(ts)", 86400000000L)).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView("events_q196")
+    s.sql(
+      """WITH med AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+        |      AS med_n
+        |  FROM events_q196 GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.day, e.n, m.med_n,
+        |    abs(e.n - m.med_n) AS dev
+        |  FROM events_q196 e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT)
+        |      AS mad_n
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, d.day, d.n, d.med_n, m.mad_n,
+        |  d.dev > 3 * m.mad_n AS is_anomaly
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  private val q196Sql =
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, CAST(quantile_disc(n, 0.5) AS BIGINT) AS med_n
+      |  FROM c GROUP BY 1),
+      |dev AS (SELECT c.event_type, c.day, c.n, med.med_n,
+      |    abs(c.n - med.med_n) AS dev
+      |  FROM c JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_n
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n, d.med_n,
+      |  m.mad_n, d.dev > 3 * m.mad_n AS is_anomaly
+      |FROM dev d JOIN mad m USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q180_source_token_kl" -> q180,
     "q195_zipf_fit" -> q195,
+    "q196_daily_anomaly" -> q196,
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
     "q135_mad_outliers" -> q135,
@@ -439,6 +498,7 @@ object Stats {
   val oracle: Map[String, String] = Map(
     "q180_source_token_kl" -> q180Sql,
     "q195_zipf_fit" -> q195Sql,
+    "q196_daily_anomaly" -> q196Sql,
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
     "q135_mad_outliers" -> q135Sql,
