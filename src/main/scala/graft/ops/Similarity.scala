@@ -465,9 +465,18 @@ object Similarity {
     * on both engines.
     */
   /** Shared sort-free kNN kernel: q136 adds the declared ORDER BY; q160
-    * consumes the edges for the label-consistency audit.
+    * (label consistency), q181 (PageRank), and q191 (hubness) consume
+    * the edges. Keyed-shared: the in-bucket pair join is the expensive
+    * stage all four pay, so within an undrained (composed) session it
+    * builds ONCE — the cluster-relation registry pattern applied to the
+    * graph family.
     */
-  private def knnNeighbors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnNeighbors(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"knn:neighbors:$dir") {
+      knnNeighborsBuild(s, dir)
+    }
+
+  private def knnNeighborsBuild(s: SparkSession, dir: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(3))
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))

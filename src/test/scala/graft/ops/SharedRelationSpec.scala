@@ -25,6 +25,20 @@ class SharedRelationSpec extends AnyFunSuite {
     QueryCaches.drain()
   }
 
+  test("kNN edge relation is shared across the graph family (q136/q160/q181/q191)") {
+    QueryCaches.drain()
+    val a = Similarity.knnNeighbors(spark, dir)
+    val before = QueryCaches.pending
+    // both graph consumers must compose the primed relation, not rebuild
+    graft.SparkEntry.queries("q191_hub_audit")(spark, dir).collect()
+    graft.SparkEntry.queries("q181_pagerank")(spark, dir).collect()
+    assert(a eq Similarity.knnNeighbors(spark, dir))
+    assert(QueryCaches.pending <= before + 3,
+      s"graph consumers registered ${QueryCaches.pending - before} caches — " +
+      "did one rebuild the kNN join?")
+    QueryCaches.drain()
+  }
+
   test("q167 composes the same shared relations q56/q129 would build") {
     QueryCaches.drain()
     // Prime the registry the way a composed pipeline would (q56 + q129
