@@ -962,9 +962,16 @@ object Similarity {
     */
   private val q185: Q = (s, dir) => {
     val e = embVecs(s, dir)
+    // ONE brute-force ground-truth pass serves all three branches (the
+    // recallAudit composition would re-run q45 per nprobe)
+    val exact = graft.util.QueryCaches.tracked(
+      q45(s, dir).filter(col("rank") <= 5).select(col("query_id"), col("vec_id")))
     Seq(1, 2, 4).map { np =>
-      recallAudit(s, dir, ivfTopK(e, trainedCentroids(e), np))
-        .agg(sum("k").as("k_total"), sum("hits").as("hits_total"))
+      val hits = ivfTopK(e, trainedCentroids(e), np).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(hits, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits_total"))
         .select(lit(np).as("nprobe"), col("k_total"), col("hits_total"),
           (col("hits_total").cast("double") / col("k_total")).as("recall"))
     }.reduce(_.unionByName(_)).orderBy("nprobe")
