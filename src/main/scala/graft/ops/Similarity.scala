@@ -1184,6 +1184,93 @@ object Similarity {
        |SELECT vec_id, cluster_id, (cluster_id = vec_id) AS is_canonical
        |FROM ecc ORDER BY vec_id""".stripMargin
 
+  /** q197 — embedding-cluster label purity: q129's resolved near-dup
+    * clusters joined to the class labels — per cluster, its size, the
+    * majority label (smallest label among ties, deterministically), and
+    * the purity ratio. A near-dup cluster spanning labels means either
+    * the labels are noisy or the 0.4-cosine dedup bar is too loose for
+    * this space — the cross-check that decides whether cluster-level
+    * survivorship (q144's rule) can be trusted to preserve label
+    * balance. Composes the SHARED embedding-cluster relation (keyed
+    * registry — in a composed job q129/q167/q197 pay the CC pipeline
+    * once); everything after is two bounded groupBys and a small
+    * equi-join, exact integers until the final division.
+    */
+  private val q197: Q = (s, dir) => {
+    val cl = embedClusters(s, dir)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+    val cnt = cl
+      .join(Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("cnt"))
+      .transform(graft.util.QueryCaches.tracked)
+    val sz = cnt.groupBy("cluster_id")
+      .agg(sum("cnt").as("size"), max("cnt").as("majority_n"))
+    cnt.join(sz, "cluster_id")
+      .filter(col("cnt") === col("majority_n"))
+      .groupBy("cluster_id")
+      .agg(max("size").as("size"), max("majority_n").as("majority_n"),
+        min("label").as("majority_label"))
+      .select(col("cluster_id"), col("size"), col("majority_n"),
+        col("majority_label"),
+        (col("majority_n").cast("double") / col("size")).as("purity"))
+      .orderBy("cluster_id")
+  }
+
+  private val q197Sql =
+    s"""WITH RECURSIVE
+       |$embClusterCtes,
+       |jc AS (SELECT ecc.cluster_id, emb.label
+       |  FROM ecc JOIN embeddings emb ON emb.vec_id = ecc.vec_id),
+       |cnt AS (SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM jc GROUP BY 1, 2),
+       |sz AS (SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS size,
+       |    CAST(max(cnt) AS BIGINT) AS majority_n
+       |  FROM cnt GROUP BY 1)
+       |SELECT cnt.cluster_id, max(sz.size) AS size,
+       |  max(sz.majority_n) AS majority_n,
+       |  min(cnt.label) AS majority_label,
+       |  CAST(max(sz.majority_n) AS DOUBLE) / max(sz.size) AS purity
+       |FROM cnt JOIN sz USING (cluster_id)
+       |WHERE cnt.cnt = sz.majority_n
+       |GROUP BY cnt.cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
+  /** q198 — kNN reciprocity: the fraction of directed kNN edges whose
+    * reverse edge also exists. Low reciprocity is the other face of
+    * q191's hubness (hubs absorb edges they never return) and the
+    * precondition check for mutual-kNN clustering and reciprocal-rank
+    * dedup rules. Composes the SHARED kNN edge relation; the
+    * reciprocity test is one left-semi self-equi-join on the swapped
+    * key of the bounded (≤3|V|-row) edge list — never touches vectors.
+    */
+  private val q198: Q = (s, dir) => {
+    val e = knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val rec = e.as("a").join(
+      e.select(col("dst").as("src"), col("src").as("dst")).as("b"),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        (col("n_reciprocal").cast("double") / col("n_edges")).as("reciprocity"))
+  }
+
+  private val q198Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+       |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM ed a
+       |  WHERE EXISTS (SELECT 1 FROM ed b
+       |                WHERE b.src = a.dst AND b.dst = a.src))
+       |SELECT tot.n_edges, rec.n_reciprocal,
+       |  CAST(rec.n_reciprocal AS DOUBLE) / tot.n_edges AS reciprocity
+       |FROM tot CROSS JOIN rec""".stripMargin
+
   /** q128 — quantizer quality audit: average best-cell cosine under the
     * seed vs the trained quantizer. This is (the cosine form of) the
     * k-means objective — the quantity Lloyd actually improves — so the
@@ -2082,6 +2169,8 @@ object Similarity {
     "q185_nprobe_sweep" -> q185,
     "q188_centroid_drift" -> q188,
     "q191_hub_audit" -> q191,
+    "q197_cluster_purity" -> q197,
+    "q198_knn_reciprocity" -> q198,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2117,6 +2206,8 @@ object Similarity {
     "q185_nprobe_sweep" -> q185Sql,
     "q188_centroid_drift" -> q188Sql,
     "q191_hub_audit" -> q191Sql,
+    "q197_cluster_purity" -> q197Sql,
+    "q198_knn_reciprocity" -> q198Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -235,6 +235,7 @@ class PlanSpec extends AnyFunSuite {
       "q180_source_token_kl",
       "q181_pagerank", "q183_filter_funnel", "q185_nprobe_sweep",
       "q186_dedup_bloom", "q192_holdout_perplexity", "q193_budget_allocation",
+      "q198_knn_reciprocity", // crosses two 1-row count aggregates, like q11
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
