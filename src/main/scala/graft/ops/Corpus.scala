@@ -436,6 +436,65 @@ object Corpus {
       |    (CAST(src_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) AS boost
       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q199 — reciprocal-rank fusion: the hybrid-retrieval combiner. Docs
+    * matching a probe term are ranked TWICE — by term frequency (the
+    * lexical signal) and by the q54 quality blend (the prior) — and
+    * fused with RRF(d) = Σ 1/(60 + rankᵢ), the standard
+    * score-scale-free fusion rule hybrid search (lexical + dense, or
+    * retrieval + quality) ships with. Both rankings run through the
+    * zero-window [[GlobalRank.rowNumber]]; each RRF term is quantized
+    * `round(10¹²/(60+rank))::BIGINT` so the fused score is an exact
+    * integer sum (float addition order can't flip near-ties); the
+    * fusion is one doc_id equi-join and the top-20 a
+    * TakeOrderedAndProject. The quality blend is bit-identical across
+    * engines (q54's proof), so both rank sorts agree everywhere.
+    */
+  private val q199: Q = (s, dir) => {
+    val hits = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> w = 'spark')")).as("tf"))
+      .filter(col("tf") > 0)
+      .transform(graft.util.QueryCaches.tracked)
+    val byTf = GlobalRank.rowNumber(hits, "rank_tf",
+        Seq(col("tf").desc, col("doc_id")))
+      .select(col("doc_id"), col("tf"), col("rank_tf"))
+    val byQ = GlobalRank.rowNumber(
+        TextStats.qualityScored(s, dir)
+          .join(hits.select("doc_id"), "doc_id")
+          .select(col("doc_id"), col("quality")),
+        "rank_q", Seq(col("quality").desc, col("doc_id")))
+      .select(col("doc_id"), col("rank_q"))
+    byTf.join(byQ, "doc_id")
+      .select(col("doc_id"), col("tf"), col("rank_tf"), col("rank_q"),
+        expr("""CAST(round(1e12 / (60 + rank_tf)) AS BIGINT)
+                | + CAST(round(1e12 / (60 + rank_q)) AS BIGINT)"""
+          .stripMargin).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q199Sql =
+    s"""WITH h AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark'))
+       |      AS INTEGER) AS tf
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0),
+       |${graft.ops.TextStats.qualityMeasuresCte("qw", "qm")},
+       |q AS (SELECT qm.doc_id, ${graft.ops.TextStats.qualityBlendSql} AS quality
+       |  FROM qm JOIN h USING (doc_id)),
+       |rt AS (SELECT doc_id, tf,
+       |    CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+       |      AS rank_tf FROM h),
+       |rq AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+       |      AS rank_q FROM q)
+       |SELECT rt.doc_id, rt.tf, rt.rank_tf, rq.rank_q,
+       |  CAST(round(1e12 / (60 + rank_tf)) AS BIGINT)
+       |    + CAST(round(1e12 / (60 + rank_q)) AS BIGINT) AS rrf_q
+       |FROM rt JOIN rq USING (doc_id)
+       |ORDER BY rrf_q DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   /** q193 — exact budget allocation by largest remainder: q151's
     * temperature weights turned into an INTEGER token allocation that
     * sums to the budget EXACTLY (1 000 000 here) — the step between "the
@@ -1017,6 +1076,7 @@ object Corpus {
     "q87_dedup_incremental" -> q87,
     "q186_dedup_bloom" -> q186,
     "q193_budget_allocation" -> q193,
+    "q199_rank_fusion" -> q199,
     "q88_equidepth_buckets" -> q88,
     "q91_sequence_pack" -> q91,
     "q169_pack_efficiency" -> q169,
@@ -1044,6 +1104,7 @@ object Corpus {
     // pre-filter, not a semantic change) — one oracle, two plans
     "q186_dedup_bloom" -> q87Sql,
     "q193_budget_allocation" -> q193Sql,
+    "q199_rank_fusion" -> q199Sql,
     "q88_equidepth_buckets" -> q88Sql,
     "q91_sequence_pack" -> q91Sql,
     "q169_pack_efficiency" -> q169Sql,

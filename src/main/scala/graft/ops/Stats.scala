@@ -486,10 +486,71 @@ object Stats {
       |FROM dev d JOIN mad m USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** q200 — deterministic bootstrap confidence interval for the mean of
+    * `value`: 100 half-sample replicas drawn by a digest predicate
+    * (replica r includes a row iff a 16-bit md5 slice of
+    * `event_id_r` is even — q62's reproducible-sampling rule, so the
+    * "randomness" is identical on any engine, any cluster, any day),
+    * each replica's mean computed EXACTLY as a scaled BIGINT via the
+    * overflow-free split floor division
+    * `(Σq div n)·10⁶ + ((Σq mod n)·10⁶) div n` (the remainder term is
+    * < n·10⁶, so this form survives 100 TB row counts where a naive
+    * `Σq·10⁶` would wrap), and the 5%/50%/95% band read off the 100
+    * integer means with the exact `percentile_disc` ⇄ `quantile_disc`
+    * twins. Scale shape: the 100-way explode is map-side and partial
+    * aggregation collapses it to ≤100 rows per partition before the
+    * one shuffle — a bootstrap over 100 TB costs one pass, not 100.
+    */
+  private val q200: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"),
+        expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q200")).as("q"))
+      .select(col("event_id"), col("q"),
+        explode(expr("sequence(0, 99)")).as("rep"))
+      .filter(expr(
+        """CAST(conv(substring(md5(concat(cast(event_id AS string), '_',
+          |  cast(rep AS string))), 1, 4), 16, 10) AS INT) % 2 = 0""".stripMargin))
+    ev.groupBy("rep")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      .select(col("rep"),
+        expr("""(sq div n) * 1000000L + ((sq % n) * 1000000L) div n""")
+          .as("mq"))
+      .createOrReplaceTempView("events_q200")
+    s.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+        |  CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY mq) AS BIGINT)
+        |    / 1e9 AS mean_lo,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mq) AS BIGINT)
+        |    / 1e9 AS mean_med,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY mq) AS BIGINT)
+        |    / 1e9 AS mean_hi
+        |FROM events_q200""".stripMargin)
+  }
+
+  private val q200Sql =
+    s"""WITH ev AS (SELECT e.event_id,
+      |    ${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q200")} AS q,
+      |    t.rep
+      |  FROM events e, unnest(generate_series(0, 99)) AS t(rep)
+      |  WHERE CAST(('0x' || substr(md5(e.event_id::VARCHAR || '_'
+      |    || t.rep::VARCHAR), 1, 4)) AS INTEGER) % 2 = 0),
+      |m AS (SELECT rep, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS BIGINT) AS sq
+      |  FROM ev GROUP BY 1),
+      |mm AS (SELECT rep,
+      |    (sq // n) * 1000000 + ((sq % n) * 1000000) // n AS mq
+      |  FROM m)
+      |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+      |  CAST(quantile_disc(mq, 0.05) AS BIGINT) / 1e9 AS mean_lo,
+      |  CAST(quantile_disc(mq, 0.5) AS BIGINT) / 1e9 AS mean_med,
+      |  CAST(quantile_disc(mq, 0.95) AS BIGINT) / 1e9 AS mean_hi
+      |FROM mm""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q180_source_token_kl" -> q180,
     "q195_zipf_fit" -> q195,
     "q196_daily_anomaly" -> q196,
+    "q200_bootstrap_ci" -> q200,
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
     "q135_mad_outliers" -> q135,
@@ -499,6 +560,7 @@ object Stats {
     "q180_source_token_kl" -> q180Sql,
     "q195_zipf_fit" -> q195Sql,
     "q196_daily_anomaly" -> q196Sql,
+    "q200_bootstrap_ci" -> q200Sql,
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
     "q135_mad_outliers" -> q135Sql,

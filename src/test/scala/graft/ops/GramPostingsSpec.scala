@@ -28,9 +28,12 @@ class GramPostingsSpec extends AnyFunSuite {
     val df = GramPostings.postings13(spark, dir)
     val tbl = df.queryExecution.analyzed.collectLeaves().head.toString()
     assert(tbl.contains("graft_postings13"), s"expected the table scan in $tbl")
-    val name = spark.catalog.listTables()
-      .filter(col("name").startsWith("graft_postings13"))
-      .collect().head.name
+    // Derive the table name from THIS query's own scan — other suites
+    // (SkewStressSpec's fixture corpus) legitimately register postings
+    // tables for other dirs in the same JVM, so a listTables().head pick
+    // is order-dependent across a full suite run.
+    val name = "graft_postings13_[0-9a-f]+".r.findFirstIn(tbl)
+      .getOrElse(fail(s"no postings table name in $tbl"))
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(name))
     assert(meta.bucketSpec.isDefined, "table must carry a bucket spec")
