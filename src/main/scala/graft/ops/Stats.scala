@@ -497,19 +497,26 @@ object Stats {
     * < n·10⁶, so this form survives 100 TB row counts where a naive
     * `Σq·10⁶` would wrap), and the 5%/50%/95% band read off the 100
     * integer means with the exact `percentile_disc` ⇄ `quantile_disc`
-    * twins. Scale shape: the 100-way explode is map-side and partial
+    * twins. Scale shape: ONE md5 per event (the digest's 128 bits carry
+    * all 100 replica memberships — bit r of the hex string decides
+    * replica r, so the per-(event, replica) work after the explode is a
+    * few integer ops, not a hash; the first form hashed per PAIR and
+    * was 3× slower), the 100-way explode is map-side, and partial
     * aggregation collapses it to ≤100 rows per partition before the
     * one shuffle — a bootstrap over 100 TB costs one pass, not 100.
     */
   private val q200: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
-      .select(col("event_id"),
+      .select(
+        md5(col("event_id").cast("string")).as("dig"),
         expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q200")).as("q"))
-      .select(col("event_id"), col("q"),
+      .select(col("dig"), col("q"),
         explode(expr("sequence(0, 99)")).as("rep"))
       .filter(expr(
-        """CAST(conv(substring(md5(concat(cast(event_id AS string), '_',
-          |  cast(rep AS string))), 1, 4), 16, 10) AS INT) % 2 = 0""".stripMargin))
+        """shiftright(
+          |  CAST(conv(substring(dig, CAST(1 + rep div 4 AS INT), 1), 16, 10)
+          |    AS INT),
+          |  CAST(rep % 4 AS INT)) % 2 = 0""".stripMargin))
     ev.groupBy("rep")
       .agg(count(lit(1)).as("n"), sum("q").as("sq"))
       .select(col("rep"),
@@ -528,12 +535,13 @@ object Stats {
   }
 
   private val q200Sql =
-    s"""WITH ev AS (SELECT e.event_id,
-      |    ${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q200")} AS q,
-      |    t.rep
-      |  FROM events e, unnest(generate_series(0, 99)) AS t(rep)
-      |  WHERE CAST(('0x' || substr(md5(e.event_id::VARCHAR || '_'
-      |    || t.rep::VARCHAR), 1, 4)) AS INTEGER) % 2 = 0),
+    s"""WITH ed AS (SELECT md5(event_id::VARCHAR) AS dig,
+      |    ${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q200")} AS q
+      |  FROM events),
+      |ev AS (SELECT e.dig, e.q, t.rep
+      |  FROM ed e, unnest(generate_series(0, 99)) AS t(rep)
+      |  WHERE (CAST(('0x' || substr(e.dig, CAST(1 + t.rep // 4 AS INTEGER), 1))
+      |    AS INTEGER) >> CAST(t.rep % 4 AS INTEGER)) % 2 = 0),
       |m AS (SELECT rep, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(q) AS BIGINT) AS sq
       |  FROM ev GROUP BY 1),
