@@ -422,6 +422,50 @@ object Similarity {
   private val q53Sql = s"WITH ${ivfCteBlock(seedCentSql)}\n$ivfSelect"
   private val q126Sql = s"WITH ${ivfCteBlock(trainedCentSql)}\n$ivfSelect"
 
+  /** q202 — IVF cell-balance audit: the trained quantizer's assignment
+    * histogram with each cell's share and its load factor vs the ideal
+    * N/k — the index-health number that decides whether nprobe (q185's
+    * dial) can be small: a 10× overloaded cell makes every probe into
+    * it scan 10× the candidates, and an empty cell is wasted training.
+    * Complements q124 (centroid shift), q161 (PQ distortion), and
+    * q128 (quantization quality) to close the index-audit family.
+    * One broadcast-quantizer assignment pass (the q53 shape), a ≤k-row
+    * aggregate, and a 1-row total broadcast — all exact integers until
+    * the two final divisions.
+    */
+  private val q202: Q = (s, dir) => {
+    val e = embVecs(s, dir)
+    val counts = assignCells(e, trainedCentroids(e))
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val tot = counts.agg(sum("n_members").as("n_vecs"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        (col("n_members").cast("double") / col("n_vecs")).as("share"),
+        (col("n_members").cast("double") * col("n_cells") / col("n_vecs"))
+          .as("load_factor"))
+      .orderBy("cell")
+  }
+
+  private val q202Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$trainedCentSql,
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM assign GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_vecs,
+       |    CAST(count(*) AS BIGINT) AS n_cells FROM counts)
+       |SELECT cell, n_members,
+       |  CAST(n_members AS DOUBLE) / n_vecs AS share,
+       |  CAST(n_members AS DOUBLE) * n_cells / n_vecs AS load_factor
+       |FROM counts CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+
   /** q57 — embedding near-duplicates within LSH buckets: q44's semantics
     * with the label block replaced by the seeded hyperplane bucket — the
     * concrete 100 TB path q44's doc promises. Pair generation is an
@@ -2171,6 +2215,7 @@ object Similarity {
     "q191_hub_audit" -> q191,
     "q197_cluster_purity" -> q197,
     "q198_knn_reciprocity" -> q198,
+    "q202_ivf_cell_balance" -> q202,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2208,6 +2253,7 @@ object Similarity {
     "q191_hub_audit" -> q191Sql,
     "q197_cluster_purity" -> q197Sql,
     "q198_knn_reciprocity" -> q198Sql,
+    "q202_ivf_cell_balance" -> q202Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -554,11 +554,74 @@ object Stats {
       |  CAST(quantile_disc(mq, 0.95) AS BIGINT) / 1e9 AS mean_hi
       |FROM mm""".stripMargin
 
+  /** q201 — shuffle-key skew scout: for every key column the engine's
+    * own queries shuffle on (documents.lang / documents.source /
+    * events.event_type / events.user_id), the cardinality, the dominant
+    * key's share, and the Herfindahl concentration Σ(share²) — the
+    * pre-run audit that decides WHERE salting (q63/q77) and AQE
+    * skew-splitting will be needed before a 100 TB shuffle discovers it.
+    * HHI comes from exact `Σ cnt²` under the [[MomentGuard]] aggregate
+    * certificate (a key family hot enough to wrap the BIGINT square sum
+    * raises identically on both engines); shares are single IEEE
+    * divides, with the squared denominator formed in DOUBLE so the
+    * derivation itself cannot overflow at any scale. Per family: one
+    * partial+final count, one |keys|-row rollup — four scan-shaped
+    * probes, a 4-row result.
+    */
+  private val q201: Q = (s, dir) => {
+    def fam(df: org.apache.spark.sql.DataFrame, table: String,
+        colName: String): DataFrame =
+      df.groupBy(col(colName).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          sum(expr("cnt * cnt")).as("s2r"), max(expr("cnt * cnt")).as("m2"))
+        .select(lit(table).as("table_name"), lit(colName).as("key_col"),
+          col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr(MomentGuard.sumGuardSpark("s2r", "n_keys", "m2", "q201"))
+            .as("s2"))
+        .select(col("table_name"), col("key_col"), col("n_keys"),
+          col("n_rows"), col("max_cnt"),
+          (col("max_cnt").cast("double") / col("n_rows")).as("max_share"),
+          (col("s2").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double")))
+            .as("hhi"))
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val ev = Tables.events(s, dir)
+    fam(docs, "documents", "lang")
+      .unionByName(fam(docs, "documents", "source"))
+      .unionByName(fam(ev, "events", "event_type"))
+      .unionByName(fam(ev, "events", "user_id"))
+      .orderBy("table_name", "key_col")
+  }
+
+  private val q201Sql = {
+    def fam(table: String, colName: String): String =
+      s"""SELECT '$table' AS table_name, '$colName' AS key_col,
+         |  n_keys, n_rows, max_cnt,
+         |  CAST(max_cnt AS DOUBLE) / n_rows AS max_share,
+         |  CAST(s2 AS DOUBLE) /
+         |    (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |    ${MomentGuard.sumGuardDuck(
+                  "CAST(sum(cnt * cnt) AS BIGINT)", "count(*)",
+                  "max(cnt * cnt)", "q201")} AS s2
+         |  FROM (SELECT $colName::VARCHAR AS k, CAST(count(*) AS BIGINT)
+         |          AS cnt FROM $table GROUP BY 1))""".stripMargin
+    Seq(fam("documents", "lang"), fam("documents", "source"),
+        fam("events", "event_type"), fam("events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, key_col")
+  }
+
   val all: Map[String, Q] = Map(
     "q180_source_token_kl" -> q180,
     "q195_zipf_fit" -> q195,
     "q196_daily_anomaly" -> q196,
     "q200_bootstrap_ci" -> q200,
+    "q201_skew_scout" -> q201,
     "q131_ols_trend" -> q131,
     "q132_corr_moments" -> q132,
     "q135_mad_outliers" -> q135,
@@ -569,6 +632,7 @@ object Stats {
     "q195_zipf_fit" -> q195Sql,
     "q196_daily_anomaly" -> q196Sql,
     "q200_bootstrap_ci" -> q200Sql,
+    "q201_skew_scout" -> q201Sql,
     "q131_ols_trend" -> q131Sql,
     "q132_corr_moments" -> q132Sql,
     "q135_mad_outliers" -> q135Sql,
