@@ -541,7 +541,82 @@ object Analytic {
       |GROUP BY n_name
       |ORDER BY revenue_cents DESC, n_name""".stripMargin
 
+  /** q203 — retention half-life: the pooled weekly retention curve
+    * (q94's cohort machinery collapsed across cohorts: share of ALL
+    * users active at week offset w) fit with OLS of log₂(rate) on w —
+    * the exponential-decay read whose slope gives the churn half-life
+    * −1/slope in weeks, the one-number retention summary a growth
+    * model consumes. Determinism: rates are exact BIGINT user counts
+    * over the broadcast total; each log₂ is quantized
+    * `round(·1e6)::BIGINT` before the moment sums (offsets are small
+    * integers, so every moment is far inside BIGINT); slope, half-life,
+    * and R² are single IEEE expressions over exactly-representable
+    * integer diffs, mirrored verbatim. Scale shape: one user-keyed
+    * min-reduce, one (user, offset)-distinct count, a ≤|weeks|-row fit.
+    */
+  private val q203: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    val offs = ev.join(first, "user_id")
+      .select(col("user_id"),
+        expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 604800000000L) +
+          " - " +
+          graft.util.SqlArith.floorDiv("unix_micros(first_ts)", 604800000000L))
+          .as("w"))
+      .distinct()
+    val tot = first.agg(countDistinct("user_id").as("n_users"))
+    val pts = offs.groupBy("w").agg(countDistinct("user_id").as("n_active"))
+      .crossJoin(broadcast(tot))
+      .select(col("w").cast("long").as("x"),
+        expr("""CAST(round(log2(CAST(n_active AS DOUBLE) / n_users) * 1e6)
+                |  AS BIGINT)""".stripMargin).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"),
+        sum(expr("y*y")).as("syy"))
+      .select(col("n"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 THEN 0D
+                |ELSE (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) / 1e6
+                |END""".stripMargin).as("slope"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*sxy - sx*sy >= 0 THEN 0D
+                |ELSE 0D - 1e6 / (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                |END""".stripMargin).as("half_life_weeks"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0D
+                |ELSE (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+                |  / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                |END""".stripMargin).as("r2"))
+  }
+
+  private val q203Sql =
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+      |o AS (SELECT DISTINCT e.user_id,
+      |    (epoch_us(e.ts) // 604800000000)
+      |      - (epoch_us(f.first_ts) // 604800000000) AS w
+      |  FROM events e JOIN f USING (user_id)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+      |p AS (SELECT CAST(o.w AS BIGINT) AS x,
+      |    CAST(round(log2(CAST(count(DISTINCT o.user_id) AS DOUBLE)
+      |      / tot.n_users) * 1e6) AS BIGINT) AS y
+      |  FROM o CROSS JOIN tot GROUP BY o.w, tot.n_users),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+      |    CAST(sum(y*y) AS BIGINT) AS syy
+      |  FROM p)
+      |SELECT n,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+      |  ELSE (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) / 1e6
+      |  END AS slope,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*sxy - sx*sy >= 0 THEN 0.0
+      |  ELSE 0.0 - 1e6 / (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |  END AS half_life_weeks,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+      |  ELSE (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+      |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+      |  END AS r2
+      |FROM m""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q203_retention_halflife" -> q203,
     "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
     "q65_grouping_sets" -> q65,
@@ -561,6 +636,7 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q203_retention_halflife" -> q203Sql,
     "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,
     "q65_grouping_sets" -> q65Sql,

@@ -248,7 +248,92 @@ object Behavioral {
       |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
       |ORDER BY stage_no""".stripMargin
 
+  /** q204 — stationary distribution of the event-type Markov chain:
+    * q97's transition counts iterated to the long-run occupancy of each
+    * event type — where user attention settles, the number that prices
+    * which flows matter. Ten power iterations in EXACT integer
+    * arithmetic (q181's discipline without teleport): π lives as
+    * BIGINTs at scale 10¹², each step sends ⌊π(i)·n(i→j) / total(i)⌋
+    * along every kept edge — floor division on non-negative BIGINTs,
+    * identical on both engines, mass conservation up to declared floor
+    * loss. Edges into types that never transition OUT would leak mass
+    * out of the iteration, so the chain is restricted to the from-type
+    * node set with row totals recomputed over kept edges (deterministic
+    * on both engines; on this data the sets coincide). Scale shape: the
+    * transition relation is ≤|types|² rows after one partial+final
+    * count; the 10 iterations are declared joins over that bounded
+    * relation — this is the q181 Pregel loop on a Markov chain, so the
+    * same plan would iterate a million-state chain (item transitions,
+    * page graphs) with each round one bounded-key shuffle.
+    */
+  private val q204: Q = (s, dir) => {
+    val S = 1000000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val trans0 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    val nodes = graft.util.QueryCaches.tracked(
+      trans0.select(col("src").as("event_type")).distinct())
+    val trans = trans0
+      .join(nodes.select(col("event_type").as("dst")), "dst")
+    val tot = trans.groupBy("src").agg(sum("n_trans").as("out_total"))
+    val ed = graft.util.QueryCaches.tracked(trans.join(tot, "src"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pi = nodes.crossJoin(broadcast(nn))
+      .select(col("event_type"), expr(s"CAST(${S}L div n AS BIGINT)").as("r"))
+    for (_ <- 1 to 10) {
+      val inc = ed.join(pi.withColumnRenamed("event_type", "src"), "src")
+        .select(col("dst").as("event_type"),
+          expr("CAST((r * n_trans) div out_total AS BIGINT)").as("c"))
+        .groupBy("event_type").agg(sum("c").as("inc"))
+      pi = nodes.join(inc, Seq("event_type"), "left")
+        .select(col("event_type"),
+          expr("CAST(coalesce(inc, 0L) AS BIGINT)").as("r"))
+    }
+    pi.select(col("event_type"), col("r").as("pi_q"),
+        (col("r").cast("double") / lit(1e12)).as("pi"))
+      .orderBy("event_type")
+  }
+
+  private val q204Sql = {
+    val S = "1000000000000"
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT nodes.event_type, coalesce(inc.s, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst AS event_type,
+         |      CAST(sum((p.r * ed.n_trans) // ed.out_total) AS BIGINT) AS s
+         |    FROM ed JOIN p${i - 1} p ON ed.src = p.event_type
+         |    GROUP BY 1) inc ON inc.event_type = nodes.event_type)"""
+        .stripMargin
+    s"""WITH t AS (SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+       |      AS next_type
+       |  FROM events),
+       |tr0 AS (SELECT event_type AS src, next_type AS dst,
+       |    CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS event_type FROM tr0),
+       |tr AS (SELECT tr0.* FROM tr0
+       |  JOIN nodes n2 ON n2.event_type = tr0.dst),
+       |tots AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS out_total
+       |  FROM tr GROUP BY 1),
+       |ed AS (SELECT tr.src, tr.dst, tr.n_trans, tots.out_total
+       |  FROM tr JOIN tots USING (src)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT nodes.event_type, $S // nn.n AS r
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to 10).map(iter).mkString(",\n")}
+       |SELECT event_type, CAST(r AS BIGINT) AS pi_q,
+       |  CAST(r AS DOUBLE) / 1e12 AS pi
+       |FROM p10 ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q204_markov_stationary" -> q204,
     "q122_funnel_windowed" -> q122,
     "q96_funnel" -> q96,
     "q97_transitions" -> q97,
@@ -257,6 +342,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q204_markov_stationary" -> q204Sql,
     "q122_funnel_windowed" -> q122Sql,
     "q96_funnel" -> q96Sql,
     "q97_transitions" -> q97Sql,
