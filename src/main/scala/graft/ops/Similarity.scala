@@ -1143,6 +1143,67 @@ object Similarity {
        |FROM nodes LEFT JOIN ind USING (vec_id)
        |GROUP BY 1 ORDER BY in_degree""".stripMargin
 
+  /** q205 — triangle census of the kNN graph: the number of triangles,
+    * the number of wedges (open 2-paths), and the global clustering
+    * coefficient 3·Δ/wedges — the "is this graph locally clumpy or
+    * star-shaped" number that, next to q191's hubness and q198's
+    * reciprocity, completes the graph-health triad (high clustering =
+    * dense semantic neighborhoods dedup/label-propagation can exploit;
+    * low clustering with high hubness = degenerate space). Classic
+    * distributed triangle counting: symmetrize, orient every edge
+    * low→high (each triangle counted exactly once), one self-join on
+    * the middle vertex to enumerate oriented wedges, one semi-join
+    * against the closing edge — with the orientation, join fan-out is
+    * bounded by the max oriented out-degree, the standard trick that
+    * keeps the enumeration linear-ish at scale. Wedge count is
+    * Σ C(deg, 2) over exact integer degrees. Composes the SHARED kNN
+    * edge relation.
+    */
+  private val q205: Q = (s, dir) => {
+    val und = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir)
+        .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .select(col("a"), col("b"), col("c"))
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        expr("""CASE WHEN n_wedges = 0 THEN 0D
+                |ELSE CAST(3 * n_triangles AS DOUBLE) / n_wedges END"""
+          .stripMargin).as("clustering_coeff"))
+  }
+
+  private val q205Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b FROM knn),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1 JOIN und e2 ON e2.a = e1.b) t
+       |  WHERE EXISTS (SELECT 1 FROM und e3
+       |                WHERE e3.a = t.a AND e3.b = t.c))
+       |SELECT tri.n_triangles, w.n_wedges,
+       |  CASE WHEN w.n_wedges = 0 THEN 0.0
+       |  ELSE CAST(3 * tri.n_triangles AS DOUBLE) / w.n_wedges END
+       |    AS clustering_coeff
+       |FROM tri CROSS JOIN w""".stripMargin
+
   /** q184 — hard-negative mining: per vector, the top-2 most-similar
     * in-bucket neighbors with a DIFFERENT label — the pairs contrastive
     * training wants as negatives precisely because they are close in
@@ -2216,6 +2277,7 @@ object Similarity {
     "q197_cluster_purity" -> q197,
     "q198_knn_reciprocity" -> q198,
     "q202_ivf_cell_balance" -> q202,
+    "q205_triangle_count" -> q205,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2254,6 +2316,7 @@ object Similarity {
     "q197_cluster_purity" -> q197Sql,
     "q198_knn_reciprocity" -> q198Sql,
     "q202_ivf_cell_balance" -> q202Sql,
+    "q205_triangle_count" -> q205Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,
