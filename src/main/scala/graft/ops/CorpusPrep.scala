@@ -870,7 +870,57 @@ object CorpusPrep {
       |JOIN tot tb ON tb.source = pr.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q208 — chunk-overlap overhead audit: what q107's (win=40,
+    * stride=30) RAG chunking actually COSTS — per corpus: documents,
+    * chunks, chunk-token mass vs raw word mass, and the overhead ratio
+    * (every overlapped token is embedded, stored, and retrieved twice).
+    * This is the number that tunes the stride/window trade before a
+    * 100 TB corpus is vectorized: overhead ≈ win/stride − 1 in the
+    * interior, less at short-doc tails — the measured value prices the
+    * tails exactly. Composes the SAME `chunk` kernel as q107 (one
+    * definition, no drift), all exact integers until the one final
+    * division; the chunk explode is map-side and the audit is a single
+    * partial+final aggregate.
+    */
+  private val q208: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    chunk(docs, win = 40, stride = 30)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("chunk_tokens"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words")), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chunks").as("n_chunks"),
+        sum("chunk_tokens").as("chunk_tokens"),
+        sum("n_words").as("raw_tokens"))
+      .select(col("n_docs"), col("n_chunks"), col("chunk_tokens"),
+        col("raw_tokens"),
+        ((col("chunk_tokens") - col("raw_tokens")).cast("double") /
+          col("raw_tokens")).as("overhead_ratio"))
+  }
+
+  private val q208Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(len(words[s + 1 : s + 40])) AS BIGINT) AS chunk_tokens
+      |  FROM w, unnest(range(0, len(words), 30)) AS t(s)
+      |  GROUP BY doc_id),
+      |j AS (SELECT c.n_chunks, c.chunk_tokens,
+      |    CAST(len(w.words) AS BIGINT) AS n_words
+      |  FROM c JOIN w USING (doc_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+      |  CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens,
+      |  CAST(sum(n_words) AS BIGINT) AS raw_tokens,
+      |  CAST(CAST(sum(chunk_tokens) AS BIGINT)
+      |    - CAST(sum(n_words) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(n_words) AS BIGINT) AS overhead_ratio
+      |FROM j""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q208_chunk_overhead" -> q208,
     "q178_source_gram_overlap" -> q178,
     "q106_fuzzy_match" -> q106,
     "q107_chunk_split" -> q107,
@@ -891,6 +941,7 @@ object CorpusPrep {
     "q178_source_gram_overlap" -> q178Sql,
     "q106_fuzzy_match" -> q106Sql,
     "q107_chunk_split" -> q107Sql,
+    "q208_chunk_overhead" -> q208Sql,
     "q108_pmi_colloc" -> q108Sql,
     "q109_substring_pairs" -> q109Sql,
     "q110_vocab_build" -> q110Sql,

@@ -1143,6 +1143,52 @@ object Similarity {
        |FROM nodes LEFT JOIN ind USING (vec_id)
        |GROUP BY 1 ORDER BY in_degree""".stripMargin
 
+  /** q207 — embedding-norm hygiene profile: per label, the vector count,
+    * zero-norm count, and exact p05/p50/p95 of the (6-dp-rounded,
+    * ×10⁶-quantized) L2 norm — the audit that catches norm collapse, an
+    * un-normalized ingest batch, or dead (all-zero) vectors before any
+    * cosine-based consumer silently degrades. The dot product is a
+    * sequential array fold (same element order both engines — the
+    * precedent the 6-dp `cosine_sim` ⇄ `list_dot_product` rounding
+    * already relies on), rounded then quantized so `percentile_disc`
+    * ranks exact BIGINTs. Map-side per-row work + grouped exact
+    * percentiles over |labels| groups.
+    */
+  private val q207: Q = (s, dir) => {
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("label"),
+        expr("""CAST(round(round(sqrt(
+                |  aggregate(zip_with(CAST(embedding AS array<double>),
+                |    CAST(embedding AS array<double>), (x, y) -> x * y),
+                |    0D, (a, x) -> a + x)), 6) * 1e6) AS BIGINT)"""
+          .stripMargin).as("nq"))
+      .createOrReplaceTempView("emb_q207")
+    s.sql(
+      """SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY nq) AS BIGINT)
+        |    / 1e6 AS norm_p05,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nq) AS BIGINT)
+        |    / 1e6 AS norm_p50,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY nq) AS BIGINT)
+        |    / 1e6 AS norm_p95
+        |FROM emb_q207 GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  private val q207Sql =
+    """WITH n AS (SELECT label,
+      |    CAST(round(round(sqrt(list_dot_product(embedding::DOUBLE[],
+      |      embedding::DOUBLE[])), 6) * 1e6) AS BIGINT) AS nq
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_norm,
+      |  CAST(quantile_disc(nq, 0.05) AS BIGINT) / 1e6 AS norm_p05,
+      |  CAST(quantile_disc(nq, 0.5) AS BIGINT) / 1e6 AS norm_p50,
+      |  CAST(quantile_disc(nq, 0.95) AS BIGINT) / 1e6 AS norm_p95
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   /** q205 — triangle census of the kNN graph: the number of triangles,
     * the number of wedges (open 2-paths), and the global clustering
     * coefficient 3·Δ/wedges — the "is this graph locally clumpy or
@@ -2278,6 +2324,7 @@ object Similarity {
     "q198_knn_reciprocity" -> q198,
     "q202_ivf_cell_balance" -> q202,
     "q205_triangle_count" -> q205,
+    "q207_norm_profile" -> q207,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2317,6 +2364,7 @@ object Similarity {
     "q198_knn_reciprocity" -> q198Sql,
     "q202_ivf_cell_balance" -> q202Sql,
     "q205_triangle_count" -> q205Sql,
+    "q207_norm_profile" -> q207Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

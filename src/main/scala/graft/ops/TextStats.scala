@@ -63,7 +63,12 @@ object TextStats {
 
   private val langs = markers.keys.toSeq.sorted
 
-  private val q48: Q = (s, dir) => {
+  /** Shared marker-scoring + argmax prediction kernel (q48's machinery,
+    * one definition for q48's per-doc view and q206's confusion matrix).
+    * Argmax ties resolve to the lexicographically first lang: the first
+    * lang (asc) that is >= all others wins.
+    */
+  private def langScoresPred(s: SparkSession, dir: String): DataFrame = {
     val scored = langs.foldLeft(
       Tables.spread(Tables.documents(s, dir))
         .withColumn("words", split(col("text"), " "))) {
@@ -71,39 +76,83 @@ object TextStats {
         df.withColumn(s"s_$l",
           size(expr(s"filter(words, w -> w IN ${sqlList(markers(l))})")))
     }
-    // argmax with ties resolved to the lexicographically first lang: the
-    // first lang (asc) that is >= all others wins.
     val pred = langs.foldRight(lit(null).cast("string")) { (l, rest) =>
       val geAll = langs.filter(_ != l)
         .map(o => col(s"s_$l") >= col(s"s_$o"))
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(rest)
     }
-    scored
-      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
-        pred.as("pred_lang") :+
-        (pred === col("lang")).as("is_correct"): _*)
-      .orderBy("doc_id")
+    scored.withColumn("pred_lang", pred)
   }
 
+  private val q48: Q = (s, dir) =>
+    langScoresPred(s, dir)
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+        col("pred_lang") :+
+        (col("pred_lang") === col("lang")).as("is_correct"): _*)
+      .orderBy("doc_id")
+
+  /** Oracle fragments shared by q48Sql and q206Sql — one definition of
+    * the marker scores and the argmax CASE. */
+  private val langScoreColsSql = langs.map(l =>
+    s"len(list_filter(words, x -> x IN ${sqlList(markers(l))})) AS s_$l")
+    .mkString(",\n  ")
+  private val langPredCaseSql = langs.map { l =>
+    val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+    s"WHEN $cond THEN '$l'"
+  }.mkString("\n    ")
+
   private val q48Sql = {
-    val scoreCols = langs.map(l =>
-      s"len(list_filter(words, x -> x IN ${sqlList(markers(l))})) AS s_$l")
-      .mkString(",\n  ")
-    val predCase = langs.map { l =>
-      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString("\n    ")
     val sInts = langs.map(l => s"CAST(s_$l AS INTEGER) AS s_$l").mkString(", ")
     s"""WITH w AS (SELECT *, string_split(text, ' ') AS words FROM documents),
        |sc AS (SELECT doc_id, lang,
-       |  $scoreCols
+       |  $langScoreColsSql
        |FROM w)
        |SELECT doc_id, $sInts,
-       |  CASE $predCase END AS pred_lang,
-       |  (CASE $predCase END) = lang AS is_correct
+       |  CASE $langPredCaseSql END AS pred_lang,
+       |  (CASE $langPredCaseSql END) = lang AS is_correct
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  /** q206 — language-ID confusion matrix: q48's predictions aggregated
+    * into (declared, predicted) counts with each cell's share of its
+    * declared row — the view that turns a per-doc classifier check into
+    * a routing decision (which declared languages the heuristic
+    * misroutes WHERE, not just how often). On the shared-vocabulary
+    * synthetic corpus the matrix is nearly uniform per row — exactly
+    * what it should read; on a real corpus the diagonal is the number
+    * that gates lang-conditioned filtering. Scale shape: the scoring is
+    * q48's map-side kernel (one shared definition, so the two cannot
+    * drift), then one ≤|langs|²-key partial+final count and a
+    * |langs|-row equi-join for the row totals.
+    */
+  private val q206: Q = (s, dir) => {
+    val c = langScoresPred(s, dir)
+      .groupBy(col("lang").as("declared_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = c.groupBy("declared_lang").agg(sum("n_docs").as("tot"))
+    c.join(tot, "declared_lang")
+      .select(col("declared_lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("tot")).as("share"))
+      .orderBy("declared_lang", "pred_lang")
+  }
+
+  private val q206Sql =
+    s"""WITH w AS (SELECT *, string_split(text, ' ') AS words FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $langScoreColsSql
+       |FROM w),
+       |p AS (SELECT lang AS declared_lang,
+       |  CASE $langPredCaseSql END AS pred_lang FROM sc),
+       |c AS (SELECT declared_lang, pred_lang, CAST(count(*) AS BIGINT)
+       |    AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |t AS (SELECT declared_lang, CAST(sum(n_docs) AS BIGINT) AS tot
+       |  FROM c GROUP BY 1)
+       |SELECT c.declared_lang, c.pred_lang, c.n_docs,
+       |  CAST(c.n_docs AS DOUBLE) / t.tot AS share
+       |FROM c JOIN t USING (declared_lang)
+       |ORDER BY declared_lang, pred_lang""".stripMargin
 
   /** q49 — document fingerprints: exact digest, whitespace-normalized
     * digest, and a winnowing-style min-shingle digest (the minimum md5
@@ -627,6 +676,7 @@ object TextStats {
   val all: Map[String, Q] = Map(
     "q183_filter_funnel" -> q183,
     "q190_token_fertility" -> q190,
+    "q206_lang_confusion" -> q206,
     "q171_heavy_hitters" -> q171,
     "q172_vocab_growth" -> q172,
     "q47_textstats" -> q47,
@@ -644,6 +694,7 @@ object TextStats {
   val oracle: Map[String, String] = Map(
     "q183_filter_funnel" -> q183Sql,
     "q190_token_fertility" -> q190Sql,
+    "q206_lang_confusion" -> q206Sql,
     "q171_heavy_hitters" -> q171Sql,
     "q172_vocab_growth" -> q172Sql,
     "q47_textstats" -> q47Sql,
