@@ -332,8 +332,63 @@ object Behavioral {
        |FROM p10 ORDER BY event_type""".stripMargin
   }
 
+  /** q209 — arrival-disorder profile: how out-of-order the event stream
+    * is in ARRIVAL order (event_id), measured as the time overlap
+    * between consecutive 1000-event arrival batches — batch k's max
+    * event time minus batch k+1's min. This is the number that SIZES
+    * `withWatermark` for the streaming pipelines (EventStreams): the
+    * p95 overlap is the lateness bound that keeps ≤5% of boundaries
+    * leaking late rows, and max is the no-loss bound. Exact integers
+    * end-to-end: µs timestamps, floor-div batch ids, overlaps clamped
+    * at 0, percentiles via the exact `percentile_disc` twins over the
+    * ≤|n|/1000-row boundary relation. Scale shape: one partial+final
+    * (batch) min/max aggregate, a self-equi-join on batch+1, a tiny
+    * percentile aggregate — arrival disorder over 100 TB of events
+    * costs one scan.
+    */
+  private val q209: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(expr(graft.util.SqlArith.floorDiv("event_id", 1000L)).as("batch"),
+        expr("unix_micros(ts)").as("us"))
+      .groupBy("batch")
+      .agg(min("us").as("min_us"), max("us").as("max_us"))
+      .createOrReplaceTempView("batches_q209")
+    s.sql(
+      """WITH ov AS (
+        |  SELECT a.batch,
+        |    greatest(CAST(0 AS BIGINT), a.max_us - b.min_us) AS overlap_us
+        |  FROM batches_q209 a JOIN batches_q209 b ON b.batch = a.batch + 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_boundaries,
+        |  CAST(sum(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disordered,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY overlap_us)
+        |    AS BIGINT) AS overlap_p50_us,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY overlap_us)
+        |    AS BIGINT) AS overlap_p95_us,
+        |  CAST(max(overlap_us) AS BIGINT) AS overlap_max_us
+        |FROM ov""".stripMargin)
+  }
+
+  private val q209Sql =
+    """WITH b AS (SELECT epoch_us(ts) AS us, event_id // 1000 AS batch
+      |  FROM events),
+      |m AS (SELECT batch, CAST(min(us) AS BIGINT) AS min_us,
+      |    CAST(max(us) AS BIGINT) AS max_us
+      |  FROM b GROUP BY 1),
+      |ov AS (SELECT a.batch,
+      |    greatest(CAST(0 AS BIGINT), a.max_us - c.min_us) AS overlap_us
+      |  FROM m a JOIN m c ON c.batch = a.batch + 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_boundaries,
+      |  CAST(sum(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_disordered,
+      |  CAST(quantile_disc(overlap_us, 0.5) AS BIGINT) AS overlap_p50_us,
+      |  CAST(quantile_disc(overlap_us, 0.95) AS BIGINT) AS overlap_p95_us,
+      |  CAST(max(overlap_us) AS BIGINT) AS overlap_max_us
+      |FROM ov""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q204_markov_stationary" -> q204,
+    "q209_arrival_disorder" -> q209,
     "q122_funnel_windowed" -> q122,
     "q96_funnel" -> q96,
     "q97_transitions" -> q97,
@@ -343,6 +398,7 @@ object Behavioral {
 
   val oracle: Map[String, String] = Map(
     "q204_markov_stationary" -> q204Sql,
+    "q209_arrival_disorder" -> q209Sql,
     "q122_funnel_windowed" -> q122Sql,
     "q96_funnel" -> q96Sql,
     "q97_transitions" -> q97Sql,

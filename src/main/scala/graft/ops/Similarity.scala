@@ -1189,6 +1189,75 @@ object Similarity {
       |  CAST(quantile_disc(nq, 0.95) AS BIGINT) / 1e6 AS norm_p95
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** q210 — split-stratification audit: does the q154/q158 digest-mod
+    * train/val/test split preserve the LABEL distribution? Per split:
+    * the chi-square statistic of its label counts against the expected
+    * allocation (split size × overall label share) over the FULL
+    * split×label grid (zero cells included — an absent label in a 1%
+    * holdout is exactly the imbalance this catches). A hash split is
+    * unbiased by construction but not balanced by luck at small holdout
+    * sizes; this is the number that says whether label-sensitive evals
+    * on the holdout are trustworthy. Determinism is q137's chi-square
+    * discipline: the deviation is staged through a column (no libm
+    * `pow`), each cell's term quantized `round(·1e9)::BIGINT` before
+    * the per-split sum. Scale shape: one (split, label) partial+final
+    * count, two tiny marginal aggregates crossed into a |splits|×
+    * |labels| grid, a 3-row result.
+    */
+  private val q210: Q = (s, dir) => {
+    val obs = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("label"),
+        expr("""CASE WHEN CAST(conv(substring(md5(cast(vec_id AS string)), 1, 4), 16, 10) AS INT) % 100 < 98 THEN 'train'
+                |WHEN CAST(conv(substring(md5(cast(vec_id AS string)), 1, 4), 16, 10) AS INT) % 100 = 98 THEN 'val'
+                |ELSE 'test' END""".stripMargin).as("split"))
+      .groupBy("split", "label").agg(count(lit(1)).as("obs"))
+      .transform(graft.util.QueryCaches.tracked)
+    val st = obs.groupBy("split").agg(sum("obs").as("split_n"))
+    val lt = obs.groupBy("label").agg(sum("obs").as("label_n"))
+    val gt = obs.agg(sum("obs").as("grand_n"))
+    st.crossJoin(broadcast(lt))
+      .join(obs, Seq("split", "label"), "left")
+      .crossJoin(broadcast(gt))
+      .withColumn("o", coalesce(col("obs"), lit(0L)).cast("double"))
+      .withColumn("exp", expr("CAST(split_n AS DOUBLE) * label_n / grand_n"))
+      .withColumn("d", col("o") - col("exp"))
+      .withColumn("tq", expr("CAST(round(d * d / exp * 1e9) AS BIGINT)"))
+      .groupBy("split")
+      .agg(max("split_n").as("n_vecs"),
+        (count(lit(1)) - 1).as("dof"),
+        sum("tq").as("chi2q"))
+      .select(col("split"), col("n_vecs"), col("dof"),
+        (col("chi2q").cast("double") / lit(1e9)).as("chi2"))
+      .orderBy("split")
+  }
+
+  private val q210Sql =
+    """WITH e AS (SELECT label,
+      |    CASE WHEN CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 4)) AS INTEGER) % 100 < 98 THEN 'train'
+      |    WHEN CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 4)) AS INTEGER) % 100 = 98 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM embeddings),
+      |obs AS (SELECT split, label, CAST(count(*) AS BIGINT) AS obs
+      |  FROM e GROUP BY 1, 2),
+      |st AS (SELECT split, CAST(sum(obs) AS BIGINT) AS split_n
+      |  FROM obs GROUP BY 1),
+      |lt AS (SELECT label, CAST(sum(obs) AS BIGINT) AS label_n
+      |  FROM obs GROUP BY 1),
+      |gt AS (SELECT CAST(sum(obs) AS BIGINT) AS grand_n FROM obs),
+      |g AS (SELECT st.split, lt.label, st.split_n, lt.label_n, gt.grand_n,
+      |    CAST(coalesce(obs.obs, 0) AS DOUBLE) AS o,
+      |    CAST(st.split_n AS DOUBLE) * lt.label_n / gt.grand_n AS exp
+      |  FROM st CROSS JOIN lt
+      |  LEFT JOIN obs ON obs.split = st.split AND obs.label = lt.label
+      |  CROSS JOIN gt),
+      |t AS (SELECT split, split_n,
+      |    CAST(round((o - exp) * (o - exp) / exp * 1e9) AS BIGINT) AS tq
+      |  FROM g)
+      |SELECT split, max(split_n) AS n_vecs,
+      |  CAST(count(*) - 1 AS BIGINT) AS dof,
+      |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+      |FROM t GROUP BY split ORDER BY split""".stripMargin
+
   /** q205 — triangle census of the kNN graph: the number of triangles,
     * the number of wedges (open 2-paths), and the global clustering
     * coefficient 3·Δ/wedges — the "is this graph locally clumpy or
@@ -2325,6 +2394,7 @@ object Similarity {
     "q202_ivf_cell_balance" -> q202,
     "q205_triangle_count" -> q205,
     "q207_norm_profile" -> q207,
+    "q210_split_stratification" -> q210,
     "q133_pq_assign" -> q133,
     "q129_embed_dedup_clusters" -> q129,
     "q128_quantizer_quality" -> q128,
@@ -2365,6 +2435,7 @@ object Similarity {
     "q202_ivf_cell_balance" -> q202Sql,
     "q205_triangle_count" -> q205Sql,
     "q207_norm_profile" -> q207Sql,
+    "q210_split_stratification" -> q210Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -240,6 +240,7 @@ class PlanSpec extends AnyFunSuite {
       "q203_retention_halflife", // crosses the 1-row user total, like q70
       "q204_markov_stationary", // crosses the 1-row node count per iteration, like q181
       "q205_triangle_count", // crosses two 1-row aggregates, like q11
+      "q210_split_stratification", // crosses the 10-row label and 1-row grand marginals
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
