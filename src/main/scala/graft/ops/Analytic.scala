@@ -615,7 +615,124 @@ object Analytic {
       |  END AS r2
       |FROM m""".stripMargin
 
+  /** q211 — join-cardinality estimation audit: for three joins the engine
+    * itself runs (customer⋈orders on custkey, orders⋈lineitem on orderkey,
+    * and the deliberately skew-hostile documents⋈documents self-join on
+    * lang), compare the System-R uniformity estimate
+    * |L|·|R| / max(ndv_L, ndv_R) against the EXACT output cardinality
+    * Σ_k n_L(k)·n_R(k), and report the q-error plus the dominant key's
+    * share of the true output. This is the number a cost-based optimizer
+    * bets a 100 TB shuffle on: the two FK joins validate the uniformity
+    * assumption (q-error ≈ 1), the language self-join shows it off by the
+    * Herfindahl factor q201 measured — the "estimate said broadcastable,
+    * reality said quadratic" failure mode. Scale shape: each side reduces
+    * to its key histogram FIRST (partial+final count), the histograms
+    * full-outer equi-join on the key, and one aggregate folds totals, ndv,
+    * exact Σ products (per-term [[MomentGuard.productGuardSpark]] + n·max
+    * sum certificate — a key hot enough to wrap 2⁶³ raises identically on
+    * both engines instead of silently mis-costing), so the audit never
+    * materializes the join it prices. Estimates/q-error are single
+    * same-order IEEE derivations from exact BIGINTs.
+    */
+  private val q211: Q = (s, dir) => {
+    import graft.util.MomentGuard
+    def audit(name: String, left: DataFrame, lKey: String,
+        right: DataFrame, rKey: String): DataFrame = {
+      val hl = left.groupBy(col(lKey).cast("string").as("k"))
+        .agg(count(lit(1)).as("nl"))
+      val hr = right.groupBy(col(rKey).cast("string").as("k"))
+        .agg(count(lit(1)).as("nr"))
+      hl.join(hr, Seq("k"), "full_outer")
+        .select(coalesce(col("nl"), lit(0L)).as("nl"),
+          coalesce(col("nr"), lit(0L)).as("nr"))
+        .withColumn("prod",
+          expr(MomentGuard.productGuardSpark("nl", "nr", "q211")))
+        .agg(sum("nl").as("n_left"), sum("nr").as("n_right"),
+          sum(when(col("nl") > 0, 1L).otherwise(0L)).as("ndv_left"),
+          sum(when(col("nr") > 0, 1L).otherwise(0L)).as("ndv_right"),
+          sum(when(col("nl") > 0 && col("nr") > 0, 1L).otherwise(0L))
+            .as("n_keys_shared"),
+          count(lit(1)).as("nk"), sum("prod").as("sp"), max("prod").as("mp"))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("n_keys_shared"),
+          expr(MomentGuard.sumGuardSpark("sp", "nk", "mp", "q211"))
+            .as("exact_rows"),
+          (col("n_left").cast("double") * col("n_right").cast("double") /
+            greatest(col("ndv_left"), col("ndv_right")).cast("double"))
+            .as("est_rows"),
+          col("mp"))
+        .select(col("join_name"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("n_keys_shared"),
+          col("exact_rows"), col("est_rows"),
+          when(col("exact_rows") === 0 || col("est_rows") === 0.0, 0.0)
+            .otherwise(greatest(
+              col("est_rows") / col("exact_rows").cast("double"),
+              col("exact_rows").cast("double") / col("est_rows")))
+            .as("q_error"),
+          when(col("exact_rows") === 0, 0.0)
+            .otherwise(col("mp").cast("double") /
+              col("exact_rows").cast("double")).as("top1_share"))
+    }
+    val docs = Tables.spread(Tables.documents(s, dir))
+    audit("customer_orders", Tables.customer(s, dir), "c_custkey",
+        Tables.orders(s, dir), "o_custkey")
+      .unionByName(audit("orders_lineitem", Tables.orders(s, dir),
+        "o_orderkey", Tables.lineitem(s, dir), "l_orderkey"))
+      .unionByName(audit("documents_lang_self", docs, "lang", docs, "lang"))
+      .orderBy("join_name")
+  }
+
+  private val q211Sql: String = {
+    import graft.util.MomentGuard
+    def frag(i: Int, name: String, lTable: String, lKey: String,
+        rTable: String, rKey: String): String =
+      s"""hl_$i AS (SELECT CAST($lKey AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS nl FROM $lTable GROUP BY 1),
+         |hr_$i AS (SELECT CAST($rKey AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS nr FROM $rTable GROUP BY 1),
+         |j_$i AS (SELECT coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr,
+         |    ${MomentGuard.productGuardDuck(
+               "coalesce(nl, 0)", "coalesce(nr, 0)", "q211")} AS prod
+         |  FROM hl_$i FULL OUTER JOIN hr_$i USING (k)),
+         |m_$i AS (SELECT CAST(sum(nl) AS BIGINT) AS n_left,
+         |    CAST(sum(nr) AS BIGINT) AS n_right,
+         |    CAST(sum(CASE WHEN nl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ndv_left,
+         |    CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ndv_right,
+         |    CAST(sum(CASE WHEN nl > 0 AND nr > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_keys_shared,
+         |    CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(prod) AS BIGINT) AS sp,
+         |    CAST(max(prod) AS BIGINT) AS mp FROM j_$i),
+         |a_$i AS (SELECT '$name' AS join_name, n_left, n_right, ndv_left,
+         |    ndv_right, n_keys_shared,
+         |    ${MomentGuard.sumGuardDuck("sp", "nk", "mp", "q211")}
+         |      AS exact_rows,
+         |    CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+         |      / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) AS est_rows,
+         |    mp FROM m_$i),
+         |f_$i AS (SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+         |    n_keys_shared, exact_rows, est_rows,
+         |    CASE WHEN exact_rows = 0 OR est_rows = 0 THEN 0.0
+         |      ELSE greatest(est_rows / CAST(exact_rows AS DOUBLE),
+         |        CAST(exact_rows AS DOUBLE) / est_rows) END AS q_error,
+         |    CASE WHEN exact_rows = 0 THEN 0.0
+         |      ELSE CAST(mp AS DOUBLE) / CAST(exact_rows AS DOUBLE) END
+         |      AS top1_share
+         |  FROM a_$i)""".stripMargin
+    s"""WITH ${frag(1, "customer_orders", "customer", "c_custkey",
+          "orders", "o_custkey")},
+       |${frag(2, "orders_lineitem", "orders", "o_orderkey",
+          "lineitem", "l_orderkey")},
+       |${frag(3, "documents_lang_self", "documents", "lang",
+          "documents", "lang")}
+       |SELECT * FROM (SELECT * FROM f_1 UNION ALL SELECT * FROM f_2
+       |  UNION ALL SELECT * FROM f_3) ORDER BY join_name""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q211_join_card_est" -> q211,
     "q203_retention_halflife" -> q203,
     "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
@@ -636,6 +753,7 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q211_join_card_est" -> q211Sql,
     "q203_retention_halflife" -> q203Sql,
     "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,

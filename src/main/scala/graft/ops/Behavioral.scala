@@ -346,18 +346,24 @@ object Behavioral {
     * percentile aggregate — arrival disorder over 100 TB of events
     * costs one scan.
     */
-  private val q209: Q = (s, dir) => {
-    Tables.events(s, dir)
+  /** Boundary-overlap kernel shared by q209 (disorder profile) and q214
+    * (state budget): per consecutive 1000-event arrival-batch pair, the
+    * time overlap `max(batch k) − min(batch k+1)` clamped at 0. */
+  private def arrivalOverlaps(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
       .select(expr(graft.util.SqlArith.floorDiv("event_id", 1000L)).as("batch"),
         expr("unix_micros(ts)").as("us"))
       .groupBy("batch")
       .agg(min("us").as("min_us"), max("us").as("max_us"))
-      .createOrReplaceTempView("batches_q209")
+    b.as("a").join(b.as("b"), col("b.batch") === col("a.batch") + 1)
+      .select(col("a.batch").as("batch"),
+        greatest(lit(0L), col("a.max_us") - col("b.min_us")).as("overlap_us"))
+  }
+
+  private val q209: Q = (s, dir) => {
+    arrivalOverlaps(s, dir).createOrReplaceTempView("ov_q209")
     s.sql(
-      """WITH ov AS (
-        |  SELECT a.batch,
-        |    greatest(CAST(0 AS BIGINT), a.max_us - b.min_us) AS overlap_us
-        |  FROM batches_q209 a JOIN batches_q209 b ON b.batch = a.batch + 1)
+      """WITH ov AS (SELECT * FROM ov_q209)
         |SELECT CAST(count(*) AS BIGINT) AS n_boundaries,
         |  CAST(sum(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_disordered,
@@ -386,7 +392,85 @@ object Behavioral {
       |  CAST(max(overlap_us) AS BIGINT) AS overlap_max_us
       |FROM ov""".stripMargin
 
+  /** q214 — stream-state capacity budget: how many rows a stream-stream
+    * join keyed on this event stream must hold in state, if its
+    * watermark is sized by q209's p95 arrival disorder. The watermark
+    * rounds up to whole minutes (span = ⌊p95/60 s⌋+1); each minute's
+    * state is the event count over the trailing span-minute window;
+    * the report is the max / exact-p95 / mean of that series plus a
+    * bytes estimate at 64 B/row — the number that decides executor
+    * memory and `spark.sql.shuffle.partitions` for the streaming
+    * pipelines BEFORE the first OOM. Scale shape: the raw stream
+    * reduces to per-minute counts first (partial+final), the trailing
+    * window is an explode over the bounded span (fan-out =
+    * disorder/60 s, never a per-event range join), the 1-row watermark
+    * crosses as a broadcast, and the final fold is over |minutes| rows.
+    */
+  private val q214: Q = (s, dir) => {
+    arrivalOverlaps(s, dir).createOrReplaceTempView("ov_q214")
+    Tables.events(s, dir)
+      .select(expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 60000000L))
+        .as("mb"))
+      .groupBy("mb").agg(count(lit(1)).as("c"))
+      .createOrReplaceTempView("mins_q214")
+    s.sql(
+      """WITH wm AS (SELECT coalesce(CAST(percentile_disc(0.95)
+        |    WITHIN GROUP (ORDER BY overlap_us) AS BIGINT),
+        |    CAST(0 AS BIGINT)) AS wm_us FROM ov_q214),
+        |sp AS (SELECT wm_us, (wm_us div 60000000) + 1 AS span_min FROM wm),
+        |ex AS (SELECT mb + k AS m, c FROM (
+        |  SELECT mb, c, explode(sequence(CAST(0 AS BIGINT),
+        |    sp.span_min - 1)) AS k
+        |  FROM mins_q214 CROSS JOIN sp)),
+        |st AS (SELECT e.m, CAST(sum(e.c) AS BIGINT) AS state_rows
+        |  FROM ex e LEFT SEMI JOIN mins_q214 mm ON mm.mb = e.m
+        |  GROUP BY e.m),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_minutes,
+        |    CAST(max(state_rows) AS BIGINT) AS max_state_rows,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY state_rows)
+        |      AS BIGINT) AS p95_state_rows,
+        |    CAST(sum(state_rows) AS BIGINT) AS sum_state FROM st)
+        |SELECT sp.wm_us, sp.span_min, f.n_minutes, f.max_state_rows,
+        |  f.p95_state_rows,
+        |  CAST(f.sum_state AS DOUBLE) / CAST(f.n_minutes AS DOUBLE)
+        |    AS avg_state_rows,
+        |  f.max_state_rows * 64 AS max_state_bytes
+        |FROM f CROSS JOIN sp""".stripMargin)
+  }
+
+  private val q214Sql =
+    """WITH b AS (SELECT epoch_us(ts) AS us, event_id // 1000 AS batch
+      |  FROM events),
+      |bm AS (SELECT batch, CAST(min(us) AS BIGINT) AS min_us,
+      |    CAST(max(us) AS BIGINT) AS max_us FROM b GROUP BY 1),
+      |ov AS (SELECT greatest(CAST(0 AS BIGINT), a.max_us - c.min_us)
+      |    AS overlap_us
+      |  FROM bm a JOIN bm c ON c.batch = a.batch + 1),
+      |wm AS (SELECT coalesce(CAST(quantile_disc(overlap_us, 0.95)
+      |    AS BIGINT), 0) AS wm_us FROM ov),
+      |sp AS (SELECT wm_us, (wm_us // 60000000) + 1 AS span_min FROM wm),
+      |mins AS (SELECT epoch_us(ts) // 60000000 AS mb,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |ex AS (SELECT m.mb + k AS m, m.c
+      |  FROM mins m, sp, unnest(generate_series(0, sp.span_min - 1))
+      |    AS t(k)),
+      |st AS (SELECT e.m, CAST(sum(e.c) AS BIGINT) AS state_rows
+      |  FROM ex e WHERE EXISTS (SELECT 1 FROM mins mm WHERE mm.mb = e.m)
+      |  GROUP BY e.m),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n_minutes,
+      |    CAST(max(state_rows) AS BIGINT) AS max_state_rows,
+      |    CAST(quantile_disc(state_rows, 0.95) AS BIGINT)
+      |      AS p95_state_rows,
+      |    CAST(sum(state_rows) AS BIGINT) AS sum_state FROM st)
+      |SELECT sp.wm_us, CAST(sp.span_min AS BIGINT) AS span_min,
+      |  f.n_minutes, f.max_state_rows, f.p95_state_rows,
+      |  CAST(f.sum_state AS DOUBLE) / CAST(f.n_minutes AS DOUBLE)
+      |    AS avg_state_rows,
+      |  CAST(f.max_state_rows * 64 AS BIGINT) AS max_state_bytes
+      |FROM f CROSS JOIN sp""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q214_stream_state_budget" -> q214,
     "q204_markov_stationary" -> q204,
     "q209_arrival_disorder" -> q209,
     "q122_funnel_windowed" -> q122,
@@ -397,6 +481,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q214_stream_state_budget" -> q214Sql,
     "q204_markov_stationary" -> q204Sql,
     "q209_arrival_disorder" -> q209Sql,
     "q122_funnel_windowed" -> q122Sql,

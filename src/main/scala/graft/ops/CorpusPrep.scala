@@ -919,7 +919,123 @@ object CorpusPrep {
       |    / CAST(sum(n_words) AS BIGINT) AS overhead_ratio
       |FROM j""".stripMargin
 
+  /** q212 — chunk-stitch audit: can q107's overlapping RAG chunks be
+    * re-linked into documents WITHOUT doc metadata, purely from the
+    * 10-word overlap fingerprint (suffix-of-full-chunk = prefix-of-next)?
+    * The un-stitchability direction is the leakage story — overlap
+    * chunking plants every full chunk's last 10 words verbatim in its
+    * successor, so "chunk-level dedup" after chunking is already
+    * compromised — and the stitchability direction is provenance
+    * recovery for corpora whose chunk→doc mapping was lost. Reports the
+    * blind suffix→prefix join's precision/recall against the true
+    * adjacency relation, plus how many fingerprints the df≤50 cap
+    * (q109's posting-cap discipline — repeated boilerplate overlaps are
+    * non-identifying and would otherwise explode the join) excluded.
+    * Scale shape: chunking and fingerprinting are one map-side codegen
+    * stage; the blind join is an equi-join on the 128-bit fingerprint
+    * whose per-key fan-out the cap bounds at 50; adjacency is a
+    * (doc, idx+1) self-equi-join; the rest is scalar folds.
+    */
+  private val q212: Q = (s, dir) => {
+    val fp = chunk(Tables.spread(Tables.documents(s, dir)), win = 40,
+        stride = 30)
+      .withColumn("cw", split(col("chunk_text"), " "))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        when(col("n_tokens") >= 10,
+          md5(array_join(slice(col("cw"), 1, 10), " "))).as("prefix_fp"),
+        when(col("n_tokens") === 40,
+          md5(array_join(slice(col("cw"), 31, 10), " "))).as("suffix_fp"))
+      .transform(graft.util.QueryCaches.tracked)
+    val pre = fp.filter(col("prefix_fp").isNotNull)
+      .select(col("doc_id").as("p_doc"), col("chunk_idx").as("p_idx"),
+        col("prefix_fp"))
+    val pdf = pre.groupBy("prefix_fp").agg(count(lit(1)).as("df"))
+      .transform(graft.util.QueryCaches.tracked)
+    val suf = fp.filter(col("suffix_fp").isNotNull)
+      .select(col("doc_id").as("s_doc"), col("chunk_idx").as("s_idx"),
+        col("suffix_fp"))
+    val blind = suf.join(pre, col("prefix_fp") === col("suffix_fp"))
+      .join(pdf.filter(col("df") <= 50).select("prefix_fp"),
+        Seq("prefix_fp"), "left_semi")
+      .filter(!(col("p_doc") === col("s_doc") &&
+        col("p_idx") === col("s_idx")))
+    val stats = fp.agg(count(lit(1)).as("n_chunks"),
+      coalesce(sum(when(col("suffix_fp").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_full_chunks"))
+    val ex = fp.as("a").join(fp.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+        col("b.chunk_idx") === col("a.chunk_idx") + 1 &&
+        col("a.n_tokens") === 40 && col("b.n_tokens") >= 10)
+      .agg(count(lit(1)).as("expected_links"))
+    val bl = blind.agg(count(lit(1)).as("n_blind_pairs"),
+      coalesce(sum(when(col("p_doc") === col("s_doc") &&
+          col("p_idx") === col("s_idx") + 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_correct_links"))
+    val nc = pdf.filter(col("df") > 50).agg(count(lit(1)).as("n_capped_fps"))
+    stats.crossJoin(broadcast(ex)).crossJoin(broadcast(bl))
+      .crossJoin(broadcast(nc))
+      .select(col("n_chunks"), col("n_full_chunks"), col("expected_links"),
+        col("n_blind_pairs"), col("n_correct_links"), col("n_capped_fps"),
+        when(col("expected_links") === 0, 0.0)
+          .otherwise(col("n_correct_links").cast("double") /
+            col("expected_links").cast("double")).as("link_recall"),
+        when(col("n_blind_pairs") === 0, 0.0)
+          .otherwise(col("n_correct_links").cast("double") /
+            col("n_blind_pairs").cast("double")).as("link_precision"))
+  }
+
+  private val q212Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |st AS (SELECT doc_id, words,
+      |  unnest(generate_series(0, len(words)-1, 30)) AS s FROM w),
+      |ch AS (SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_idx,
+      |    CAST(len(list_slice(words, s+1, s+40)) AS BIGINT) AS n_tokens,
+      |    list_slice(words, s+1, s+40) AS cw FROM st),
+      |fp AS (SELECT doc_id, chunk_idx, n_tokens,
+      |    CASE WHEN n_tokens >= 10
+      |      THEN md5(array_to_string(list_slice(cw, 1, 10), ' ')) END
+      |      AS prefix_fp,
+      |    CASE WHEN n_tokens = 40
+      |      THEN md5(array_to_string(list_slice(cw, 31, 40), ' ')) END
+      |      AS suffix_fp
+      |  FROM ch),
+      |pre AS (SELECT doc_id AS p_doc, chunk_idx AS p_idx, prefix_fp
+      |  FROM fp WHERE prefix_fp IS NOT NULL),
+      |pdf AS (SELECT prefix_fp, CAST(count(*) AS BIGINT) AS df
+      |  FROM pre GROUP BY 1),
+      |blind AS (SELECT s.s_doc, s.s_idx, p.p_doc, p.p_idx
+      |  FROM (SELECT doc_id AS s_doc, chunk_idx AS s_idx, suffix_fp
+      |        FROM fp WHERE suffix_fp IS NOT NULL) s
+      |  JOIN pre p ON p.prefix_fp = s.suffix_fp
+      |  JOIN (SELECT prefix_fp FROM pdf WHERE df <= 50) k
+      |    ON k.prefix_fp = p.prefix_fp
+      |  WHERE NOT (p.p_doc = s.s_doc AND p.p_idx = s.s_idx)),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(coalesce(sum(CASE WHEN suffix_fp IS NOT NULL THEN 1
+      |      ELSE 0 END), 0) AS BIGINT) AS n_full_chunks FROM fp),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS expected_links
+      |  FROM fp a JOIN fp b ON b.doc_id = a.doc_id
+      |    AND b.chunk_idx = a.chunk_idx + 1
+      |    AND a.n_tokens = 40 AND b.n_tokens >= 10),
+      |bl AS (SELECT CAST(count(*) AS BIGINT) AS n_blind_pairs,
+      |    CAST(coalesce(sum(CASE WHEN p_doc = s_doc AND p_idx = s_idx + 1
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct_links
+      |  FROM blind),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+      |  FROM pdf WHERE df > 50)
+      |SELECT stats.n_chunks, stats.n_full_chunks, ex.expected_links,
+      |  bl.n_blind_pairs, bl.n_correct_links, nc.n_capped_fps,
+      |  CASE WHEN ex.expected_links = 0 THEN 0.0
+      |    ELSE CAST(bl.n_correct_links AS DOUBLE)
+      |      / CAST(ex.expected_links AS DOUBLE) END AS link_recall,
+      |  CASE WHEN bl.n_blind_pairs = 0 THEN 0.0
+      |    ELSE CAST(bl.n_correct_links AS DOUBLE)
+      |      / CAST(bl.n_blind_pairs AS DOUBLE) END AS link_precision
+      |FROM stats CROSS JOIN ex CROSS JOIN bl CROSS JOIN nc""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q212_chunk_stitch" -> q212,
     "q208_chunk_overhead" -> q208,
     "q178_source_gram_overlap" -> q178,
     "q106_fuzzy_match" -> q106,
@@ -938,6 +1054,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q212_chunk_stitch" -> q212Sql,
     "q178_source_gram_overlap" -> q178Sql,
     "q106_fuzzy_match" -> q106Sql,
     "q107_chunk_split" -> q107Sql,

@@ -673,7 +673,80 @@ object TextStats {
       |    / CAST(sum(n_bpe) AS BIGINT) AS chars_per_token
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q213 — per-source lexical diversity: type count, token count,
+    * type-token ratio, Simpson concentration D = Σn(n−1) / N(N−1), and
+    * the inverse-Simpson "effective vocabulary size" — the
+    * diversity-vs-boilerplate profile a mixture designer reads next to
+    * q99's entropy and q180's KL when weighting sources (a source whose
+    * effective vocabulary collapses is template spam regardless of raw
+    * size). All concentration mass is exact BIGINT arithmetic: the
+    * per-type repeat-pair count n(n−1) under the
+    * [[graft.util.MomentGuard.productGuardSpark]] per-term certificate
+    * and the n·max sum certificate (a token hot enough to wrap 2⁶³
+    * raises identically on both engines); D and its inverse are single
+    * same-order IEEE derivations at the very end. Scale shape: one
+    * token explode → (source, token) partial+final count, then a
+    * |sources|-row rollup — the same two-shuffle profile as q99.
+    */
+  private val q213: Q = (s, dir) => {
+    import graft.util.MomentGuard
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("t2",
+        expr(MomentGuard.productGuardSpark("n", "n - 1", "q213")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("n").as("n_tokens"),
+        sum("t2").as("s2"), max("t2").as("m2"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr(MomentGuard.sumGuardSpark("s2", "n_types", "m2", "q213"))
+          .as("rep_pairs"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("rep_pairs"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        when(col("n_tokens") < 2, 0.0)
+          .otherwise(col("rep_pairs").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1).cast("double"))).as("simpson_d"),
+        when(col("rep_pairs") === 0, 0.0)
+          .otherwise((col("n_tokens").cast("double") *
+            (col("n_tokens") - 1).cast("double")) /
+            col("rep_pairs").cast("double")).as("inv_simpson"))
+      .orderBy("source")
+  }
+
+  private val q213Sql: String = {
+    import graft.util.MomentGuard
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM tok WHERE length(tok) > 0 GROUP BY 1, 2),
+       |t2 AS (SELECT source, n,
+       |    ${MomentGuard.productGuardDuck("n", "n - 1", "q213")} AS t2
+       |  FROM tf),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST(sum(t2) AS BIGINT) AS s2, CAST(max(t2) AS BIGINT) AS m2
+       |  FROM t2 GROUP BY 1),
+       |g AS (SELECT source, n_types, n_tokens,
+       |    ${MomentGuard.sumGuardDuck("s2", "n_types", "m2", "q213")}
+       |      AS rep_pairs
+       |  FROM m)
+       |SELECT source, n_types, n_tokens, rep_pairs,
+       |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  CASE WHEN n_tokens < 2 THEN 0.0
+       |    ELSE CAST(rep_pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+       |      * CAST(n_tokens - 1 AS DOUBLE)) END AS simpson_d,
+       |  CASE WHEN rep_pairs = 0 THEN 0.0
+       |    ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+       |      / CAST(rep_pairs AS DOUBLE) END AS inv_simpson
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q213_simpson_diversity" -> q213,
     "q183_filter_funnel" -> q183,
     "q190_token_fertility" -> q190,
     "q206_lang_confusion" -> q206,
@@ -692,6 +765,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q213_simpson_diversity" -> q213Sql,
     "q183_filter_funnel" -> q183Sql,
     "q190_token_fertility" -> q190Sql,
     "q206_lang_confusion" -> q206Sql,

@@ -53,6 +53,24 @@ object MomentGuard {
       tag: String): String =
     sumFrag("error", sumExpr, nExpr, maxAbsExpr, tag)
 
+  private def prodFrag(raiseFn: String, aExpr: String, bExpr: String,
+      tag: String): String =
+    s"CASE WHEN CAST($aExpr AS DOUBLE) * CAST($bExpr AS DOUBLE) <= $Limit " +
+      s"THEN ($aExpr) * ($bExpr) ELSE CAST($raiseFn('$tag: BIGINT product " +
+      s"may overflow (a * b > $Limit); widen to DECIMAL(38,0) or shard the " +
+      "key') AS BIGINT) END"
+
+  /** Guard around a BIGINT × BIGINT product of NON-NEGATIVE operands
+    * (counts): the product iff its double image is ≤ the limit, else a
+    * loud raise on both engines. The double compare admits at most a
+    * one-ulp-overestimated product, which the 2% margin under 2⁶³−1
+    * absorbs. */
+  def productGuardSpark(aExpr: String, bExpr: String, tag: String): String =
+    prodFrag("raise_error", aExpr, bExpr, tag)
+
+  def productGuardDuck(aExpr: String, bExpr: String, tag: String): String =
+    prodFrag("error", aExpr, bExpr, tag)
+
   private def quantFrag(raiseFn: String, valueExpr: String, bound: Long,
       scale: Long, tag: String): String =
     s"CASE WHEN abs($valueExpr) <= ${bound}L THEN " +

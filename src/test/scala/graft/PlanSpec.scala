@@ -241,6 +241,8 @@ class PlanSpec extends AnyFunSuite {
       "q204_markov_stationary", // crosses the 1-row node count per iteration, like q181
       "q205_triangle_count", // crosses two 1-row aggregates, like q11
       "q210_split_stratification", // crosses the 10-row label and 1-row grand marginals
+      "q212_chunk_stitch", // crosses four 1-row audit aggregates, like q167
+      "q214_stream_state_budget", // crosses the 1-row watermark aggregate
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
