@@ -469,7 +469,67 @@ object Behavioral {
       |  CAST(f.max_state_rows * 64 AS BIGINT) AS max_state_bytes
       |FROM f CROSS JOIN sp""".stripMargin
 
+  /** q218 — interarrival-time profile: per-user event gaps (exact µs),
+    * folded to p50 / p95 / max / mean and the p95:p50 ratio — the
+    * burstiness fingerprint read against the exponential-process
+    * benchmark (a Poisson stream has p95/p50 = log 0.05 / log 0.5 ≈
+    * 4.32; heavy bursts push it far higher), which calibrates q71's
+    * session gap threshold and q214's state budget. The lag window
+    * partitions on `user_id` — the natural per-entity key, high-
+    * cardinality and near-balanced, the one window class that IS safe
+    * at 100 TB (unlike the skewed-lang windows this repo eliminated);
+    * ties order by event_id for determinism. Percentiles are the exact
+    * `percentile_disc` twins; mean and ratio are final IEEE divides.
+    */
+  private val q218: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"))
+      .withColumn("prev", lag("us", 1).over(
+        Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("gap_us"))
+      .createOrReplaceTempView("gaps_q218")
+    s.sql(
+      """WITH f AS (SELECT
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+        |      AS BIGINT) AS gap_p50_us,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)
+        |      AS BIGINT) AS gap_p95_us,
+        |    CAST(max(gap_us) AS BIGINT) AS gap_max_us,
+        |    CAST(sum(gap_us) AS BIGINT) AS sum_gap FROM gaps_q218)
+        |SELECT n_users, n_gaps, gap_p50_us, gap_p95_us, gap_max_us,
+        |  CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS gap_mean_us,
+        |  CASE WHEN gap_p50_us = 0 THEN 0.0
+        |    ELSE CAST(gap_p95_us AS DOUBLE) / CAST(gap_p50_us AS DOUBLE)
+        |  END AS p95_p50_ratio
+        |FROM f""".stripMargin)
+  }
+
+  private val q218Sql =
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events),
+      |g2 AS (SELECT user_id, CAST(gap_us AS BIGINT) AS gap_us FROM g
+      |  WHERE gap_us IS NOT NULL),
+      |f AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS gap_p50_us,
+      |    CAST(quantile_disc(gap_us, 0.95) AS BIGINT) AS gap_p95_us,
+      |    CAST(max(gap_us) AS BIGINT) AS gap_max_us,
+      |    CAST(sum(gap_us) AS BIGINT) AS sum_gap FROM g2)
+      |SELECT n_users, n_gaps, gap_p50_us, gap_p95_us, gap_max_us,
+      |  CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS gap_mean_us,
+      |  CASE WHEN gap_p50_us = 0 THEN 0.0
+      |    ELSE CAST(gap_p95_us AS DOUBLE) / CAST(gap_p50_us AS DOUBLE)
+      |  END AS p95_p50_ratio
+      |FROM f""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q218_interarrival_profile" -> q218,
     "q214_stream_state_budget" -> q214,
     "q204_markov_stationary" -> q204,
     "q209_arrival_disorder" -> q209,
@@ -481,6 +541,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q218_interarrival_profile" -> q218Sql,
     "q214_stream_state_budget" -> q214Sql,
     "q204_markov_stationary" -> q204Sql,
     "q209_arrival_disorder" -> q209Sql,

@@ -2370,7 +2370,181 @@ object Similarity {
        |  FROM (SELECT *, (n_shared * (n_shared - 1)) // 2 AS n_pairs
        |        FROM agg) t1) t2""".stripMargin
 
+  /** q215 — degree assortativity of the kNN graph: the Pearson
+    * correlation of endpoint total degrees over the directed edge list —
+    * the third graph-health number next to q191's hubness and q198's
+    * reciprocity (disassortative r < 0 means hubs attach to leaves: the
+    * graph funnels through few vectors, and graph-walk sampling or
+    * propagation over it will over-visit them). Degrees are exact
+    * BIGINTs; the five correlation moments accumulate under the
+    * [[graft.util.MomentGuard]] per-term product + n·max sum
+    * certificates, and r is one same-order IEEE derivation at the end.
+    * Scale shape: the SHARED bounded edge relation (≤3|V| rows) joined
+    * twice against its own degree rollup — two narrow equi-joins and a
+    * 1-row fold; vectors never cross any join.
+    */
+  private val q215: Q = (s, dir) => {
+    import graft.util.MomentGuard
+    val edges = graft.util.QueryCaches.tracked(knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+    val deg = graft.util.QueryCaches.tracked(
+      edges.select(col("src").as("v"))
+        .unionByName(edges.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg")))
+    val m = edges
+      .join(deg.select(col("v").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("y")), "dst")
+      .select(col("x"), col("y"),
+        expr(MomentGuard.productGuardSpark("x", "y", "q215")).as("xy"),
+        expr(MomentGuard.productGuardSpark("x", "x", "q215")).as("xx"),
+        expr(MomentGuard.productGuardSpark("y", "y", "q215")).as("yy"))
+      .agg(count(lit(1)).as("n_edges"), sum("x").as("sx"), sum("y").as("sy"),
+        sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"),
+        max("xy").as("mxy"), max("xx").as("mxx"), max("yy").as("myy"))
+      .select(col("n_edges"), col("sx"), col("sy"),
+        expr(MomentGuard.sumGuardSpark("sxy", "n_edges", "mxy", "q215"))
+          .as("sxy"),
+        expr(MomentGuard.sumGuardSpark("sxx", "n_edges", "mxx", "q215"))
+          .as("sxx"),
+        expr(MomentGuard.sumGuardSpark("syy", "n_edges", "myy", "q215"))
+          .as("syy"))
+    m.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"),
+        (lit(2.0) * col("n_edges").cast("double") /
+          col("n_nodes").cast("double")).as("mean_degree"),
+        expr(
+          """CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |  * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+            |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0D
+            |ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            |END""".stripMargin).as("assortativity"))
+  }
+
+  private val q215Sql: String = {
+    import graft.util.MomentGuard
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT src AS v FROM ed UNION ALL SELECT dst AS v FROM ed)
+       |  GROUP BY 1),
+       |p AS (SELECT dx.deg AS x, dy.deg AS y,
+       |    ${MomentGuard.productGuardDuck("dx.deg", "dy.deg", "q215")} AS xy,
+       |    ${MomentGuard.productGuardDuck("dx.deg", "dx.deg", "q215")} AS xx,
+       |    ${MomentGuard.productGuardDuck("dy.deg", "dy.deg", "q215")} AS yy
+       |  FROM ed JOIN deg dx ON dx.v = ed.src
+       |  JOIN deg dy ON dy.v = ed.dst),
+       |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx,
+       |    CAST(sum(yy) AS BIGINT) AS syy,
+       |    CAST(max(xy) AS BIGINT) AS mxy, CAST(max(xx) AS BIGINT) AS mxx,
+       |    CAST(max(yy) AS BIGINT) AS myy FROM p),
+       |m AS (SELECT n_edges, sx, sy,
+       |    ${MomentGuard.sumGuardDuck("sxy", "n_edges", "mxy", "q215")}
+       |      AS sxy,
+       |    ${MomentGuard.sumGuardDuck("sxx", "n_edges", "mxx", "q215")}
+       |      AS sxx,
+       |    ${MomentGuard.sumGuardDuck("syy", "n_edges", "myy", "q215")}
+       |      AS syy FROM m0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT nn.n_nodes, m.n_edges,
+       |  2.0 * CAST(m.n_edges AS DOUBLE) / CAST(nn.n_nodes AS DOUBLE)
+       |    AS mean_degree,
+       |  CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0.0
+       |  ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS assortativity
+       |FROM m CROSS JOIN nn""".stripMargin
+  }
+
+  /** q216 — graph-walk candidate recall: for q45's query vectors, the
+    * recall@5 of the exact top-5 achieved by expanding the SHARED kNN
+    * graph 1 hop (the query's own adjacency list) vs 2 hops
+    * (neighbors-of-neighbors) — the NSW/HNSW-style routing premise,
+    * measured: 2-hop expansion escapes the query's hyperplane bucket
+    * through its neighbors' buckets, recovering true neighbors the LSH
+    * blocking split while touching ≤ k + k² candidates instead of N.
+    * The recall lift from row 1 to row 2 is the argument for graph
+    * routing over flat bucket probing at 100 TB. Scale shape: the
+    * 2-hop set is one self-equi-join of the bounded (≤3 out-degree)
+    * edge relation restricted to query sources; the audit joins it
+    * against the exact ground truth on (query, vec) — never a scan of
+    * the vectors.
+    */
+  private val q216: Q = (s, dir) => {
+    val edges = graft.util.QueryCaches.tracked(knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst")))
+    val hop1 = edges.filter(col("src") < 5)
+      .select(col("src").as("query_id"), col("dst").as("cand"))
+    val hop2 = hop1.join(edges, hop1("cand") === edges("src"))
+      .select(col("query_id"), col("dst").as("cand"))
+    val cand1 = hop1.distinct()
+    val cand2 = hop1.unionByName(hop2)
+      .filter(col("cand") =!= col("query_id")).distinct()
+    val exact = graft.util.QueryCaches.tracked(
+      q45(s, dir).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id")))
+    def rec(depth: Int, c: DataFrame): DataFrame =
+      exact.join(c.select(col("query_id"), col("cand").as("vec_id"),
+          lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits_total"))
+        .select(lit(depth).as("hop_depth"), col("k_total"),
+          col("hits_total"),
+          (col("hits_total").cast("double") /
+            col("k_total").cast("double")).as("recall"))
+    rec(1, cand1).unionByName(rec(2, cand2)).orderBy("hop_depth")
+  }
+
+  private val q216Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |h1 AS (SELECT DISTINCT src AS query_id, dst AS cand FROM ed
+       |  WHERE src < 5),
+       |h2 AS (SELECT query_id, cand FROM h1
+       |  UNION SELECT q.query_id, e.dst AS cand
+       |  FROM h1 q JOIN ed e ON e.src = q.cand
+       |  WHERE e.dst <> q.query_id),
+       |$exactTop5Cte,
+       |r1 AS (SELECT 1 AS hop_depth, CAST(count(*) AS BIGINT) AS k_total,
+       |    CAST(sum(CASE WHEN h1.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_total
+       |  FROM exact LEFT JOIN h1 ON h1.query_id = exact.query_id
+       |    AND h1.cand = exact.vec_id),
+       |r2 AS (SELECT 2 AS hop_depth, CAST(count(*) AS BIGINT) AS k_total,
+       |    CAST(sum(CASE WHEN h2.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_total
+       |  FROM exact LEFT JOIN h2 ON h2.query_id = exact.query_id
+       |    AND h2.cand = exact.vec_id)
+       |SELECT hop_depth, k_total, hits_total,
+       |  CAST(hits_total AS DOUBLE) / CAST(k_total AS DOUBLE) AS recall
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       |ORDER BY hop_depth""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q215_degree_assortativity" -> q215,
+    "q216_twohop_recall" -> q216,
     "q168_pq_train_step" -> q168,
     "q167_modal_agreement" -> q167,
     "q166_label_cohesion" -> q166,
@@ -2436,6 +2610,8 @@ object Similarity {
     "q205_triangle_count" -> q205Sql,
     "q207_norm_profile" -> q207Sql,
     "q210_split_stratification" -> q210Sql,
+    "q215_degree_assortativity" -> q215Sql,
+    "q216_twohop_recall" -> q216Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -616,7 +616,89 @@ object Stats {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, key_col")
   }
 
+  /** Shared JSD term for q217 — ONE fragment interpolated into both
+    * engines so the IEEE operation sequence is identical; `cf/cb` are the
+    * per-token front/back counts, `nf/nb` the totals. Zero-count sides
+    * reduce to the exact closed form (log2(2) = 1) instead of the NaN the
+    * raw formula would produce. */
+  private val jsdTerm =
+    """CASE WHEN cf = 0 THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |WHEN cb = 0 THEN 0.5 * (CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE))
+      |ELSE 0.5 * (CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE))
+      |    * log2(2.0 * (CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE))
+      |      / ((CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE))
+      |        + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+      |  + 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    * log2(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      / ((CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE))
+      |        + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+      |END""".stripMargin
+
+  /** q217 — positional token drift: the Jensen–Shannon divergence (bits)
+    * between the token distribution of document FRONT halves and BACK
+    * halves — the positional-bias audit for truncation-based training
+    * (if models mostly see document beginnings because packing truncates,
+    * this number says how different the text they never see actually is;
+    * boilerplate headers/footers also surface here). JSD, not KL, because
+    * position-exclusive tokens are expected and must stay finite. Same
+    * determinism discipline as q180: each token's term is one shared-text
+    * IEEE derivation quantized `round(·1e7)::BIGINT` BEFORE the
+    * cross-token sum, so accumulation is exact integer arithmetic in any
+    * shuffle order. Scale shape: one positional explode →
+    * (token, half) partial+final count, a 1-row totals broadcast, and a
+    * vocabulary-sized fold to a single row.
+    */
+  private val q217: Q = (s, dir) => {
+    val cnt = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("words"), posexplode(col("words")))
+      .filter(length(col("col")) > 0)
+      .select(col("col").as("token"),
+        (col("pos") * 2 < size(col("words"))).as("front"))
+      .groupBy("token")
+      .agg(sum(when(col("front"), 1L).otherwise(0L)).as("cf"),
+        sum(when(!col("front"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum("cf").as("nf"), sum("cb").as("nb"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("termq",
+        expr(s"CAST(round(($jsdTerm) * 1e7) AS BIGINT)"))
+      .agg(max("nf").as("n_front"), max("nb").as("n_back"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cb") === 0, 1L).otherwise(0L)).as("n_front_only"),
+        sum(when(col("cf") === 0, 1L).otherwise(0L)).as("n_back_only"),
+        sum("termq").as("sq"))
+      .select(col("n_front"), col("n_back"), col("n_types"),
+        col("n_front_only"), col("n_back_only"),
+        (col("sq").cast("double") / 1e7).as("jsd_bits"))
+  }
+
+  private val q217Sql =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+       |tk AS (SELECT len(words) AS nw, unnest(words) AS token,
+       |    unnest(generate_series(1, len(words))) AS ord FROM w),
+       |t2 AS (SELECT token, (ord - 1) * 2 < nw AS front FROM tk
+       |  WHERE length(token) > 0),
+       |cnt AS (SELECT token,
+       |    CAST(sum(CASE WHEN front THEN 1 ELSE 0 END) AS BIGINT) AS cf,
+       |    CAST(sum(CASE WHEN front THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM t2 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS nf,
+       |    CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+       |terms AS (SELECT cf, cb, nf, nb,
+       |    CAST(round(($jsdTerm) * 1e7) AS BIGINT) AS termq
+       |  FROM cnt CROSS JOIN tot)
+       |SELECT CAST(max(nf) AS BIGINT) AS n_front,
+       |  CAST(max(nb) AS BIGINT) AS n_back,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_front_only,
+       |  CAST(sum(CASE WHEN cf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_back_only,
+       |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS jsd_bits
+       |FROM terms""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q217_positional_drift" -> q217,
     "q180_source_token_kl" -> q180,
     "q195_zipf_fit" -> q195,
     "q196_daily_anomaly" -> q196,
@@ -628,6 +710,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q217_positional_drift" -> q217Sql,
     "q180_source_token_kl" -> q180Sql,
     "q195_zipf_fit" -> q195Sql,
     "q196_daily_anomaly" -> q196Sql,
