@@ -2542,7 +2542,78 @@ object Similarity {
        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
        |ORDER BY hop_depth""".stripMargin
 
+  /** q220 — cluster medoid election: for every resolved embedding-dedup
+    * cluster (the SHARED q129 relation), the member minimizing total
+    * cosine distance to its cluster-mates — the embedding-space
+    * survivorship rule (keep the most central exemplar) complementing
+    * q144's quality-based and q129's min-id canonical picks, and the
+    * per-cluster centroid-without-averaging a downstream index keeps
+    * when raw-vector means are meaningless (e.g. after normalization
+    * drift, q207). Determinism: pair distances quantize
+    * `round((1−cos₆)·1e6)::BIGINT` so per-member sums are exact in any
+    * order, and the argmin ties break on vec_id via lexicographic
+    * struct-min (q69's discipline). Scale shape: the pair join blocks
+    * on cluster_id — near-dup clusters are small by construction (q162
+    * audits the size histogram), so per-block cost is bounded; sums are
+    * partial+final; no windows on the Spark side.
+    */
+  private val q220: Q = (s, dir) => {
+    val m = graft.util.QueryCaches.tracked(
+      embedClusters(s, dir)
+        .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+        .join(embVecs(s, dir), "vec_id"))
+    m.as("a").join(m.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("vec_id"),
+        expr(s"CAST(round((1.0 - round(${cosExpr("a.v", "b.v")}, 6)) * 1e6)" +
+          " AS BIGINT)").as("dq"))
+      .groupBy("cluster_id", "vec_id")
+      .agg(sum("dq").as("sumq"), count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(min(struct(col("sumq"), col("vec_id"))).as("m"),
+        (max("cnt") + 1).as("size"), sum("sumq").as("tot"))
+      .select(col("cluster_id"), col("size"),
+        col("m.vec_id").as("medoid_id"),
+        (col("m.sumq").cast("double") / 1e6 /
+          (col("size") - 1).cast("double")).as("medoid_mean_dist"),
+        (col("tot").cast("double") / 1e6 /
+          (col("size").cast("double") * (col("size") - 1).cast("double")))
+          .as("cluster_mean_dist"))
+      .orderBy("cluster_id")
+  }
+
+  private val q220Sql =
+    s"""WITH RECURSIVE
+       |$embClusterCtes,
+       |mem AS (SELECT ecc.vec_id, ecc.cluster_id, e0.v
+       |  FROM ecc JOIN e0 USING (vec_id)),
+       |pd AS (SELECT a.cluster_id, a.vec_id,
+       |    CAST(round((1.0 - round($duckCos, 6)) * 1e6) AS BIGINT) AS dq
+       |  FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
+       |    AND a.vec_id <> b.vec_id),
+       |ps AS (SELECT cluster_id, vec_id, CAST(sum(dq) AS BIGINT) AS sumq,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM pd GROUP BY 1, 2),
+       |ag AS (SELECT cluster_id, sumq, vec_id AS medoid_id, size, tot
+       |  FROM (SELECT ps.*,
+       |      CAST(max(cnt) OVER (PARTITION BY cluster_id) + 1 AS BIGINT)
+       |        AS size,
+       |      CAST(sum(sumq) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |        AS tot,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY sumq, vec_id) AS rn
+       |    FROM ps) t WHERE rn = 1)
+       |SELECT cluster_id, size, medoid_id,
+       |  CAST(sumq AS DOUBLE) / 1e6 / CAST(size - 1 AS DOUBLE)
+       |    AS medoid_mean_dist,
+       |  CAST(tot AS DOUBLE) / 1e6
+       |    / (CAST(size AS DOUBLE) * CAST(size - 1 AS DOUBLE))
+       |    AS cluster_mean_dist
+       |FROM ag ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q220_cluster_medoid" -> q220,
     "q215_degree_assortativity" -> q215,
     "q216_twohop_recall" -> q216,
     "q168_pq_train_step" -> q168,
@@ -2612,6 +2683,7 @@ object Similarity {
     "q210_split_stratification" -> q210Sql,
     "q215_degree_assortativity" -> q215Sql,
     "q216_twohop_recall" -> q216Sql,
+    "q220_cluster_medoid" -> q220Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

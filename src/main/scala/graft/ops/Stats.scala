@@ -697,7 +697,85 @@ object Stats {
        |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS jsd_bits
        |FROM terms""".stripMargin
 
+  /** q219 — salt-rebalance plan: the actionable sequel to q201's skew
+    * scout. For each shuffle-key family, size the salting the engine's
+    * own salted operators (q63/q77) would need on THIS data: with a
+    * per-reducer target of ⌈rows/32⌉ (32 = the session's shuffle
+    * parallelism), each key's salt factor is ⌈n_k/target⌉, and the plan
+    * reports how many keys need salting, the total salted partition
+    * count, and the worst per-reducer load before vs after (the
+    * skew_before → skew_after collapse is the predicted win; ≈1.0 after
+    * means the plan restores balance). All ceilings are exact
+    * floor-division identities on non-negative BIGINTs (`div` ⇄ `//`
+    * agree); the two skew ratios are final IEEE divides. Scale shape:
+    * per family one partial+final key count, a 1-row total broadcast,
+    * and a |keys|-row fold — the plan costs one scan, the shuffle it
+    * fixes costs hours.
+    */
+  private val q219: Q = (s, dir) => {
+    def plan(df: org.apache.spark.sql.DataFrame, table: String,
+        colName: String): DataFrame = {
+      val h = df.groupBy(col(colName).cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum("n").as("total"))
+      h.crossJoin(broadcast(tot))
+        .withColumn("t", expr("(total + 31L) div 32L"))
+        .withColumn("salt", expr("(n + t - 1L) div t"))
+        .withColumn("aftr", expr("(n + salt - 1L) div salt"))
+        .agg(count(lit(1)).as("n_keys"), max("total").as("n_rows"),
+          max("t").as("target_rows"), max("n").as("max_before"),
+          sum(when(col("salt") > 1, 1L).otherwise(0L)).as("n_hot_keys"),
+          sum("salt").as("n_salted_parts"), max("aftr").as("max_after"))
+        .select(lit(table).as("table_name"), lit(colName).as("key_col"),
+          col("n_rows"), col("n_keys"), col("target_rows"),
+          col("max_before"), col("n_hot_keys"), col("n_salted_parts"),
+          col("max_after"),
+          (col("max_before").cast("double") /
+            col("target_rows").cast("double")).as("skew_before"),
+          (col("max_after").cast("double") /
+            col("target_rows").cast("double")).as("skew_after"))
+    }
+    val docs = Tables.spread(Tables.documents(s, dir))
+    plan(docs, "documents", "lang")
+      .unionByName(plan(docs, "documents", "source"))
+      .unionByName(plan(Tables.events(s, dir), "events", "event_type"))
+      .orderBy("table_name", "key_col")
+  }
+
+  private val q219Sql: String = {
+    def frag(i: Int, table: String, key: String): String =
+      s"""h_$i AS (SELECT CAST($key AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY 1),
+         |t_$i AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h_$i),
+         |z_$i AS (SELECT n, total, t, salt,
+         |    (n + salt - 1) // salt AS aftr FROM (
+         |  SELECT n, total, t, (n + t - 1) // t AS salt FROM (
+         |    SELECT n, total, (total + 31) // 32 AS t
+         |    FROM h_$i CROSS JOIN t_$i) x) y),
+         |f_$i AS (SELECT '$table' AS table_name, '$key' AS key_col,
+         |    CAST(max(total) AS BIGINT) AS n_rows,
+         |    CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(max(t) AS BIGINT) AS target_rows,
+         |    CAST(max(n) AS BIGINT) AS max_before,
+         |    CAST(sum(CASE WHEN salt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_keys,
+         |    CAST(sum(salt) AS BIGINT) AS n_salted_parts,
+         |    CAST(max(aftr) AS BIGINT) AS max_after,
+         |    CAST(max(n) AS DOUBLE) / CAST(max(t) AS DOUBLE)
+         |      AS skew_before,
+         |    CAST(max(aftr) AS DOUBLE) / CAST(max(t) AS DOUBLE)
+         |      AS skew_after
+         |  FROM z_$i)""".stripMargin
+    s"""WITH ${frag(1, "documents", "lang")},
+       |${frag(2, "documents", "source")},
+       |${frag(3, "events", "event_type")}
+       |SELECT * FROM (SELECT * FROM f_1 UNION ALL SELECT * FROM f_2
+       |  UNION ALL SELECT * FROM f_3)
+       |ORDER BY table_name, key_col""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q219_salt_rebalance" -> q219,
     "q217_positional_drift" -> q217,
     "q180_source_token_kl" -> q180,
     "q195_zipf_fit" -> q195,
@@ -710,6 +788,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q219_salt_rebalance" -> q219Sql,
     "q217_positional_drift" -> q217Sql,
     "q180_source_token_kl" -> q180Sql,
     "q195_zipf_fit" -> q195Sql,
