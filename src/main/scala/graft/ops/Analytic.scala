@@ -731,8 +731,76 @@ object Analytic {
        |  UNION ALL SELECT * FROM f_3) ORDER BY join_name""".stripMargin
   }
 
+  /** q222 — ANALYZE-style table statistics for broadcast planning: per
+    * relation, exact row count, estimated in-memory row width (fixed
+    * widths for numeric/timestamp columns + exact mean VARCHAR length +
+    * 4 B string overhead), the resulting total size, and whether it
+    * clears the 10 MiB auto-broadcast threshold — the statistics a
+    * cost-based join planner (and q211's estimator) reads before
+    * choosing sides. At 100 TB the decision this feeds (broadcast vs
+    * shuffle) is the single largest plan lever; collecting it is one
+    * partial+final aggregate per table (count + one summed length
+    * expression), no second pass. String mass stays an exact BIGINT sum
+    * until the final per-row divide; widths/threshold are the same
+    * literals on both engines.
+    */
+  private val q222: Q = (s, dir) => {
+    def stats(df: DataFrame, name: String, fixed: Int,
+        vcols: Seq[String]): DataFrame = {
+      val sl = vcols.map(c => length(col(c)).cast("long")).reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), sum(sl).as("sl"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          (lit((fixed + 4 * vcols.size).toDouble) +
+            col("sl").cast("double") / col("n_rows").cast("double"))
+            .as("est_row_bytes"))
+        .select(col("table_name"), col("n_rows"), col("est_row_bytes"),
+          (col("est_row_bytes") * col("n_rows").cast("double"))
+            .as("est_total_bytes"))
+        .select(col("table_name"), col("n_rows"), col("est_row_bytes"),
+          col("est_total_bytes"),
+          (col("est_total_bytes") < 10485760.0).as("broadcastable"))
+    }
+    stats(Tables.region(s, dir), "region", 4, Seq("r_name"))
+      .unionByName(stats(Tables.nation(s, dir), "nation", 8, Seq("n_name")))
+      .unionByName(stats(Tables.customer(s, dir), "customer", 20,
+        Seq("c_name", "c_mktsegment")))
+      .unionByName(stats(Tables.supplier(s, dir), "supplier", 20,
+        Seq("s_name")))
+      .unionByName(stats(Tables.orders(s, dir), "orders", 32,
+        Seq("o_orderstatus", "o_orderpriority")))
+      .orderBy("table_name")
+  }
+
+  private val q222Sql: String = {
+    def frag(i: Int, table: String, fixed: Int, vcols: Seq[String]): String = {
+      val sl = vcols.map(c => s"length($c)").mkString(" + ")
+      val f = (fixed + 4 * vcols.size).toDouble
+      s"""f_$i AS (SELECT '$table' AS table_name,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    $f + CAST(CAST(sum($sl) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS est_row_bytes
+         |  FROM $table),
+         |g_$i AS (SELECT table_name, n_rows, est_row_bytes,
+         |    est_row_bytes * CAST(n_rows AS DOUBLE) AS est_total_bytes
+         |  FROM f_$i),
+         |h_$i AS (SELECT table_name, n_rows, est_row_bytes,
+         |    est_total_bytes, est_total_bytes < 10485760.0 AS broadcastable
+         |  FROM g_$i)""".stripMargin
+    }
+    s"""WITH ${frag(1, "region", 4, Seq("r_name"))},
+       |${frag(2, "nation", 8, Seq("n_name"))},
+       |${frag(3, "customer", 20, Seq("c_name", "c_mktsegment"))},
+       |${frag(4, "supplier", 20, Seq("s_name"))},
+       |${frag(5, "orders", 32, Seq("o_orderstatus", "o_orderpriority"))}
+       |SELECT * FROM (SELECT * FROM h_1 UNION ALL SELECT * FROM h_2
+       |  UNION ALL SELECT * FROM h_3 UNION ALL SELECT * FROM h_4
+       |  UNION ALL SELECT * FROM h_5)
+       |ORDER BY table_name""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q211_join_card_est" -> q211,
+    "q222_table_stats" -> q222,
     "q203_retention_halflife" -> q203,
     "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
@@ -754,6 +822,7 @@ object Analytic {
 
   val oracle: Map[String, String] = Map(
     "q211_join_card_est" -> q211Sql,
+    "q222_table_stats" -> q222Sql,
     "q203_retention_halflife" -> q203Sql,
     "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,

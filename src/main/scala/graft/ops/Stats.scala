@@ -774,7 +774,200 @@ object Stats {
        |ORDER BY table_name, key_col""".stripMargin
   }
 
+  /** q221 — mergeable-sketch quantile audit: estimate p50/p95/p99 of the
+    * event value stream from a fixed 1024-bucket equi-width histogram —
+    * the mergeable summary a 1000-executor job can build with ONE
+    * partial+final aggregate and zero sorts — and report each estimate
+    * against the exact `percentile_disc`, with the bucket-width bound on
+    * the error. This is the accuracy-for-scale trade quantified: exact
+    * distributed percentiles need a full sort or GlobalRank pass; the
+    * histogram needs one scan and 1024 counters. Determinism: bucket
+    * assignment and the midpoint estimate are single shared-text IEEE
+    * derivations from the 1-row min/max; thresholds ⌈p·n⌉ are exact
+    * integer ceilings; the cumulative fold is a triangle join over the
+    * BOUNDED 1024-row histogram (q163's pattern), never a window.
+    */
+  private val q221: Q = (s, dir) => {
+    Tables.events(s, dir).select(col("value").as("v"))
+      .createOrReplaceTempView("vals_q221")
+    s.sql(
+      """WITH st AS (SELECT CAST(min(v) AS DOUBLE) AS lo,
+        |    CAST(max(v) AS DOUBLE) AS hi, CAST(count(*) AS BIGINT) AS n
+        |  FROM vals_q221),
+        |b AS (SELECT CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+        |    ELSE least(CAST(floor((v - st.lo) / (st.hi - st.lo) * 1024.0)
+        |      AS BIGINT), CAST(1023 AS BIGINT)) END AS bucket
+        |  FROM vals_q221 CROSS JOIN st),
+        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b
+        |  GROUP BY bucket),
+        |cm AS (SELECT a.bucket, CAST(sum(bb.c) AS BIGINT) AS cum
+        |  FROM h a JOIN h bb ON bb.bucket <= a.bucket GROUP BY a.bucket),
+        |thr AS (SELECT CAST(0.5 AS DOUBLE) AS p, (n + 1) div 2 AS thr,
+        |    n, lo, hi FROM st
+        |  UNION ALL SELECT CAST(0.95 AS DOUBLE), (19 * n + 19) div 20,
+        |    n, lo, hi FROM st
+        |  UNION ALL SELECT CAST(0.99 AS DOUBLE), (99 * n + 99) div 100,
+        |    n, lo, hi FROM st),
+        |est AS (SELECT t.p, t.n, t.lo, t.hi,
+        |    CAST(min(c.bucket) AS BIGINT) AS eb
+        |  FROM thr t JOIN cm c ON c.cum >= t.thr
+        |  GROUP BY t.p, t.n, t.lo, t.hi),
+        |ex AS (SELECT
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+        |      AS DOUBLE) AS e50,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v)
+        |      AS DOUBLE) AS e95,
+        |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v)
+        |      AS DOUBLE) AS e99 FROM vals_q221)
+        |SELECT p, n, eb AS bucket,
+        |  lo + (CAST(eb AS DOUBLE) + 0.5) / 1024.0 * (hi - lo)
+        |    AS est_value,
+        |  CASE WHEN p = 0.5 THEN e50 WHEN p = 0.95 THEN e95 ELSE e99 END
+        |    AS exact_value,
+        |  abs(lo + (CAST(eb AS DOUBLE) + 0.5) / 1024.0 * (hi - lo)
+        |    - CASE WHEN p = 0.5 THEN e50 WHEN p = 0.95 THEN e95 ELSE e99
+        |      END) AS abs_err,
+        |  (hi - lo) / 1024.0 AS max_err_bound
+        |FROM est CROSS JOIN ex ORDER BY p""".stripMargin)
+  }
+
+  private val q221Sql =
+    """WITH st AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+      |    CAST(max(value) AS DOUBLE) AS hi, CAST(count(*) AS BIGINT) AS n
+      |  FROM events),
+      |b AS (SELECT CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+      |    ELSE least(CAST(floor((value - st.lo) / (st.hi - st.lo)
+      |      * 1024.0) AS BIGINT), CAST(1023 AS BIGINT)) END AS bucket
+      |  FROM events CROSS JOIN st),
+      |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b
+      |  GROUP BY bucket),
+      |cm AS (SELECT a.bucket, CAST(sum(bb.c) AS BIGINT) AS cum
+      |  FROM h a JOIN h bb ON bb.bucket <= a.bucket GROUP BY a.bucket),
+      |thr AS (SELECT CAST(0.5 AS DOUBLE) AS p, (n + 1) // 2 AS thr,
+      |    n, lo, hi FROM st
+      |  UNION ALL SELECT CAST(0.95 AS DOUBLE), (19 * n + 19) // 20,
+      |    n, lo, hi FROM st
+      |  UNION ALL SELECT CAST(0.99 AS DOUBLE), (99 * n + 99) // 100,
+      |    n, lo, hi FROM st),
+      |est AS (SELECT t.p, t.n, t.lo, t.hi,
+      |    CAST(min(c.bucket) AS BIGINT) AS eb
+      |  FROM thr t JOIN cm c ON c.cum >= t.thr
+      |  GROUP BY t.p, t.n, t.lo, t.hi),
+      |ex AS (SELECT
+      |    CAST(quantile_disc(value, 0.5) AS DOUBLE) AS e50,
+      |    CAST(quantile_disc(value, 0.95) AS DOUBLE) AS e95,
+      |    CAST(quantile_disc(value, 0.99) AS DOUBLE) AS e99 FROM events)
+      |SELECT p, n, eb AS bucket,
+      |  lo + (CAST(eb AS DOUBLE) + 0.5) / 1024.0 * (hi - lo)
+      |    AS est_value,
+      |  CASE WHEN p = 0.5 THEN e50 WHEN p = 0.95 THEN e95 ELSE e99 END
+      |    AS exact_value,
+      |  abs(lo + (CAST(eb AS DOUBLE) + 0.5) / 1024.0 * (hi - lo)
+      |    - CASE WHEN p = 0.5 THEN e50 WHEN p = 0.95 THEN e95 ELSE e99
+      |      END) AS abs_err,
+      |  (hi - lo) / 1024.0 AS max_err_bound
+      |FROM est CROSS JOIN ex ORDER BY p""".stripMargin
+
+  /** q223 — Neyman (σ-proportional) stratified sampling allocation: for
+    * a 1000-sample budget estimating the mean event value, each event
+    * type's share is proportional to N_h·σ_h (the variance-optimal
+    * design), floored and topped up by q193's Hamilton largest-remainder
+    * so Σ alloc = budget EXACTLY. The σ_h come from exact quantized
+    * BIGINT moments ([[graft.util.MomentGuard]] per-row envelope +
+    * aggregate certificate); the weight w = N·σ collapses to a BIGINT
+    * through ONE shared IEEE floor expression; base/remainder are exact
+    * integer div/mod (guarded product), and the remainder rank is the
+    * bounded |types|² triangle join — never a window. This is how a
+    * 100 TB profiling job decides how many rows to pull from each
+    * stratum before it pulls any.
+    */
+  private val q223: Q = (s, dir) => {
+    val B = 1000L
+    val m = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr(MomentGuard.quantizeSpark("value", 1000000L, 100L, "q223"))
+          .as("q"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(expr("q * q")).as("s2"), max(expr("q * q")).as("m2"))
+      .select(col("event_type"), col("n"), col("s1"),
+        expr(MomentGuard.sumGuardSpark("s2", "n", "m2", "q223")).as("s2"))
+      .withColumn("wq", expr(
+        """CAST(floor(CASE WHEN n < 2 THEN 0.0 ELSE
+          |CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END) AS BIGINT)"""
+          .stripMargin))
+      .transform(graft.util.QueryCaches.tracked)
+    val tot = m.agg(sum("wq").as("tw"))
+    val based = m.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"), col("wq"),
+        expr(s"""CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((${MomentGuard.productGuardSpark(s"${B}L", "wq",
+             "q223")}) div tw AS BIGINT) END""".stripMargin).as("base"),
+        expr(s"""CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)
+          |ELSE (${MomentGuard.productGuardSpark(s"${B}L", "wq",
+             "q223")}) % tw END""".stripMargin).as("rem"))
+      .transform(graft.util.QueryCaches.tracked)
+    val shortfall = based.agg((lit(B) - sum("base")).as("shortfall"))
+    val rk = based.as("a").join(based.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") &&
+            col("b.event_type") < col("a.event_type")), "left")
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg((count(col("b.event_type")) + 1).as("rem_rank"))
+    based.join(rk, "event_type").crossJoin(broadcast(shortfall))
+      .select(col("event_type"), col("n").as("n_events"), col("wq"),
+        col("base"), col("rem_rank"),
+        (col("base") +
+          when(col("rem_rank") <= col("shortfall"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("event_type")
+  }
+
+  private val q223Sql: String =
+    s"""WITH q AS (SELECT event_type,
+       |    ${MomentGuard.quantizeDuck("value", 1000000L, 100L, "q223")}
+       |      AS q FROM events),
+       |m0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(q) AS BIGINT) AS s1,
+       |    CAST(sum(q * q) AS BIGINT) AS s2,
+       |    CAST(max(q * q) AS BIGINT) AS m2 FROM q GROUP BY 1),
+       |m AS (SELECT event_type, n, s1,
+       |    ${MomentGuard.sumGuardDuck("s2", "n", "m2", "q223")} AS s2
+       |  FROM m0),
+       |w AS (SELECT event_type, n,
+       |    CAST(floor(CASE WHEN n < 2 THEN 0.0 ELSE
+       |    CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END) AS BIGINT)
+       |      AS wq FROM m),
+       |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
+       |based AS (SELECT event_type, n, wq,
+       |    CASE WHEN tot.tw = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((${MomentGuard.productGuardDuck("1000", "wq",
+            "q223")}) // tot.tw AS BIGINT) END AS base,
+       |    CASE WHEN tot.tw = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((${MomentGuard.productGuardDuck("1000", "wq",
+            "q223")}) % tot.tw AS BIGINT) END AS rem
+       |  FROM w CROSS JOIN tot),
+       |sf AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS shortfall
+       |  FROM based),
+       |rk AS (SELECT a.event_type,
+       |    CAST(count(b.event_type) + 1 AS BIGINT) AS rem_rank
+       |  FROM based a LEFT JOIN based b ON b.rem > a.rem
+       |    OR (b.rem = a.rem AND b.event_type < a.event_type)
+       |  GROUP BY 1)
+       |SELECT based.event_type, based.n AS n_events, based.wq,
+       |  based.base, rk.rem_rank,
+       |  based.base + CASE WHEN rk.rem_rank <= sf.shortfall THEN 1 ELSE 0
+       |    END AS alloc
+       |FROM based JOIN rk USING (event_type) CROSS JOIN sf
+       |ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q221_histogram_quantiles" -> q221,
+    "q223_neyman_allocation" -> q223,
     "q219_salt_rebalance" -> q219,
     "q217_positional_drift" -> q217,
     "q180_source_token_kl" -> q180,
@@ -788,6 +981,8 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q221_histogram_quantiles" -> q221Sql,
+    "q223_neyman_allocation" -> q223Sql,
     "q219_salt_rebalance" -> q219Sql,
     "q217_positional_drift" -> q217Sql,
     "q180_source_token_kl" -> q180Sql,

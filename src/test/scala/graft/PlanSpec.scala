@@ -247,6 +247,8 @@ class PlanSpec extends AnyFunSuite {
       "q216_twohop_recall", // composes q45's broadcast brute-force ground truth, like q185
       "q217_positional_drift", // crosses the 1-row front/back totals aggregate, like q70
       "q219_salt_rebalance", // crosses per-family 1-row totals aggregates, like q70
+      "q221_histogram_quantiles", // crosses the 1-row min/max/exact aggregates, like q88
+      "q223_neyman_allocation", // crosses 1-row totals/shortfall broadcasts, like q193
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
