@@ -857,6 +857,117 @@ object Corpus {
     sure.unionByName(maybe).orderBy("doc_id")
   }
 
+  /** q226 — Bloom false-positive-rate audit: the measured companion to
+    * q186 (whose spec proves the pre-filter admits no false NEGATIVES;
+    * this measures the false POSITIVES that decide how much work the
+    * pre-filter actually saves). A 16384-bit / 5-probe filter is built
+    * over the known-corpus digests and every genuinely-new candidate is
+    * probed: the maybe-verdicts among them ARE the false positives, and
+    * the measured ppm sits next to the theoretical
+    * (1 − (1−1/m)^(k·n))^k. Unlike q186's xxhash64 bloom (plan-level,
+    * oracle-free by sharing q87's result), this audit's OUTPUT depends
+    * on the bits, so the hash family is md5-derived — replayable
+    * bit-for-bit in the oracle engine. Measured ppm is an exact integer
+    * ((fp·10⁶) div n_new); the theory value is quantized to ppm so the
+    * two engines' libm `power` cannot split the hash. Scale shape: the
+    * bloom is one partial+final bit_or aggregate broadcast as ≤512
+    * 32-bit words (shift < 32 keeps both engines inside checked BIGINT); probes are map-side; the only joins are digest-keyed
+    * semi/anti joins against the known set.
+    */
+  private val q226: Q = (s, dir) => {
+    val (m, k) = (BloomBits, BloomProbes)
+    def hashed(df: DataFrame): DataFrame = df
+      .withColumn("h1",
+        expr("CAST(conv(substring(md5(digest), 1, 8), 16, 10) AS BIGINT)" +
+          " & 2147483647L"))
+      .withColumn("h2",
+        expr("CAST(conv(substring(md5(digest || 'x'), 1, 8), 16, 10)" +
+          " AS BIGINT) & 2147483647L"))
+    val known = knownDigests(s, dir)
+    val bloom = hashed(known)
+      .select(explode(expr(s"sequence(0, ${k - 1})")).as("i"),
+        col("h1"), col("h2"))
+      .select(expr(s"pmod(h1 + i * h2, $m)").as("pos"))
+      .select(expr("CAST(pos div 32 AS INT)").as("w"),
+        expr("pos % 32").as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(1L, CAST(b AS INT)))").as("bits"))
+      .agg(expr("map_from_entries(sort_array(collect_list(struct(w, bits))))")
+        .as("bm"))
+    val mightContain = (0 until k).map { i =>
+      s"""(coalesce(element_at(bm, CAST(pmod(h1 + $i * h2, $m) div 32 AS INT)), 0L)
+         |  & shiftleft(1L, CAST(pmod(h1 + $i * h2, $m) % 32 AS INT))) != 0L""".stripMargin
+    }.mkString("(", ") AND (", ")")
+    val cand = hashed(Tables.spread(Tables.documents(s, dir))
+        .filter(col("doc_id") % 2 =!= 0)
+        .withColumn("digest", md5(col("text"))))
+      .crossJoin(broadcast(bloom))
+      .withColumn("mc", expr(mightContain))
+      .select("doc_id", "digest", "mc")
+      .transform(graft.util.QueryCaches.tracked)
+    val newOnes = graft.util.QueryCaches.tracked(
+      cand.join(known, Seq("digest"), "left_anti"))
+    val a = cand.agg(count(lit(1)).as("n_candidates"))
+    val b = newOnes.agg(count(lit(1)).as("n_new"),
+      sum(when(col("mc"), 1L).otherwise(0L)).as("n_false_pos"))
+    val c = known.agg(count(lit(1)).as("n_known"))
+    c.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("n_known"), col("n_candidates"),
+        (col("n_candidates") - col("n_new")).as("n_true_dups"),
+        col("n_new"), col("n_false_pos"),
+        expr("CAST((n_false_pos * 1000000L) div n_new AS BIGINT)")
+          .as("fpp_measured_ppm"),
+        expr(s"""CAST(round(power(1.0 - power(1.0 - 1.0/$m.0,
+          |CAST(n_known AS DOUBLE) * $k.0), $k.0) * 1e6) AS BIGINT)"""
+          .stripMargin).as("fpp_theory_ppm"))
+  }
+
+  private val q226Sql = {
+    val (m, k) = (BloomBits, BloomProbes)
+    s"""WITH known AS (SELECT DISTINCT md5(text) AS digest FROM documents
+       |  WHERE doc_id % 2 = 0),
+       |kh AS (SELECT digest,
+       |    CAST(('0x' || substr(md5(digest), 1, 8)) AS BIGINT)
+       |      & 2147483647 AS h1,
+       |    CAST(('0x' || substr(md5(digest || 'x'), 1, 8)) AS BIGINT)
+       |      & 2147483647 AS h2 FROM known),
+       |pos AS (SELECT ((h1 + i * h2) % $m) AS pos FROM kh,
+       |  unnest(generate_series(0, ${k - 1})) AS t(i)),
+       |bw AS (SELECT pos // 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM pos GROUP BY 1),
+       |cand AS (SELECT doc_id, md5(text) AS digest FROM documents
+       |  WHERE doc_id % 2 <> 0),
+       |ch AS (SELECT doc_id, digest,
+       |    CAST(('0x' || substr(md5(digest), 1, 8)) AS BIGINT)
+       |      & 2147483647 AS h1,
+       |    CAST(('0x' || substr(md5(digest || 'x'), 1, 8)) AS BIGINT)
+       |      & 2147483647 AS h2 FROM cand),
+       |probes AS (SELECT doc_id, digest, ((h1 + i * h2) % $m) AS pos
+       |  FROM ch, unnest(generate_series(0, ${k - 1})) AS t(i)),
+       |hits AS (SELECT p.doc_id, p.digest,
+       |    coalesce((bw.bits & (CAST(1 AS BIGINT)
+       |      << CAST(p.pos % 32 AS INT))) <> 0, false) AS hit
+       |  FROM probes p LEFT JOIN bw ON bw.w = p.pos // 32),
+       |mcs AS (SELECT doc_id, digest, bool_and(hit) AS mc FROM hits
+       |  GROUP BY 1, 2),
+       |nw AS (SELECT mcs.* FROM mcs WHERE NOT EXISTS
+       |  (SELECT 1 FROM known WHERE known.digest = mcs.digest)),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM mcs),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN mc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos FROM nw),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_known FROM known)
+       |SELECT c.n_known, a.n_candidates,
+       |  a.n_candidates - b.n_new AS n_true_dups, b.n_new, b.n_false_pos,
+       |  CAST((b.n_false_pos * 1000000) // b.n_new AS BIGINT)
+       |    AS fpp_measured_ppm,
+       |  CAST(round(power(1.0 - power(1.0 - 1.0/$m.0,
+       |CAST(c.n_known AS DOUBLE) * $k.0), $k.0) * 1e6) AS BIGINT)
+       |    AS fpp_theory_ppm
+       |FROM c CROSS JOIN a CROSS JOIN b""".stripMargin
+  }
+
   /** q88 — equi-depth length bucketing: quartile boundaries from one
     * exact-percentile aggregate (1 row, broadcast), then every doc
     * bucketed map-side by counting boundaries below its length — the
@@ -1075,6 +1186,7 @@ object Corpus {
     "q83_source_stats" -> q83,
     "q87_dedup_incremental" -> q87,
     "q186_dedup_bloom" -> q186,
+    "q226_bloom_fpp" -> q226,
     "q193_budget_allocation" -> q193,
     "q199_rank_fusion" -> q199,
     "q88_equidepth_buckets" -> q88,
@@ -1103,6 +1215,7 @@ object Corpus {
     // q186 computes EXACTLY q87's result (the bloom is a plan-level
     // pre-filter, not a semantic change) — one oracle, two plans
     "q186_dedup_bloom" -> q87Sql,
+    "q226_bloom_fpp" -> q226Sql,
     "q193_budget_allocation" -> q193Sql,
     "q199_rank_fusion" -> q199Sql,
     "q88_equidepth_buckets" -> q88Sql,

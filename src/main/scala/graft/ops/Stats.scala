@@ -965,7 +965,144 @@ object Stats {
        |FROM based JOIN rk USING (event_type) CROSS JOIN sf
        |ORDER BY event_type""".stripMargin
 
+  /** q224 — exact two-sample Kolmogorov–Smirnov test at scale: does the
+    * 'click' value distribution differ from every other event type's?
+    * KS needs the supremum of |F_A − F_B| over the MERGED sorted sample
+    * — a global CDF, the textbook "needs a total order" operator. Here
+    * both CDFs come from [[GlobalRank.prefixSum]] over the distinct-value
+    * relation (range partition + broadcast offsets — no single-partition
+    * window anywhere), and the supremum is evaluated in EXACT integers:
+    * |cumA·n_B − cumB·n_A| per point (per-term
+    * [[MomentGuard.productGuardSpark]] certificates), max'd as BIGINTs,
+    * divided by n_A·n_B only in the final 1-row projection. The
+    * distribution-shift gate a data pipeline runs between ingest
+    * batches, with none of the usual "KS doesn't distribute" excuse.
+    */
+  private val q224: Q = (s, dir) => {
+    val d = Tables.events(s, dir)
+      .select(col("value").as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+      .groupBy("v")
+      .agg(sum("ia").as("ca"), (count(lit(1)) - sum("ia")).as("cb"))
+    val pre = GlobalRank.prefixSum(
+      GlobalRank.prefixSum(d, "pa", col("ca"), Seq(col("v"))),
+      "pb", col("cb"), Seq(col("v")))
+    val nn = d.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val e = graft.util.QueryCaches.tracked(
+      pre.crossJoin(broadcast(nn)).withColumn("diffq",
+        expr(s"abs((${MomentGuard.productGuardSpark("pa + ca", "nb",
+          "q224")}) - (${MomentGuard.productGuardSpark("pb + cb", "na",
+          "q224")}))")))
+    val st = e.agg(count(lit(1)).as("n_points"), max("na").as("n_a"),
+      max("nb").as("n_b"), max("diffq").as("ks_q"))
+    val at = e.join(broadcast(st.select(col("ks_q").as("mx"))),
+        col("diffq") === col("mx"))
+      .agg(min("v").as("ks_at_value"))
+    st.crossJoin(broadcast(at))
+      .select(col("n_a"), col("n_b"), col("n_points"), col("ks_q"),
+        (col("ks_q").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks_stat"),
+        col("ks_at_value"))
+  }
+
+  private val q224Sql: String =
+    s"""WITH d AS (SELECT value AS v,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(count(*) - sum(CASE WHEN event_type = 'click' THEN 1
+       |      ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events GROUP BY 1),
+       |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb FROM d),
+       |c AS (SELECT v,
+       |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cuma,
+       |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS cumb FROM d),
+       |e AS (SELECT v,
+       |    abs((${MomentGuard.productGuardDuck("cuma", "n.nb", "q224")})
+       |      - (${MomentGuard.productGuardDuck("cumb", "n.na", "q224")}))
+       |      AS diffq
+       |  FROM c CROSS JOIN n),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |    CAST(max(diffq) AS BIGINT) AS ks_q FROM e),
+       |at AS (SELECT min(e.v) AS ks_at_value FROM e CROSS JOIN st
+       |  WHERE e.diffq = st.ks_q)
+       |SELECT n.na AS n_a, n.nb AS n_b, st.n_points, st.ks_q,
+       |  CAST(st.ks_q AS DOUBLE)
+       |    / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_stat,
+       |  at.ks_at_value
+       |FROM st CROSS JOIN at CROSS JOIN n""".stripMargin
+
+  /** Signed Gini term with an overflow certificate — ONE template for
+    * both engines (the coefficient 2·rank − n − 1 is signed, so the
+    * stock product guard's non-negative contract doesn't apply; the
+    * check runs on |coefficient|·f). */
+  private def giniTerm(raiseFn: String): String =
+    "CASE WHEN CAST(abs(2 * rank - n_types - 1) AS DOUBLE)" +
+      " * CAST(f AS DOUBLE) <= 9.0e18" +
+      " THEN (2 * rank - n_types - 1) * f" +
+      s" ELSE CAST($raiseFn('q225: BIGINT moment may overflow; widen to " +
+      "DECIMAL(38,0)') AS BIGINT) END"
+
+  /** q225 — token-frequency Gini coefficient: the inequality of the
+    * corpus token mass, Σ(2i−n−1)·f₍ᵢ₎ / (n·Σf) over frequencies sorted
+    * ascending — with q195's Zipf slope and q213's Simpson, the third
+    * lens on "is this corpus template spam or language". The global
+    * ascending rank is [[GlobalRank.rowNumber]] (no single-partition
+    * window); each signed term carries its own overflow certificate and
+    * the sum the n·max certificate; tie groups make the formula
+    * order-invariant, so the rank tiebreak (token) cannot change the
+    * result. One explode-count, one ranked pass, one fold.
+    */
+  private val q225: Q = (s, dir) => {
+    val freq = Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    val ranked = GlobalRank.rowNumber(freq, "rank",
+      Seq(col("f"), col("token")))
+    val tot = ranked.agg(count(lit(1)).as("n_types"),
+      sum("f").as("n_tokens"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("f"), col("n_types"), col("n_tokens"),
+        expr(giniTerm("raise_error")).as("t"))
+      .agg(max("n_types").as("n_types"), max("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n"), sum("t").as("st"),
+        max(abs(col("t"))).as("mt"))
+      .select(col("n_types"), col("n_tokens"),
+        (expr(MomentGuard.sumGuardSpark("st", "n", "mt", "q225"))
+          .cast("double") /
+          (col("n_types").cast("double") * col("n_tokens").cast("double")))
+          .as("gini"))
+  }
+
+  private val q225Sql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok
+       |  WHERE length(token) > 0 GROUP BY 1),
+       |r AS (SELECT token, f,
+       |    CAST(row_number() OVER (ORDER BY f, token) AS BIGINT) AS rank
+       |  FROM freq),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(f) AS BIGINT) AS n_tokens FROM freq),
+       |tm AS (SELECT ${giniTerm("error")} AS t
+       |  FROM r CROSS JOIN tot),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(t) AS BIGINT) AS st,
+       |    CAST(max(abs(t)) AS BIGINT) AS mt FROM tm)
+       |SELECT tot.n_types, tot.n_tokens,
+       |  CAST(${MomentGuard.sumGuardDuck("st", "n", "mt", "q225")}
+       |    AS DOUBLE)
+       |    / (CAST(tot.n_types AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE))
+       |    AS gini
+       |FROM m CROSS JOIN tot""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q224_ks_test" -> q224,
+    "q225_token_gini" -> q225,
     "q221_histogram_quantiles" -> q221,
     "q223_neyman_allocation" -> q223,
     "q219_salt_rebalance" -> q219,
@@ -981,6 +1118,8 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q224_ks_test" -> q224Sql,
+    "q225_token_gini" -> q225Sql,
     "q221_histogram_quantiles" -> q221Sql,
     "q223_neyman_allocation" -> q223Sql,
     "q219_salt_rebalance" -> q219Sql,
