@@ -528,7 +528,60 @@ object Behavioral {
       |  END AS p95_p50_ratio
       |FROM f""".stripMargin
 
+  /** q227 — watermark loss curve: for candidate watermark widths
+    * (0 s / 60 s / 300 s / 900 s), exactly how many events a streaming
+    * job would DROP as too-late — each event's lateness is the gap
+    * between its time and the maximum event time among all strictly
+    * earlier ARRIVALS, i.e. an exclusive global prefix max over the
+    * arrival order. That running max is the textbook
+    * needs-a-total-order operator, computed here by the new
+    * [[GlobalRank.prefixMax]] kernel (range partition + per-range
+    * exclusive window + P-long broadcast running offsets — no
+    * `Exchange SinglePartition` anywhere), so the curve that q209's
+    * p95 summarizes is now exact per-event and per-threshold. The
+    * threshold fan-out is a bounded 4-way broadcast cross; lateness
+    * stays exact µs BIGINTs; only the final loss fractions divide.
+    */
+  private val q227: Q = (s, dir) => {
+    val pm = GlobalRank.prefixMax(
+        Tables.events(s, dir)
+          .select(col("event_id"), expr("unix_micros(ts)").as("us")),
+        "pmax", col("us"), Seq(col("event_id")))
+      .select(greatest(lit(0L),
+        coalesce(col("pmax") - col("us"), lit(0L))).as("late_us"))
+      .transform(graft.util.QueryCaches.tracked)
+    val thr = pm.sparkSession.range(1)
+      .select(explode(array(lit(0L), lit(60000000L), lit(300000000L),
+        lit(900000000L))).as("w_us"))
+    pm.crossJoin(broadcast(thr))
+      .groupBy("w_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("w_us"), 1L).otherwise(0L))
+          .as("n_late"))
+      .select(col("w_us"), col("n_events"), col("n_late"),
+        (col("n_late").cast("double") / col("n_events").cast("double"))
+          .as("late_pct"))
+      .orderBy("w_us")
+  }
+
+  private val q227Sql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT event_id, us,
+      |    max(us) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING) AS pmax FROM e),
+      |l AS (SELECT CAST(greatest(0, coalesce(pmax - us, 0)) AS BIGINT)
+      |    AS late_us FROM p),
+      |w AS (SELECT unnest(CAST([0, 60000000, 300000000, 900000000]
+      |    AS BIGINT[])) AS w_us)
+      |SELECT w.w_us, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > w.w_us THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(sum(CASE WHEN late_us > w.w_us THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS late_pct
+      |FROM l CROSS JOIN w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q227_late_event_curve" -> q227,
     "q218_interarrival_profile" -> q218,
     "q214_stream_state_budget" -> q214,
     "q204_markov_stationary" -> q204,
@@ -541,6 +594,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q227_late_event_curve" -> q227Sql,
     "q218_interarrival_profile" -> q218Sql,
     "q214_stream_state_budget" -> q214Sql,
     "q204_markov_stationary" -> q204Sql,

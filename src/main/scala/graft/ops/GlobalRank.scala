@@ -61,6 +61,64 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_off", "__gr_mid")
   }
 
+  /** Scale-safe global EXCLUSIVE prefix max: for each row, the max of
+    * `value` over all rows strictly earlier in the `sortCols` total
+    * order — exactly `MAX(v) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` including its null-for-first-row
+    * semantics, with no single-partition stage. Decomposition mirrors
+    * [[prefixSum]]: range-partition the total order, take the exclusive
+    * running max within each range (a window partitioned by the range
+    * id — bounded groups), and combine with the running max of EARLIER
+    * ranges' totals, which is P longs of driver metadata broadcast
+    * back. `value` is cast to long (exact comparisons; no float ties).
+    * Null values are ignored by both the local window max and the
+    * per-range totals, matching the window form.
+    */
+  def prefixMax(df: DataFrame, outCol: String, value: Column,
+                sortCols: Seq[Column], numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.util.QueryCaches.tracked(
+      df.repartitionByRange(p, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__gr_v", value.cast("long"))
+        .withColumn("__gr_mid", monotonically_increasing_id()))
+    // Metadata-sized action: one (pid, max) pair per non-empty range.
+    // A range whose values are all null yields a null max — carried as
+    // None so it contributes nothing to later ranges' offsets.
+    val totals = ranged
+      .groupBy(shiftright(col("__gr_mid"), 33).as("__gr_pid"))
+      .agg(max("__gr_v").as("__gr_max"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = totals.map { case (pid, m) =>
+      val row = (pid, acc)
+      acc = (acc, m) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__gr_pid", "__gr_off")
+    val win = Window.partitionBy("__gr_pid").orderBy("__gr_mid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__gr_pid", shiftright(col("__gr_mid"), 33))
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn("__gr_loc", max(col("__gr_v")).over(win))
+      .withColumn(outCol,
+        when(col("__gr_off").isNull, col("__gr_loc"))
+          .when(col("__gr_loc").isNull, col("__gr_off"))
+          .otherwise(greatest(col("__gr_off"), col("__gr_loc"))))
+      .drop("__gr_pid", "__gr_off", "__gr_mid", "__gr_v", "__gr_loc")
+  }
+
   /** Scale-safe global EXCLUSIVE prefix sum: for each row, the sum of
     * `weight` over all rows strictly earlier in the `sortCols` total
     * order — exactly `SUM(w) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED

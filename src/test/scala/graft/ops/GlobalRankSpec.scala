@@ -97,6 +97,51 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefixMax equals a driver-side exclusive running max") {
+    val spark2 = spark
+    import spark2.implicits._
+    val row = Gen.zip(Gen.choose(0L, 40L), Gen.choose(-1000L, 1000L))
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(200, row)(Gen.Parameters.default, Seed(53L + i)).get
+        .zipWithIndex.map { case ((k, v), id) => (k, v, id.toLong) }
+      val sorted = rows.sortBy(r => (r._1, r._3))
+      val expected = sorted.zip(
+          sorted.scanLeft(Option.empty[Long])((m, r) =>
+            Some(m.fold(r._2)(math.max(_, r._2)))))
+        .map { case (r, before) => r._3 -> before }.toMap
+      Seq(1, 5, 300).foreach { p =>
+        val got = GlobalRank.prefixMax(rows.toDF("k", "v", "id"), "before",
+            col("v"), Seq(col("k"), col("id")), numParts = p)
+          .select("id", "before").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) Option.empty[Long] else Some(r.getLong(1))))
+          .toMap
+        graft.util.QueryCaches.drain()
+        assert(got === expected, s"seed ${53L + i}, numParts $p")
+      }
+    }
+  }
+
+  test("prefixMax ignores null values like the window form") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows: Seq[(Long, Option[Long], Long)] =
+      Seq((0L, None, 0L), (0L, Some(5L), 1L), (1L, None, 2L),
+        (1L, Some(3L), 3L), (2L, Some(7L), 4L))
+    val expected = Map(0L -> None, 1L -> None, 2L -> Some(5L),
+      3L -> Some(5L), 4L -> Some(5L))
+    Seq(1, 3).foreach { p =>
+      val got = GlobalRank.prefixMax(rows.toDF("k", "v", "id"), "before",
+          col("v"), Seq(col("k"), col("id")), numParts = p)
+        .select("id", "before").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Option.empty[Long] else Some(r.getLong(1))))
+        .toMap
+      graft.util.QueryCaches.drain()
+      assert(got === expected, s"numParts $p")
+    }
+  }
+
   test("prefixSum on empty input yields an empty relation") {
     val spark2 = spark
     import spark2.implicits._
