@@ -798,9 +798,84 @@ object Analytic {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** q228 — shuffle-partition sizing: q222's width model applied to the
+    * FACT relations, producing the two numbers an operator actually
+    * tunes before a big job: the bytes each of the session's 32 shuffle
+    * partitions would carry, and the partition count that keeps every
+    * partition under the 64 MiB working-set budget
+    * (`ceil(total/64 MiB)`) — i.e. the computed value of
+    * `spark.sql.shuffle.partitions` / `files.maxPartitionBytes` instead
+    * of a guessed one, plus a spill_risk flag when the current 32-way
+    * layout would blow the budget. Variable-width mass (VARCHARs, the
+    * FLOAT[] embedding payload) is an exact per-row byte expression
+    * summed as BIGINTs; the only doubles are the final three
+    * derivations, identical text on both engines.
+    */
+  private val q228: Q = (s, dir) => {
+    def plan(df: DataFrame, name: String, fixed: Int,
+        varBytes: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(varBytes).as("vb"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          (lit(fixed.toDouble) + col("vb").cast("double") /
+            col("n_rows").cast("double")).as("est_row_bytes"))
+        .select(col("table_name"), col("n_rows"), col("est_row_bytes"),
+          (col("est_row_bytes") * col("n_rows").cast("double"))
+            .as("est_total_bytes"))
+        .select(col("table_name"), col("n_rows"), col("est_row_bytes"),
+          col("est_total_bytes"),
+          (col("est_total_bytes") / 32.0).as("bytes_per_part_32"),
+          expr("CAST(ceil(est_total_bytes / 67108864.0) AS BIGINT)")
+            .as("recommended_parts"),
+          (col("est_total_bytes") / 32.0 > 67108864.0).as("spill_risk"))
+    val vl = (c: String) => length(col(c)).cast("long") + 4L
+    plan(Tables.lineitem(s, dir), "lineitem", 68,
+        vl("l_returnflag") + vl("l_linestatus"))
+      .unionByName(plan(Tables.orders(s, dir), "orders", 32,
+        vl("o_orderstatus") + vl("o_orderpriority")))
+      .unionByName(plan(Tables.events(s, dir), "events", 32,
+        vl("event_type") + vl("props")))
+      .unionByName(plan(Tables.spread(Tables.documents(s, dir)),
+        "documents", 16, vl("text") + vl("lang") + vl("source")))
+      .unionByName(plan(Tables.embeddings(s, dir), "embeddings", 12,
+        size(col("embedding")).cast("long") * 4L + 4L))
+      .orderBy("table_name")
+  }
+
+  private val q228Sql: String = {
+    def frag(i: Int, table: String, fixed: Int, varSql: String): String =
+      s"""f_$i AS (SELECT '$table' AS table_name,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    $fixed.0 + CAST(CAST(sum($varSql) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS est_row_bytes
+         |  FROM $table),
+         |g_$i AS (SELECT table_name, n_rows, est_row_bytes,
+         |    est_row_bytes * CAST(n_rows AS DOUBLE) AS est_total_bytes
+         |  FROM f_$i),
+         |h_$i AS (SELECT table_name, n_rows, est_row_bytes,
+         |    est_total_bytes, est_total_bytes / 32.0 AS bytes_per_part_32,
+         |    CAST(ceil(est_total_bytes / 67108864.0) AS BIGINT)
+         |      AS recommended_parts,
+         |    est_total_bytes / 32.0 > 67108864.0 AS spill_risk
+         |  FROM g_$i)""".stripMargin
+    s"""WITH ${frag(1, "lineitem", 68,
+          "length(l_returnflag) + 4 + length(l_linestatus) + 4")},
+       |${frag(2, "orders", 32,
+          "length(o_orderstatus) + 4 + length(o_orderpriority) + 4")},
+       |${frag(3, "events", 32,
+          "length(event_type) + 4 + length(props) + 4")},
+       |${frag(4, "documents", 16,
+          "length(text) + 4 + length(lang) + 4 + length(source) + 4")},
+       |${frag(5, "embeddings", 12, "len(embedding) * 4 + 4")}
+       |SELECT * FROM (SELECT * FROM h_1 UNION ALL SELECT * FROM h_2
+       |  UNION ALL SELECT * FROM h_3 UNION ALL SELECT * FROM h_4
+       |  UNION ALL SELECT * FROM h_5)
+       |ORDER BY table_name""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q211_join_card_est" -> q211,
     "q222_table_stats" -> q222,
+    "q228_partition_sizing" -> q228,
     "q203_retention_halflife" -> q203,
     "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
@@ -823,6 +898,7 @@ object Analytic {
   val oracle: Map[String, String] = Map(
     "q211_join_card_est" -> q211Sql,
     "q222_table_stats" -> q222Sql,
+    "q228_partition_sizing" -> q228Sql,
     "q203_retention_halflife" -> q203Sql,
     "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,

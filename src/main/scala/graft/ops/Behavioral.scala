@@ -580,7 +580,85 @@ object Behavioral {
       |    / CAST(count(*) AS DOUBLE) AS late_pct
       |FROM l CROSS JOIN w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q229 — last-touch attribution via a per-user as-of join: each
+    * purchase is attributed to the latest 'click' by the same user
+    * within the preceding hour — q52's as-of machinery applied to the
+    * behavioral table, the revenue-accounting join every growth
+    * pipeline runs. The join is user-keyed equi (high-cardinality,
+    * near-balanced — the safe shuffle key) with the time window as a
+    * post-join filter and the as-of pick as a bounded groupBy-max, not
+    * a window. Revenue sums are cent-quantized BIGINTs under the
+    * per-row envelope; rate/value derivations divide once at the end;
+    * the attribution lag p50 is the exact percentile twin.
+    */
+  private val q229: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"), col("value"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("us").as("p_us"),
+        expr(graft.util.MomentGuard.quantizeSpark("value", 1000000L, 100L,
+          "q229")).as("vq"))
+      .transform(graft.util.QueryCaches.tracked)
+    pur.createOrReplaceTempView("pur_q229")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    pur.join(clicks, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") &&
+        col("c_us") > col("p_us") - lit(3600000000L))
+      .groupBy("p_id", "p_us", "vq")
+      .agg(max("c_us").as("best_c"))
+      .select(col("p_id"), col("vq"),
+        (col("p_us") - col("best_c")).as("lag_us"))
+      .createOrReplaceTempView("attr_q229")
+    s.sql(
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(coalesce(sum(vq), 0L) AS BIGINT) AS tv FROM pur_q229),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+        |    CAST(coalesce(sum(vq), 0L) AS BIGINT) AS av,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)
+        |      AS BIGINT) AS lag_p50_us FROM attr_q229)
+        |SELECT t.n_purchases, a.n_attributed,
+        |  CAST(a.n_attributed AS DOUBLE) / CAST(t.n_purchases AS DOUBLE)
+        |    AS attr_rate,
+        |  a.lag_p50_us,
+        |  CAST(t.tv AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(a.av AS DOUBLE) / 100.0 AS attributed_value
+        |FROM t CROSS JOIN a""".stripMargin)
+  }
+
+  private val q229Sql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    event_type, value FROM events),
+       |pur AS (SELECT event_id AS p_id, user_id, us AS p_us,
+       |    ${graft.util.MomentGuard.quantizeDuck("value", 1000000L, 100L,
+            "q229")} AS vq
+       |  FROM ev WHERE event_type = 'purchase'),
+       |cl AS (SELECT user_id, us AS c_us FROM ev
+       |  WHERE event_type = 'click'),
+       |cand AS (SELECT p.p_id, p.p_us, p.vq, c.c_us
+       |  FROM pur p JOIN cl c USING (user_id)
+       |  WHERE c.c_us <= p.p_us AND c.c_us > p.p_us - 3600000000),
+       |attr AS (SELECT p_id, p_us, vq, CAST(max(c_us) AS BIGINT) AS best_c
+       |  FROM cand GROUP BY 1, 2, 3),
+       |a2 AS (SELECT p_id, vq, p_us - best_c AS lag_us FROM attr),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       |    CAST(coalesce(sum(vq), 0) AS BIGINT) AS tv FROM pur),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+       |    CAST(coalesce(sum(vq), 0) AS BIGINT) AS av,
+       |    CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS lag_p50_us
+       |  FROM a2)
+       |SELECT t.n_purchases, a.n_attributed,
+       |  CAST(a.n_attributed AS DOUBLE) / CAST(t.n_purchases AS DOUBLE)
+       |    AS attr_rate,
+       |  a.lag_p50_us,
+       |  CAST(t.tv AS DOUBLE) / 100.0 AS total_value,
+       |  CAST(a.av AS DOUBLE) / 100.0 AS attributed_value
+       |FROM t CROSS JOIN a""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q229_attribution_asof" -> q229,
     "q227_late_event_curve" -> q227,
     "q218_interarrival_profile" -> q218,
     "q214_stream_state_budget" -> q214,
@@ -594,6 +672,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q229_attribution_asof" -> q229Sql,
     "q227_late_event_curve" -> q227Sql,
     "q218_interarrival_profile" -> q218Sql,
     "q214_stream_state_budget" -> q214Sql,

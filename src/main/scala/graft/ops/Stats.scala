@@ -1100,7 +1100,71 @@ object Stats {
        |    AS gini
        |FROM m CROSS JOIN tot""".stripMargin
 
+  /** q230 — winsorized robust means: per event type, the mean of values
+    * clipped to the group's exact [p05, p95] band, next to the raw mean
+    * and the clip count — the outlier-robust location estimate a
+    * monitoring pipeline trusts when q112/q135 flag tail contamination.
+    * The per-group bounds come from one exact `percentile_disc`
+    * aggregate (|types| rows, broadcast back); clipping is map-side;
+    * both means come from cent-quantized BIGINT sums under the per-row
+    * envelope, divided once at the end — so group order can never move
+    * a float sum.
+    */
+  private val q230: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("ev_q230")
+    s.sql(
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY value)
+         |      AS DOUBLE) AS lo,
+         |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY value)
+         |      AS DOUBLE) AS hi
+         |  FROM ev_q230 GROUP BY event_type),
+         |c AS (SELECT e.event_type,
+         |    ${MomentGuard.quantizeSpark("e.value", 1000000L, 100L,
+              "q230")} AS vq,
+         |    CASE WHEN e.value < b.lo THEN b.lo
+         |      WHEN e.value > b.hi THEN b.hi ELSE e.value END AS cv,
+         |    CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+         |      AS clipped
+         |  FROM ev_q230 e JOIN b USING (event_type)),
+         |d AS (SELECT event_type, vq,
+         |    ${MomentGuard.quantizeSpark("cv", 1000000L, 100L, "q230")}
+         |      AS cq, clipped FROM c)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(clipped) AS BIGINT) AS n_clipped,
+         |  CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 100.0) AS raw_mean,
+         |  CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 100.0) AS winsorized_mean
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val q230Sql: String =
+    s"""WITH b AS (SELECT event_type,
+       |    CAST(quantile_disc(value, 0.05) AS DOUBLE) AS lo,
+       |    CAST(quantile_disc(value, 0.95) AS DOUBLE) AS hi
+       |  FROM events GROUP BY event_type),
+       |c AS (SELECT e.event_type,
+       |    ${MomentGuard.quantizeDuck("value", 1000000L, 100L, "q230")}
+       |      AS vq,
+       |    CASE WHEN e.value < b.lo THEN b.lo
+       |      WHEN e.value > b.hi THEN b.hi ELSE e.value END AS cv,
+       |    CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+       |      AS clipped
+       |  FROM events e JOIN b USING (event_type)),
+       |d AS (SELECT event_type, vq,
+       |    ${MomentGuard.quantizeDuck("cv", 1000000L, 100L, "q230")}
+       |      AS cq, clipped FROM c)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(clipped) AS BIGINT) AS n_clipped,
+       |  CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 100.0) AS raw_mean,
+       |  CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * 100.0) AS winsorized_mean
+       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q230_winsorized_mean" -> q230,
     "q224_ks_test" -> q224,
     "q225_token_gini" -> q225,
     "q221_histogram_quantiles" -> q221,
@@ -1118,6 +1182,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q230_winsorized_mean" -> q230Sql,
     "q224_ks_test" -> q224Sql,
     "q225_token_gini" -> q225Sql,
     "q221_histogram_quantiles" -> q221Sql,
