@@ -657,7 +657,80 @@ object Behavioral {
        |  CAST(a.av AS DOUBLE) / 100.0 AS attributed_value
        |FROM t CROSS JOIN a""".stripMargin
 
+  /** q232 — per-user behavioral entropy: the Shannon entropy of each
+    * user's event-type mix, folded to population statistics — the
+    * bot/monoculture screen (a user who only ever fires one event type
+    * has H = 0; organic users mix) that complements q71's session and
+    * q120's churn views. Per-user H comes from exact counts through the
+    * q103/q180 quantized-log discipline: each (user, type) term
+    * `round(c·log2 c ·1e6)` is an exact BIGINT, the per-user fold is
+    * integer, and H = log2(n) − Σterm/(1e6·n) is ONE shared-text IEEE
+    * derivation quantized again before the population fold (guarded
+    * n·max certificate). user_id is the safe high-cardinality shuffle
+    * key; the population rollup is three exact aggregates + the exact
+    * p50 twin.
+    */
+  private val q232: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("termq", expr(
+        "CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 1e6)" +
+          " AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), sum("termq").as("sq"))
+      .select(col("user_id"), expr(
+        """CAST(round((log2(CAST(n AS DOUBLE))
+          |  - (CAST(sq AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) * 1e6)
+          |  AS BIGINT)""".stripMargin).as("hq"))
+      .createOrReplaceTempView("uh_q232")
+    s.sql(
+      s"""WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(hq) AS BIGINT) AS sh,
+         |    CAST(max(hq) AS BIGINT) AS mh,
+         |    CAST(sum(CASE WHEN hq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_single,
+         |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY hq)
+         |      AS BIGINT) AS p50q
+         |  FROM uh_q232)
+         |SELECT n_users,
+         |  CAST(${graft.util.MomentGuard.sumGuardSpark("sh", "n_users",
+              "mh", "q232")} AS DOUBLE) / (1e6 * CAST(n_users AS DOUBLE))
+         |    AS mean_entropy,
+         |  CAST(p50q AS DOUBLE) / 1e6 AS p50_entropy,
+         |  CAST(n_single AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    AS pct_single_type
+         |FROM f""".stripMargin)
+  }
+
+  private val q232Sql: String =
+    s"""WITH ut AS (SELECT user_id, event_type,
+       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+       |t2 AS (SELECT user_id, c,
+       |    CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS termq FROM ut),
+       |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(termq) AS BIGINT) AS sq FROM t2 GROUP BY 1),
+       |h AS (SELECT user_id,
+       |    CAST(round((log2(CAST(n AS DOUBLE))
+       |  - (CAST(sq AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) * 1e6)
+       |  AS BIGINT) AS hq FROM u),
+       |f AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(hq) AS BIGINT) AS sh,
+       |    CAST(max(hq) AS BIGINT) AS mh,
+       |    CAST(sum(CASE WHEN hq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_single,
+       |    CAST(quantile_disc(hq, 0.5) AS BIGINT) AS p50q FROM h)
+       |SELECT n_users,
+       |  CAST(${graft.util.MomentGuard.sumGuardDuck("sh", "n_users",
+            "mh", "q232")} AS DOUBLE) / (1e6 * CAST(n_users AS DOUBLE))
+       |    AS mean_entropy,
+       |  CAST(p50q AS DOUBLE) / 1e6 AS p50_entropy,
+       |  CAST(n_single AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |    AS pct_single_type
+       |FROM f""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q232_user_entropy" -> q232,
     "q229_attribution_asof" -> q229,
     "q227_late_event_curve" -> q227,
     "q218_interarrival_profile" -> q218,
@@ -672,6 +745,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q232_user_entropy" -> q232Sql,
     "q229_attribution_asof" -> q229Sql,
     "q227_late_event_curve" -> q227Sql,
     "q218_interarrival_profile" -> q218Sql,

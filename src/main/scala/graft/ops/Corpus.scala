@@ -869,7 +869,10 @@ object Corpus {
     * on the bits, so the hash family is md5-derived — replayable
     * bit-for-bit in the oracle engine. Measured ppm is an exact integer
     * ((fp·10⁶) div n_new); the theory value is quantized to ppm so the
-    * two engines' libm `power` cannot split the hash. Scale shape: the
+    * two engines' libm `power` cannot split the hash, and every literal
+    * in it is CAST to DOUBLE explicitly — Spark parses bare `1.0/m`
+    * as DECIMAL division (precision-truncated before power sees it),
+    * the round-7 lesson this query paid for at sf0.1. Scale shape: the
     * bloom is one partial+final bit_or aggregate broadcast as ≤512
     * 32-bit words (shift < 32 keeps both engines inside checked BIGINT); probes are map-side; the only joins are digest-keyed
     * semi/anti joins against the known set.
@@ -917,8 +920,10 @@ object Corpus {
         col("n_new"), col("n_false_pos"),
         expr("CAST((n_false_pos * 1000000L) div n_new AS BIGINT)")
           .as("fpp_measured_ppm"),
-        expr(s"""CAST(round(power(1.0 - power(1.0 - 1.0/$m.0,
-          |CAST(n_known AS DOUBLE) * $k.0), $k.0) * 1e6) AS BIGINT)"""
+        expr(s"""CAST(round(power(CAST(1 AS DOUBLE) -
+          |power(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST($m AS DOUBLE),
+          |CAST(n_known AS DOUBLE) * CAST($k AS DOUBLE)),
+          |CAST($k AS DOUBLE)) * 1e6) AS BIGINT)"""
           .stripMargin).as("fpp_theory_ppm"))
   }
 
@@ -962,8 +967,10 @@ object Corpus {
        |  a.n_candidates - b.n_new AS n_true_dups, b.n_new, b.n_false_pos,
        |  CAST((b.n_false_pos * 1000000) // b.n_new AS BIGINT)
        |    AS fpp_measured_ppm,
-       |  CAST(round(power(1.0 - power(1.0 - 1.0/$m.0,
-       |CAST(c.n_known AS DOUBLE) * $k.0), $k.0) * 1e6) AS BIGINT)
+       |  CAST(round(power(CAST(1 AS DOUBLE) -
+       |power(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST($m AS DOUBLE),
+       |CAST(c.n_known AS DOUBLE) * CAST($k AS DOUBLE)),
+       |CAST($k AS DOUBLE)) * 1e6) AS BIGINT)
        |    AS fpp_theory_ppm
        |FROM c CROSS JOIN a CROSS JOIN b""".stripMargin
   }

@@ -1163,7 +1163,65 @@ object Stats {
        |    / (CAST(count(*) AS DOUBLE) * 100.0) AS winsorized_mean
        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q231 — digest-shard uniformity: chi-square of the document counts
+    * over all 64 md5-mod shards against the uniform expectation — the
+    * direct health check of the hash-sharding every digest-keyed
+    * mechanism in this repo trusts (q154 splits, q182 placement, q62
+    * sampling): a biased digest would silently skew them all. The full
+    * shard grid joins in (empty shards are evidence, not absence —
+    * q210's zero-cell discipline); terms quantize `round(·1e9)::BIGINT`
+    * before the fold. One scan, a 64-row grid join, a 1-row verdict.
+    */
+  private val q231: Q = (s, dir) => {
+    val sh = Tables.spread(Tables.documents(s, dir))
+      .select(expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 4)," +
+        " 16, 10) AS INT) % 64").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("ol"))
+    val tot = sh.agg(sum("ol").as("n_docs"))
+    s.range(64).select(col("id").cast("int").as("shard"))
+      .join(sh, Seq("shard"), "left")
+      .crossJoin(broadcast(tot))
+      .select(coalesce(col("ol"), lit(0L)).as("ol"), col("n_docs"))
+      .withColumn("tq", expr(
+        """CAST(round((CAST(ol AS DOUBLE) - CAST(n_docs AS DOUBLE) / 64.0)
+          |  * (CAST(ol AS DOUBLE) - CAST(n_docs AS DOUBLE) / 64.0)
+          |  / (CAST(n_docs AS DOUBLE) / 64.0) * 1e9) AS BIGINT)"""
+          .stripMargin))
+      .agg(max("n_docs").as("n_docs"), count(lit(1)).as("n_shards"),
+        sum(when(col("ol") === 0, 1L).otherwise(0L)).as("n_empty"),
+        min("ol").as("min_shard"), max("ol").as("max_shard"),
+        sum("tq").as("chi2q"))
+      .select(col("n_docs"), col("n_shards"), col("n_empty"),
+        col("min_shard"), col("max_shard"),
+        (col("chi2q").cast("double") / 1e9).as("chi2"))
+  }
+
+  private val q231Sql =
+    """WITH sh AS (SELECT
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      AS INTEGER) % 64 AS shard,
+      |    CAST(count(*) AS BIGINT) AS ol
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ol) AS BIGINT) AS n_docs FROM sh),
+      |grid AS (SELECT unnest(generate_series(0, 63)) AS shard),
+      |g AS (SELECT coalesce(sh.ol, 0) AS ol, tot.n_docs
+      |  FROM grid LEFT JOIN sh USING (shard) CROSS JOIN tot),
+      |t AS (SELECT ol, n_docs,
+      |    CAST(round((CAST(ol AS DOUBLE) - CAST(n_docs AS DOUBLE) / 64.0)
+      |      * (CAST(ol AS DOUBLE) - CAST(n_docs AS DOUBLE) / 64.0)
+      |      / (CAST(n_docs AS DOUBLE) / 64.0) * 1e9) AS BIGINT) AS tq
+      |  FROM g)
+      |SELECT CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_shards,
+      |  CAST(sum(CASE WHEN ol = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_empty,
+      |  CAST(min(ol) AS BIGINT) AS min_shard,
+      |  CAST(max(ol) AS BIGINT) AS max_shard,
+      |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+      |FROM t""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q231_shard_uniformity" -> q231,
     "q230_winsorized_mean" -> q230,
     "q224_ks_test" -> q224,
     "q225_token_gini" -> q225,
@@ -1182,6 +1240,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q231_shard_uniformity" -> q231Sql,
     "q230_winsorized_mean" -> q230Sql,
     "q224_ks_test" -> q224Sql,
     "q225_token_gini" -> q225Sql,

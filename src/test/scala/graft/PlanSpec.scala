@@ -254,6 +254,7 @@ class PlanSpec extends AnyFunSuite {
       "q226_bloom_fpp", // crosses the 1-row broadcast bloom map + audit folds, like q186
       "q227_late_event_curve", // crosses the bounded 4-row threshold broadcast
       "q229_attribution_asof", // crosses two 1-row revenue aggregates, like q11
+      "q231_shard_uniformity", // crosses the 1-row doc total onto the 64-row grid, like q70
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
