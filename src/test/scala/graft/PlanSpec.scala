@@ -345,7 +345,7 @@ class PlanSpec extends AnyFunSuite {
       case i: InMemoryTableScanExec => windows(i.relation.cachedPlan)
     }.flatten
     Seq("q121_zorder_audit", "q110_vocab_build", "q138_curriculum_order",
-      "q163_quality_token_curve", "q195_zipf_fit")
+      "q163_quality_token_curve", "q195_zipf_fit", "q225_token_gini")
       .foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val wins = windows(df.queryExecution.executedPlan)
@@ -735,11 +735,25 @@ class PlanSpec extends AnyFunSuite {
       case w: WindowExec if w.partitionSpec.isEmpty ||
         !w.partitionSpec.forall(_.references.map(_.name)
           .forall(_ == "__gr_pid")) => Seq(w)
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => Seq(e)
+      // A SinglePartition exchange is the scale-killer ONLY when row
+      // data flows through it; the global scalar-aggregate shape
+      // (partial agg with no grouping keys below the exchange — one row
+      // per map task) is metadata-sized and fine (q224/q227 end in it).
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+        !(e.child match {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }) => Seq(e)
       case a: AdaptiveSparkPlanExec => offending(a.executedPlan)
       case i: InMemoryTableScanExec => offending(i.relation.cachedPlan)
     }.flatten
-    Seq("q148_shard_plan", "q91_sequence_pack").foreach { name =>
+    // q224 (two chained prefix sums) and q227 (prefixMax) joined the
+    // kernel's consumers this round — same contract: any surviving
+    // window keys only on the synthetic range id, and no stage may
+    // collapse to a single partition.
+    Seq("q148_shard_plan", "q91_sequence_pack", "q224_ks_test",
+      "q227_late_event_curve").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val bad = offending(df.queryExecution.executedPlan)
       graft.util.QueryCaches.drain()
