@@ -2612,7 +2612,80 @@ object Similarity {
        |    AS cluster_mean_dist
        |FROM ag ORDER BY cluster_id""".stripMargin
 
+  /** q233 — 2-core peeling of the kNN graph: iteratively remove nodes
+    * with (undirected) degree < 2 and report the survivor curve — the
+    * degeneracy view that separates the graph's connected "body" from
+    * its pendant fringe (pendant vectors are exactly the ones whose
+    * kNN edges are least trustworthy for propagation/dedup, the
+    * actionable complement to q205's triangle census). Five peeling
+    * rounds as DECLARED dataflow (q181's Pregel discipline): each round
+    * is one degree rollup over the current edge set + two semi-joins —
+    * O(rounds) bounded shuffles in ONE plan, no driver-side loop state,
+    * no windows; the curve flattening at round k IS the convergence
+    * certificate. Exact integers throughout.
+    */
+  private val q233: Q = (s, dir) => {
+    val und = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir)
+        .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("b"))
+        .distinct())
+    var edges = und
+    val curve = (1 to 5).map { i =>
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select("v")
+      // Eager lineage truncation per round (TextDedup.connectedComponents'
+      // discipline): the two semi-joins reference the previous round
+      // TWICE, so a lazy chain — even persisted — carries a 2^rounds
+      // logical tree through analysis/codegen (this OOM'd the driver
+      // before truncation). The survivor edge set is bounded (≤3|V|),
+      // so each round materializes a small relation and the next round
+      // plans against just it. Cluster deployments: localCheckpoint
+      // blocks die with their executor — the CC kernel's
+      // spark.graft.checkpointDir escape applies if this ever runs there.
+      edges = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    curve.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  private val q233Sql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "ke0" else s"ke${i - 1}"
+      s"""d_$i AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev)
+         |  GROUP BY 1),
+         |k_$i AS MATERIALIZED (SELECT v FROM d_$i WHERE deg >= 2),
+         |ke$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  WHERE EXISTS (SELECT 1 FROM k_$i WHERE k_$i.v = e.a)
+         |    AND EXISTS (SELECT 1 FROM k_$i WHERE k_$i.v = e.b)),
+         |c_$i AS (SELECT $i AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM k_$i) AS n_nodes,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ke$i) AS n_edges)"""
+        .stripMargin
+    }
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ke0 AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b FROM knn),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT * FROM (SELECT * FROM c_1 UNION ALL SELECT * FROM c_2
+       |  UNION ALL SELECT * FROM c_3 UNION ALL SELECT * FROM c_4
+       |  UNION ALL SELECT * FROM c_5) ORDER BY round""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q233_kcore_curve" -> q233,
     "q220_cluster_medoid" -> q220,
     "q215_degree_assortativity" -> q215,
     "q216_twohop_recall" -> q216,
@@ -2684,6 +2757,7 @@ object Similarity {
     "q215_degree_assortativity" -> q215Sql,
     "q216_twohop_recall" -> q216Sql,
     "q220_cluster_medoid" -> q220Sql,
+    "q233_kcore_curve" -> q233Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

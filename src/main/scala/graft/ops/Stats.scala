@@ -881,7 +881,10 @@ object Stats {
     * 100 TB profiling job decides how many rows to pull from each
     * stratum before it pulls any.
     */
-  private val q223: Q = (s, dir) => {
+  /** Neyman allocation relation (event_type, n_events, wq, base,
+    * rem_rank, alloc) — shared by q223 (the plan) and q235 (its
+    * execution). */
+  private def neymanAlloc(s: SparkSession, dir: String): DataFrame = {
     val B = 1000L
     val m = Tables.events(s, dir)
       .select(col("event_type"),
@@ -922,11 +925,13 @@ object Stats {
         (col("base") +
           when(col("rem_rank") <= col("shortfall"), 1L).otherwise(0L))
           .as("alloc"))
-      .orderBy("event_type")
   }
 
-  private val q223Sql: String =
-    s"""WITH q AS (SELECT event_type,
+  private val q223: Q = (s, dir) => neymanAlloc(s, dir).orderBy("event_type")
+
+  /** Oracle CTE chain ending in `alloc` — shared by q223Sql/q235Sql. */
+  private val neymanCtes: String =
+    s"""q AS (SELECT event_type,
        |    ${MomentGuard.quantizeDuck("value", 1000000L, 100L, "q223")}
        |      AS q FROM events),
        |m0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -957,13 +962,17 @@ object Stats {
        |    CAST(count(b.event_type) + 1 AS BIGINT) AS rem_rank
        |  FROM based a LEFT JOIN based b ON b.rem > a.rem
        |    OR (b.rem = a.rem AND b.event_type < a.event_type)
-       |  GROUP BY 1)
-       |SELECT based.event_type, based.n AS n_events, based.wq,
+       |  GROUP BY 1),
+       |alc AS (SELECT based.event_type, based.n AS n_events, based.wq,
        |  based.base, rk.rem_rank,
-       |  based.base + CASE WHEN rk.rem_rank <= sf.shortfall THEN 1 ELSE 0
-       |    END AS alloc
-       |FROM based JOIN rk USING (event_type) CROSS JOIN sf
-       |ORDER BY event_type""".stripMargin
+       |  CAST(based.base + CASE WHEN rk.rem_rank <= sf.shortfall THEN 1
+       |    ELSE 0 END AS BIGINT) AS alloc
+       |FROM based JOIN rk USING (event_type) CROSS JOIN sf)""".stripMargin
+
+  private val q223Sql: String =
+    s"""WITH $neymanCtes
+       |SELECT event_type, n_events, wq, base, rem_rank, alloc
+       |FROM alc ORDER BY event_type""".stripMargin
 
   /** q224 — exact two-sample Kolmogorov–Smirnov test at scale: does the
     * 'click' value distribution differ from every other event type's?
@@ -1220,7 +1229,58 @@ object Stats {
       |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
       |FROM t""".stripMargin
 
+  /** q235 — quota-sample execution: actually DRAW q223's Neyman
+    * allocation, deterministically — per stratum, the alloc_h rows with
+    * the smallest md5(event_id) digests. The scale trick: per-group
+    * top-N via ONE global [[GlobalRank.rowNumber]] over the
+    * (type, digest, id) total order plus broadcast per-group offsets
+    * from a bounded |types|² triangle join — the per-group rank is
+    * `global_rank − offset`, so a skewed stratum never funnels through
+    * a per-group ranking window (the q91 lesson generalized to
+    * grouped order statistics). The reported per-stratum n_selected
+    * equals alloc by construction — the audit proves the plan and the
+    * draw reconcile to the row, and the frontier digest is the resume
+    * token an incremental re-draw continues from.
+    */
+  private val q235: Q = (s, dir) => {
+    val ranked = GlobalRank.rowNumber(
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string")).as("digest")),
+      "grk", Seq(col("event_type"), col("digest"), col("event_id")))
+    val counts = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .transform(graft.util.QueryCaches.tracked)
+    val offs = counts.as("a").join(counts.as("b"),
+        col("b.event_type") < col("a.event_type"), "left")
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    ranked.join(broadcast(offs), "event_type")
+      .join(broadcast(neymanAlloc(s, dir).select("event_type", "alloc")),
+        "event_type")
+      .filter(col("grk") - col("off") <= col("alloc"))
+      .groupBy("event_type")
+      .agg(max("alloc").as("alloc"), count(lit(1)).as("n_selected"),
+        max("digest").as("frontier_digest"))
+      .orderBy("event_type")
+  }
+
+  private val q235Sql: String =
+    s"""WITH $neymanCtes,
+       |r AS (SELECT event_type, event_id,
+       |    md5(CAST(event_id AS VARCHAR)) AS digest FROM events),
+       |rk2 AS (SELECT event_type, digest,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY digest, event_id) AS prk FROM r),
+       |sel AS (SELECT rk2.event_type, rk2.digest, alc.alloc
+       |  FROM rk2 JOIN alc USING (event_type)
+       |  WHERE rk2.prk <= alc.alloc)
+       |SELECT event_type, CAST(max(alloc) AS BIGINT) AS alloc,
+       |  CAST(count(*) AS BIGINT) AS n_selected,
+       |  max(digest) AS frontier_digest
+       |FROM sel GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q235_quota_sample" -> q235,
     "q231_shard_uniformity" -> q231,
     "q230_winsorized_mean" -> q230,
     "q224_ks_test" -> q224,
@@ -1240,6 +1300,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q235_quota_sample" -> q235Sql,
     "q231_shard_uniformity" -> q231Sql,
     "q230_winsorized_mean" -> q230Sql,
     "q224_ks_test" -> q224Sql,

@@ -745,7 +745,70 @@ object TextStats {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  /** q234 — token burstiness: the variance-to-mean ratio of each
+    * token's per-document count over ALL documents (zeros included) —
+    * the corpus-linguistics separator of bursty content words (a token
+    * that appears 10× in few docs) from evenly-spread function words at
+    * the same total frequency, and hence a cheap topicality signal for
+    * keyword extraction and stopword induction that raw frequency
+    * (q171) and entropy (q99) both miss. Zero-docs never materialize:
+    * with N docs, VMR = (N·Σc² − (Σc)²)/(N·Σc) needs only the nonzero
+    * (token, doc) counts — exact BIGINT moments under the
+    * [[graft.util.MomentGuard]] product + n·max certificates, the 1-row
+    * doc count broadcast, one IEEE derivation, and a TakeOrdered top-20
+    * (never a ranking window).
+    */
+  private val q234: Q = (s, dir) => {
+    import graft.util.MomentGuard
+    val tf = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val nd = Tables.spread(Tables.documents(s, dir))
+      .agg(count(lit(1)).as("nd"))
+    tf.withColumn("c2", expr(MomentGuard.productGuardSpark("c", "c", "q234")))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("s1"), sum("c2").as("s2m"),
+        max("c2").as("m2"))
+      .select(col("token"), col("df"), col("s1"),
+        expr(MomentGuard.sumGuardSpark("s2m", "df", "m2", "q234")).as("s2"))
+      .crossJoin(broadcast(nd))
+      .select(col("token"), col("df"), col("s1").as("total_tf"),
+        expr("""CASE WHEN s1 = 0 THEN 0D ELSE
+          |(CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+          | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          | / (CAST(nd AS DOUBLE) * CAST(s1 AS DOUBLE)) END"""
+          .stripMargin).as("vmr"))
+      .orderBy(col("vmr").desc, col("token")).limit(20)
+  }
+
+  private val q234Sql: String = {
+    import graft.util.MomentGuard
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+       |    AS token FROM documents),
+       |tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+       |t2 AS (SELECT token, c,
+       |    ${MomentGuard.productGuardDuck("c", "c", "q234")} AS c2
+       |  FROM tf),
+       |m0 AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c2) AS BIGINT) AS s2m,
+       |    CAST(max(c2) AS BIGINT) AS m2 FROM t2 GROUP BY 1),
+       |m AS (SELECT token, df, s1,
+       |    ${MomentGuard.sumGuardDuck("s2m", "df", "m2", "q234")} AS s2
+       |  FROM m0),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+       |SELECT token, df, s1 AS total_tf,
+       |  CASE WHEN s1 = 0 THEN 0.0 ELSE
+       |(CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+       | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       | / (CAST(nd AS DOUBLE) * CAST(s1 AS DOUBLE)) END AS vmr
+       |FROM m CROSS JOIN nd ORDER BY vmr DESC, token LIMIT 20"""
+      .stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q234_token_burstiness" -> q234,
     "q213_simpson_diversity" -> q213,
     "q183_filter_funnel" -> q183,
     "q190_token_fertility" -> q190,
@@ -765,6 +828,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q234_token_burstiness" -> q234Sql,
     "q213_simpson_diversity" -> q213Sql,
     "q183_filter_funnel" -> q183Sql,
     "q190_token_fertility" -> q190Sql,

@@ -255,6 +255,9 @@ class PlanSpec extends AnyFunSuite {
       "q227_late_event_curve", // crosses the bounded 4-row threshold broadcast
       "q229_attribution_asof", // crosses two 1-row revenue aggregates, like q11
       "q231_shard_uniformity", // crosses the 1-row doc total onto the 64-row grid, like q70
+      "q233_kcore_curve", // crosses per-round 1-row node/edge counts, like q181
+      "q234_token_burstiness", // crosses the 1-row doc-count aggregate, like q70
+      "q235_quota_sample", // crosses 1-row Neyman totals + the 5-row offset triangle, like q193
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
