@@ -729,7 +729,85 @@ object Behavioral {
        |    AS pct_single_type
        |FROM f""".stripMargin
 
+  /** q236 — stream-stream join loss under watermark eviction, simulated
+    * exactly in batch: of all view→click pairs (same user, event times
+    * within 10 min) a stream-stream join SHOULD emit, how many survive
+    * state eviction at watermark w — the pair's earlier event is still
+    * in state when the later one ARRIVES iff earlier.ts ≥ (running max
+    * event time at that arrival) − w. The running max is
+    * [[GlobalRank.prefixMax]] over arrival order; the pair relation is
+    * q229's user-keyed equi join + time filter; w fans out as a bounded
+    * 2-row broadcast. This turns q214's state budget and q227's drop
+    * curve into the number operators actually fear: emitted-result
+    * loss. Exact µs integers end-to-end; one divide per output row.
+    */
+  private val q236: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+    val pm = GlobalRank.prefixMax(ev.select(col("event_id"), col("us")),
+        "pmax", col("us"), Seq(col("event_id")))
+      .select(col("event_id"), coalesce(col("pmax"), lit(0L)).as("pmax"))
+      .transform(graft.util.QueryCaches.tracked)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("us").as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("us").as("c_us"))
+    val pairs = views.join(clicks, Seq("user_id"))
+      .filter(abs(col("v_us") - col("c_us")) <= lit(600000000L))
+      .select(
+        when(col("v_id") > col("c_id"), col("v_id")).otherwise(col("c_id"))
+          .as("later_id"),
+        when(col("v_id") > col("c_id"), col("c_us")).otherwise(col("v_us"))
+          .as("earlier_ts"))
+      .join(pm.select(col("event_id").as("later_id"), col("pmax")),
+        Seq("later_id"))
+      .transform(graft.util.QueryCaches.tracked)
+    val thr = s.range(1).select(explode(array(lit(60000000L),
+      lit(600000000L))).as("w_us"))
+    pairs.crossJoin(broadcast(thr))
+      .groupBy("w_us")
+      .agg(count(lit(1)).as("n_pairs_ideal"),
+        sum(when(col("earlier_ts") >= col("pmax") - col("w_us"), 1L)
+          .otherwise(0L)).as("n_matched"))
+      .select(col("w_us"), col("n_pairs_ideal"), col("n_matched"),
+        ((col("n_pairs_ideal") - col("n_matched")).cast("double") /
+          col("n_pairs_ideal").cast("double")).as("loss_pct"))
+      .orderBy("w_us")
+  }
+
+  private val q236Sql =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    event_type FROM events),
+      |pm AS (SELECT event_id,
+      |    coalesce(max(us) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pmax FROM ev),
+      |v AS (SELECT user_id, event_id AS v_id, us AS v_us FROM ev
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM ev
+      |  WHERE event_type = 'click'),
+      |p AS (SELECT CASE WHEN v.v_id > c.c_id THEN v.v_id ELSE c.c_id END
+      |    AS later_id,
+      |    CASE WHEN v.v_id > c.c_id THEN c.c_us ELSE v.v_us END
+      |    AS earlier_ts
+      |  FROM v JOIN c USING (user_id)
+      |  WHERE abs(v.v_us - c.c_us) <= 600000000),
+      |j AS (SELECT p.later_id, p.earlier_ts, CAST(pm.pmax AS BIGINT)
+      |    AS pmax
+      |  FROM p JOIN pm ON pm.event_id = p.later_id),
+      |w AS (SELECT unnest(CAST([60000000, 600000000] AS BIGINT[]))
+      |    AS w_us)
+      |SELECT w.w_us, CAST(count(*) AS BIGINT) AS n_pairs_ideal,
+      |  CAST(sum(CASE WHEN earlier_ts >= pmax - w.w_us THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_matched,
+      |  CAST(count(*) - sum(CASE WHEN earlier_ts >= pmax - w.w_us THEN 1
+      |    ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS loss_pct
+      |FROM j CROSS JOIN w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q236_watermark_join_loss" -> q236,
     "q232_user_entropy" -> q232,
     "q229_attribution_asof" -> q229,
     "q227_late_event_curve" -> q227,
@@ -745,6 +823,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q236_watermark_join_loss" -> q236Sql,
     "q232_user_entropy" -> q232Sql,
     "q229_attribution_asof" -> q229Sql,
     "q227_late_event_curve" -> q227Sql,

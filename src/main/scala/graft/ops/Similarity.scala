@@ -2684,8 +2684,77 @@ object Similarity {
        |  UNION ALL SELECT * FROM c_5) ORDER BY round""".stripMargin
   }
 
+  /** q237 — eigenvector centrality of the kNN graph: four power
+    * iterations of v ← A·v over the undirected adjacency, max-normalized
+    * and re-quantized to `round(·1e6)::BIGINT` after every round so the
+    * accumulation each round is EXACT integer sums in any shuffle order
+    * (q181's determinism discipline with a different normalizer: PageRank
+    * conserves mass by floor-division, centrality renormalizes by the
+    * 1-row broadcast max). Overflow headroom is structural: per-node
+    * sums are ≤ degree·1e6, inside BIGINT until ~9·10¹² neighbors.
+    * Complements q181 (flow centrality) and q191 (raw in-degree): a hub
+    * whose neighbors are themselves hubs outranks an equal-degree
+    * periphery node here. Each round is one equi-join + partial+final
+    * sum over the bounded edge relation with eager lineage truncation
+    * (the q233 lesson); top-10 is TakeOrdered, never a window.
+    */
+  private val q237: Q = (s, dir) => {
+    val und = knnNeighbors(s, dir)
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val sym = graft.util.QueryCaches.tracked(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+    var v = sym.select(col("src").as("v")).distinct()
+      .withColumn("vq", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val av = sym
+        .join(v.select(col("v").as("dst"), col("vq").as("dvq")), "dst")
+        .groupBy("src").agg(sum("dvq").as("av"))
+      val mx = av.agg(max("av").as("mx"))
+      v = av.crossJoin(broadcast(mx))
+        .select(col("src").as("v"),
+          expr("CAST(round(CAST(av AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6)" +
+            " AS BIGINT)").as("vq"))
+        .localCheckpoint(true)
+    }
+    v.orderBy(col("vq").desc, col("v")).limit(10)
+      .select(col("v").as("vec_id"), col("vq").as("score_q"),
+        (col("vq").cast("double") / 1e6).as("score"))
+  }
+
+  private val q237Sql: String = {
+    def round(i: Int): String =
+      s"""av_$i AS MATERIALIZED (SELECT sym.src,
+         |    CAST(sum(p.vq) AS BIGINT) AS av
+         |  FROM sym JOIN v_${i - 1} p ON p.v = sym.dst GROUP BY 1),
+         |mx_$i AS (SELECT CAST(max(av) AS BIGINT) AS mx FROM av_$i),
+         |v_$i AS MATERIALIZED (SELECT src AS v,
+         |    CAST(round(CAST(av AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6)
+         |      AS BIGINT) AS vq
+         |  FROM av_$i CROSS JOIN mx_$i)""".stripMargin
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ue AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id)
+       |    AS a, greatest(vec_id, neighbor_id) AS b FROM knn),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue
+       |  UNION ALL SELECT b AS src, a AS dst FROM ue),
+       |v_0 AS MATERIALIZED (SELECT DISTINCT src AS v,
+       |    CAST(1000000 AS BIGINT) AS vq FROM sym),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT v AS vec_id, vq AS score_q, CAST(vq AS DOUBLE) / 1e6
+       |  AS score
+       |FROM v_4 ORDER BY vq DESC, v LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q233_kcore_curve" -> q233,
+    "q237_eigen_centrality" -> q237,
     "q220_cluster_medoid" -> q220,
     "q215_degree_assortativity" -> q215,
     "q216_twohop_recall" -> q216,
@@ -2758,6 +2827,7 @@ object Similarity {
     "q216_twohop_recall" -> q216Sql,
     "q220_cluster_medoid" -> q220Sql,
     "q233_kcore_curve" -> q233Sql,
+    "q237_eigen_centrality" -> q237Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

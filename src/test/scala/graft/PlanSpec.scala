@@ -258,6 +258,8 @@ class PlanSpec extends AnyFunSuite {
       "q233_kcore_curve", // crosses per-round 1-row node/edge counts, like q181
       "q234_token_burstiness", // crosses the 1-row doc-count aggregate, like q70
       "q235_quota_sample", // crosses 1-row Neyman totals + the 5-row offset triangle, like q193
+      "q236_watermark_join_loss", // crosses the bounded 2-row threshold broadcast, like q227
+      "q237_eigen_centrality", // crosses the 1-row max normalizer per iteration, like q181
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
