@@ -872,10 +872,54 @@ object Analytic {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** q238 — runtime-filter (semi-join reduction) gain: how many lineitem
+    * rows a dimension-side date filter eliminates BEFORE the fact
+    * shuffle if pushed across the join as a semi-join/Bloom runtime
+    * filter — the exact number behind Spark's runtime row-filtering
+    * decision, measured: surviving fact rows, the reduction fraction,
+    * and the shuffle bytes it saves at the q228 width model. At 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling a third of it; the audit costs one dimension filter, one
+    * left-semi join, and three scalar folds.
+    */
+  private val q238: Q = (s, dir) => {
+    val kept = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("l_orderkey"))
+      .transform(graft.util.QueryCaches.tracked)
+    val l = Tables.lineitem(s, dir)
+    l.agg(count(lit(1)).as("n_lineitem"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_orders_kept"))))
+      .crossJoin(broadcast(
+        l.join(kept, Seq("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_surviving"))))
+      .select(col("n_lineitem"), col("n_orders_kept"), col("n_surviving"),
+        ((col("n_lineitem") - col("n_surviving")).cast("double") /
+          col("n_lineitem").cast("double")).as("reduction_pct"),
+        ((col("n_lineitem") - col("n_surviving")) * 80L)
+          .as("bytes_saved_est"))
+  }
+
+  private val q238Sql =
+    """WITH kept AS (SELECT o_orderkey AS l_orderkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_lineitem FROM lineitem),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n_orders_kept FROM kept),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_surviving FROM lineitem l
+      |  WHERE EXISTS (SELECT 1 FROM kept k
+      |                WHERE k.l_orderkey = l.l_orderkey))
+      |SELECT a.n_lineitem, b.n_orders_kept, c.n_surviving,
+      |  CAST(a.n_lineitem - c.n_surviving AS DOUBLE)
+      |    / CAST(a.n_lineitem AS DOUBLE) AS reduction_pct,
+      |  CAST((a.n_lineitem - c.n_surviving) * 80 AS BIGINT)
+      |    AS bytes_saved_est
+      |FROM a CROSS JOIN b CROSS JOIN c""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q211_join_card_est" -> q211,
     "q222_table_stats" -> q222,
     "q228_partition_sizing" -> q228,
+    "q238_runtime_filter_gain" -> q238,
     "q203_retention_halflife" -> q203,
     "q123_star_join" -> q123,
     "q112_value_outliers" -> q112,
@@ -899,6 +943,7 @@ object Analytic {
     "q211_join_card_est" -> q211Sql,
     "q222_table_stats" -> q222Sql,
     "q228_partition_sizing" -> q228Sql,
+    "q238_runtime_filter_gain" -> q238Sql,
     "q203_retention_halflife" -> q203Sql,
     "q123_star_join" -> q123Sql,
     "q112_value_outliers" -> q112Sql,

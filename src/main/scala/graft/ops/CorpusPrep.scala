@@ -1034,7 +1034,51 @@ object CorpusPrep {
       |      / CAST(bl.n_blind_pairs AS DOUBLE) END AS link_precision
       |FROM stats CROSS JOIN ex CROSS JOIN bl CROSS JOIN nc""".stripMargin
 
+  /** q240 — compression-dictionary coverage model: the share of corpus
+    * character mass the 32 most frequent 8-grams cover — the planning
+    * number for zstd-style dictionary training over a text lake (a high
+    * ratio says a small shared dictionary buys real storage; a flat
+    * distribution says don't bother) and a storage-side cousin of the
+    * q111 RLE estimate. Overlap between occurrences is deliberately not
+    * modeled (stated upper-bound semantics). Scale shape: one sliding
+    * char-gram explode → partial+final count, a TakeOrdered top-32,
+    * three scalar folds — no window, no join beyond 1-row broadcasts.
+    */
+  private val q240: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val gc = docs.filter(length(col("text")) >= 8)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("p"))
+      .select(expr("substring(text, p, 8)").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .transform(graft.util.QueryCaches.tracked)
+    val top = gc.orderBy(col("c").desc, col("g")).limit(32)
+    docs.agg(sum(length(col("text"))).as("total_chars"))
+      .crossJoin(broadcast(gc.agg(count(lit(1)).as("n_distinct_grams"))))
+      .crossJoin(broadcast(top.agg(sum("c").as("top32_occurrences"))))
+      .select(col("total_chars"), col("n_distinct_grams"),
+        col("top32_occurrences"),
+        ((col("top32_occurrences") * 8L).cast("double") /
+          col("total_chars").cast("double")).as("est_coverage"))
+  }
+
+  private val q240Sql =
+    """WITH gr AS (SELECT substr(text, p, 8) AS g FROM (
+      |  SELECT text, unnest(generate_series(1, length(text) - 7)) AS p
+      |  FROM documents WHERE length(text) >= 8)),
+      |gc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM gr GROUP BY 1),
+      |tp AS (SELECT c FROM gc ORDER BY c DESC, g LIMIT 32),
+      |tc AS (SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |  FROM documents),
+      |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_grams FROM gc),
+      |t32 AS (SELECT CAST(sum(c) AS BIGINT) AS top32_occurrences FROM tp)
+      |SELECT tc.total_chars, ng.n_distinct_grams, t32.top32_occurrences,
+      |  CAST(t32.top32_occurrences * 8 AS DOUBLE)
+      |    / CAST(tc.total_chars AS DOUBLE) AS est_coverage
+      |FROM tc CROSS JOIN ng CROSS JOIN t32""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q240_dict_coverage" -> q240,
     "q212_chunk_stitch" -> q212,
     "q208_chunk_overhead" -> q208,
     "q178_source_gram_overlap" -> q178,
@@ -1054,6 +1098,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q240_dict_coverage" -> q240Sql,
     "q212_chunk_stitch" -> q212Sql,
     "q178_source_gram_overlap" -> q178Sql,
     "q106_fuzzy_match" -> q106Sql,

@@ -2752,9 +2752,109 @@ object Similarity {
        |FROM v_4 ORDER BY vq DESC, v LIMIT 10""".stripMargin
   }
 
+  /** q239 — multi-probe LSH: recall@5 and candidate volume when each
+    * query probes its own hyperplane bucket (depth 0) vs also the four
+    * Hamming-1 neighbor buckets (depth 1) — the standard LSH recall
+    * lever that multiplies candidate cost by ~(1+planes) WITHOUT
+    * retraining or adding tables, measured against the exact ground
+    * truth. Complements q185 (IVF nprobe dial) and q216 (graph-hop
+    * dial): three different recall-for-cost levers over one corpus,
+    * each with its measured curve. Probes fan out as a bounded 5-way
+    * union of the 5-row query relation; candidates come only from
+    * bucket equi-joins; per-query top-5 is the bounded TopKByScore
+    * aggregation; candidate dedup is a distinct on (query, vec, score),
+    * never a window.
+    */
+  private val q239: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(5))
+    val e = graft.util.QueryCaches.tracked(
+      embVecs(s, dir).withColumn("bucket", expr(hyperplaneBucket("v"))))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qb"))
+    def flip(p: Int) = expr(
+      s"concat(substring(qb, 1, $p), IF(substring(qb, ${p + 1}, 1) = '1'," +
+        s" '0', '1'), substring(qb, ${p + 2}, ${3 - p}))")
+    val own = q.select(col("query_id"), col("qv"), col("qb").as("pb"))
+    val flips = (0 until 4).map(p =>
+      q.select(col("query_id"), col("qv"), flip(p).as("pb")))
+      .reduce(_.unionByName(_))
+    val exact = graft.util.QueryCaches.tracked(
+      q45(s, dir).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id")))
+    def run(depth: Int, probes: DataFrame): DataFrame = {
+      val scored = probes.join(e,
+          col("bucket") === col("pb") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(expr(cosExpr("qv", "v")), 6).as("cs"))
+        .distinct()
+        .transform(graft.util.QueryCaches.tracked)
+      val top = scored.groupBy("query_id")
+        .agg(topk(col("cs"), col("vec_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.id").as("vec_id"),
+          lit(1L).as("hit"))
+      exact.join(top, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits_total"))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit(depth).as("probe_depth"), col("n_candidates"),
+          col("k_total"), col("hits_total"),
+          (col("hits_total").cast("double") /
+            col("k_total").cast("double")).as("recall"))
+    }
+    run(0, own).unionByName(run(1, own.unionByName(flips)))
+      .orderBy("probe_depth")
+  }
+
+  private val q239Sql: String = {
+    def flipSql(p: Int): String =
+      s"SELECT query_id, qv, substr(qb, 1, $p) || CASE WHEN " +
+        s"substr(qb, ${p + 1}, 1) = '1' THEN '0' ELSE '1' END || " +
+        s"substr(qb, ${p + 2}, ${3 - p}) AS pb FROM qv"
+    def runSql(depth: Int, probeRel: String): String =
+      s"""sc_$depth AS (SELECT DISTINCT p.query_id, e.vec_id,
+         |    round(list_dot_product(p.qv, e.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(e.v, e.v))), 6) AS cs
+         |  FROM $probeRel p JOIN e ON e.bucket = p.pb
+         |    AND e.vec_id <> p.query_id),
+         |tp_$depth AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cs DESC, vec_id) AS rnk FROM sc_$depth) t
+         |  WHERE rnk <= 5),
+         |nc_$depth AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM sc_$depth),
+         |r_$depth AS (SELECT $depth AS probe_depth, nc_$depth.n_candidates,
+         |    CAST(count(*) AS BIGINT) AS k_total,
+         |    CAST(sum(CASE WHEN tp_$depth.vec_id IS NOT NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS hits_total,
+         |    CAST(sum(CASE WHEN tp_$depth.vec_id IS NOT NULL THEN 1
+         |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS recall
+         |  FROM exact LEFT JOIN tp_$depth
+         |    ON tp_$depth.query_id = exact.query_id
+         |    AND tp_$depth.vec_id = exact.vec_id
+         |  CROSS JOIN nc_$depth GROUP BY nc_$depth.n_candidates)"""
+        .stripMargin
+    s"""WITH $bucketPairCtes,
+       |qv AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e
+       |  WHERE vec_id < 5),
+       |pr0 AS (SELECT query_id, qv, qb AS pb FROM qv),
+       |pr1 AS (SELECT * FROM pr0
+       |  ${(0 until 4).map(p => "UNION ALL " + flipSql(p))
+            .mkString("\n  ")}),
+       |$exactTop5Cte,
+       |${runSql(0, "pr0")},
+       |${runSql(1, "pr1")}
+       |SELECT * FROM (SELECT * FROM r_0 UNION ALL SELECT * FROM r_1)
+       |ORDER BY probe_depth""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q233_kcore_curve" -> q233,
     "q237_eigen_centrality" -> q237,
+    "q239_multiprobe_lsh" -> q239,
     "q220_cluster_medoid" -> q220,
     "q215_degree_assortativity" -> q215,
     "q216_twohop_recall" -> q216,
@@ -2828,6 +2928,7 @@ object Similarity {
     "q220_cluster_medoid" -> q220Sql,
     "q233_kcore_curve" -> q233Sql,
     "q237_eigen_centrality" -> q237Sql,
+    "q239_multiprobe_lsh" -> q239Sql,
     "q133_pq_assign" -> q133Sql,
     "q129_embed_dedup_clusters" -> q129Sql,
     "q128_quantizer_quality" -> q128Sql,

@@ -260,6 +260,9 @@ class PlanSpec extends AnyFunSuite {
       "q235_quota_sample", // crosses 1-row Neyman totals + the 5-row offset triangle, like q193
       "q236_watermark_join_loss", // crosses the bounded 2-row threshold broadcast, like q227
       "q237_eigen_centrality", // crosses the 1-row max normalizer per iteration, like q181
+      "q238_runtime_filter_gain", // crosses three 1-row audit counts, like q11
+      "q239_multiprobe_lsh", // composes q45's broadcast ground truth + 1-row candidate counts, like q185
+      "q240_dict_coverage", // crosses three 1-row dictionary folds, like q212
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
