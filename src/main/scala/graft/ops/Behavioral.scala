@@ -806,7 +806,116 @@ object Behavioral {
       |    ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS loss_pct
       |FROM j CROSS JOIN w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q241 — SCD type-2 history build: each user's event stream becomes
+    * validity intervals [ts, next_ts) per state (the event type), the
+    * standard temporal-dimension materialization every warehouse ETL
+    * runs — folded here to per-state interval statistics (count, open
+    * intervals, mean/max closed duration). The lead window partitions
+    * on user_id (the safe per-entity key); durations are exact µs
+    * BIGINTs; means divide once at the end. At 100 TB the interval
+    * build is one per-user window pass and the rollup is |states| rows.
+    */
+  private val q241: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("next_us", lead("us", 1).over(
+        Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"),
+        coalesce(sum(when(col("next_us").isNotNull,
+          col("next_us") - col("us"))), lit(0L)).as("sum_closed_us"),
+        max(when(col("next_us").isNotNull, col("next_us") - col("us")))
+          .as("max_closed_us"))
+      .select(col("event_type"), col("n_intervals"), col("n_open"),
+        when(col("n_intervals") === col("n_open"), 0.0)
+          .otherwise(col("sum_closed_us").cast("double") /
+            (col("n_intervals") - col("n_open")).cast("double"))
+          .as("mean_closed_us"),
+        col("max_closed_us"))
+      .orderBy("event_type")
+  }
+
+  private val q241Sql =
+    """WITH iv AS (SELECT event_type, epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_open,
+      |  CASE WHEN count(*) = sum(CASE WHEN next_us IS NULL THEN 1
+      |      ELSE 0 END) THEN 0.0
+      |    ELSE CAST(CAST(coalesce(sum(CASE WHEN next_us IS NOT NULL
+      |      THEN next_us - us END), 0) AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) - sum(CASE WHEN next_us IS NULL THEN 1
+      |        ELSE 0 END) AS DOUBLE) END AS mean_closed_us,
+      |  CAST(max(CASE WHEN next_us IS NOT NULL THEN next_us - us END)
+      |    AS BIGINT) AS max_closed_us
+      |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q243 — association lift between event types: over each user's
+    * presence set, P(A∧B)/(P(A)·P(B)) for all type pairs — classic
+    * market-basket co-occurrence mining (lift > 1 = types travel
+    * together; < 1 = substitutes), the behavioral-segmentation signal
+    * none of the funnel/transition views capture. Scale shape: reduce
+    * to the DISTINCT (user, type) presence relation first, self-join on
+    * the user key with a < on type (per-user fan-out ≤ C(|types|,2),
+    * bounded), one |pairs|-row rollup joined to the |types|-row
+    * marginals and the 1-row user count; exact integers until the two
+    * final IEEE derivations.
+    */
+  private val q243: Q = (s, dir) => {
+    val pres = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .transform(graft.util.QueryCaches.tracked)
+    val marg = pres.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      .transform(graft.util.QueryCaches.tracked)
+    val nu = pres.select("user_id").distinct().agg(count(lit(1)).as("n"))
+    pres.as("a").join(pres.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n").cast("double"))
+          .as("support"),
+        ((col("n_ab").cast("double") * col("n").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val q243Sql =
+    """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+      |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      |  FROM pres GROUP BY 1),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      |  FROM pres),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM pres a JOIN pres b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+      |  CAST(p.n_ab AS DOUBLE) / CAST(nu.n AS DOUBLE) AS support,
+      |  (CAST(p.n_ab AS DOUBLE) * CAST(nu.n AS DOUBLE))
+      |    / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)) AS lift
+      |FROM p JOIN marg ma ON ma.event_type = p.type_a
+      |JOIN marg mb ON mb.event_type = p.type_b
+      |CROSS JOIN nu ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q241_scd2_history" -> q241,
+    "q243_assoc_lift" -> q243,
     "q236_watermark_join_loss" -> q236,
     "q232_user_entropy" -> q232,
     "q229_attribution_asof" -> q229,
@@ -823,6 +932,8 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q241_scd2_history" -> q241Sql,
+    "q243_assoc_lift" -> q243Sql,
     "q236_watermark_join_loss" -> q236Sql,
     "q232_user_entropy" -> q232Sql,
     "q229_attribution_asof" -> q229Sql,

@@ -807,7 +807,61 @@ object TextStats {
       .stripMargin
   }
 
+  /** q244 — negative-sampling table: the unigram^0.75 sampling
+    * distribution (word2vec's smoothing) materialized as contiguous
+    * integer ranges, so a trainer draws a token by binary-searching a
+    * uniform integer — the classic alias-free sampling layout. The
+    * 3/4 power is computed as sqrt(c·sqrt(c)): `sqrt` is
+    * IEEE-correctly-rounded on BOTH engines (a libm `pow(x, 0.75)`
+    * is not, and a floor boundary would split the hash), then floored
+    * to an exact 1e6-scaled BIGINT weight. Range starts are the
+    * zero-window [[GlobalRank.prefixSum]] over the token total order;
+    * the report is the top-20 heaviest ranges with their exact
+    * boundaries and the total mass. One explode-count, one ranked
+    * pass, a TakeOrdered.
+    */
+  private val q244: Q = (s, dir) => {
+    val freq = Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("w", expr(
+        "CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))" +
+          " * 1e6) AS BIGINT)"))
+    val ranged = GlobalRank.prefixSum(freq, "range_start", col("w"),
+        Seq(col("token")))
+      .withColumn("range_end", col("range_start") + col("w"))
+    ranged
+      .crossJoin(broadcast(ranged.agg(sum("w").as("total_mass"))))
+      .orderBy(col("w").desc, col("token")).limit(20)
+      .select(col("token"), col("c"), col("w"), col("range_start"),
+        col("range_end"), col("total_mass"),
+        (col("w").cast("double") / col("total_mass").cast("double"))
+          .as("sample_prob"))
+  }
+
+  private val q244Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE length(token) > 0 GROUP BY 1),
+      |w AS (SELECT token, c,
+      |    CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+      |      * 1e6) AS BIGINT) AS w FROM freq),
+      |r AS (SELECT token, c, w,
+      |    CAST(coalesce(sum(w) OVER (ORDER BY token ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS range_start FROM w),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_mass FROM w)
+      |SELECT token, c, w, range_start,
+      |  CAST(range_start + w AS BIGINT) AS range_end, tot.total_mass,
+      |  CAST(w AS DOUBLE) / CAST(tot.total_mass AS DOUBLE)
+      |    AS sample_prob
+      |FROM r CROSS JOIN tot ORDER BY w DESC, token LIMIT 20"""
+      .stripMargin
+
   val all: Map[String, Q] = Map(
+    "q244_negative_sampling" -> q244,
     "q234_token_burstiness" -> q234,
     "q213_simpson_diversity" -> q213,
     "q183_filter_funnel" -> q183,
@@ -828,6 +882,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q244_negative_sampling" -> q244Sql,
     "q234_token_burstiness" -> q234Sql,
     "q213_simpson_diversity" -> q213Sql,
     "q183_filter_funnel" -> q183Sql,

@@ -263,6 +263,8 @@ class PlanSpec extends AnyFunSuite {
       "q238_runtime_filter_gain", // crosses three 1-row audit counts, like q11
       "q239_multiprobe_lsh", // composes q45's broadcast ground truth + 1-row candidate counts, like q185
       "q240_dict_coverage", // crosses three 1-row dictionary folds, like q212
+      "q243_assoc_lift", // crosses the 1-row user count onto the bounded pair grid, like q70
+      "q244_negative_sampling", // crosses the 1-row total-mass aggregate, like q70
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
