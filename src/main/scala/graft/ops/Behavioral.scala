@@ -913,7 +913,84 @@ object Behavioral {
       |JOIN marg mb ON mb.event_type = p.type_b
       |CROSS JOIN nu ORDER BY type_a, type_b""".stripMargin
 
+  /** q246 — time-series densification with last-observation-carried-
+    * forward: each user's sparse daily value series is expanded onto
+    * their [first, last] day grid and gaps fill from the most recent
+    * observed day — the gap-fill/LOCF operator every metrics warehouse
+    * runs before day-over-day math, audited here by its fill census
+    * (cells, observed, filled, carried mass). Declarative fill, no
+    * IGNORE NULLS window: grid ⨝ observations on the user key with
+    * day ≤ cell-day, then an argmax-by-day struct max per cell — the
+    * per-cell fan-out is bounded by the user's day span, and day spans
+    * are bounded by the retention window at any scale. Values are
+    * cent-quantized BIGINTs; one final divide.
+    */
+  private val q246: Q = (s, dir) => {
+    val obs = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(graft.util.SqlArith.floorDiv("unix_micros(ts)", 86400000000L))
+          .as("day"),
+        expr(graft.util.MomentGuard.quantizeSpark("value", 1000000L, 100L,
+          "q246")).as("vq"))
+      .groupBy("user_id", "day").agg(sum("vq").as("dvq"))
+      .transform(graft.util.QueryCaches.tracked)
+    val grid = obs.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("cell_day"))
+    grid.join(obs, grid("user_id") === obs("user_id") &&
+        obs("day") <= grid("cell_day"))
+      .groupBy(grid("user_id").as("user_id"), col("cell_day"))
+      .agg(max(struct(col("day"), col("dvq"))).as("m"))
+      .select(col("user_id"), col("cell_day"),
+        col("m.day").as("src_day"), col("m.dvq").as("filled_vq"))
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("src_day") === col("cell_day"), 1L).otherwise(0L))
+          .as("n_observed_cells"),
+        sum(when(col("src_day") < col("cell_day"), 1L).otherwise(0L))
+          .as("n_filled_cells"),
+        sum(when(col("src_day") < col("cell_day"), col("filled_vq"))
+          .otherwise(0L)).as("carried_q"))
+      .select(col("n_users"), col("n_cells"), col("n_observed_cells"),
+        col("n_filled_cells"),
+        (col("n_filled_cells").cast("double") /
+          col("n_cells").cast("double")).as("fill_ratio"),
+        (col("carried_q").cast("double") / 100.0).as("carried_value"))
+  }
+
+  private val q246Sql: String =
+    s"""WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    ${graft.util.MomentGuard.quantizeDuck("value", 1000000L, 100L,
+            "q246")} AS vq
+       |  FROM events),
+       |d AS (SELECT user_id, day, CAST(sum(vq) AS BIGINT) AS dvq
+       |  FROM obs GROUP BY 1, 2),
+       |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d
+       |  GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(generate_series(d0, d1))
+       |    AS cell_day FROM sp),
+       |f AS (SELECT g.user_id, g.cell_day,
+       |    max(ROW(d.day, d.dvq)) AS m
+       |  FROM grid g JOIN d ON d.user_id = g.user_id
+       |    AND d.day <= g.cell_day
+       |  GROUP BY 1, 2),
+       |x AS (SELECT user_id, cell_day, CAST(m[1] AS BIGINT) AS src_day,
+       |    CAST(m[2] AS BIGINT) AS filled_vq FROM f)
+       |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(CASE WHEN src_day = cell_day THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_observed_cells,
+       |  CAST(sum(CASE WHEN src_day < cell_day THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_filled_cells,
+       |  CAST(sum(CASE WHEN src_day < cell_day THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fill_ratio,
+       |  CAST(CAST(sum(CASE WHEN src_day < cell_day THEN filled_vq
+       |    ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS carried_value
+       |FROM x""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q246_gap_fill" -> q246,
     "q241_scd2_history" -> q241,
     "q243_assoc_lift" -> q243,
     "q236_watermark_join_loss" -> q236,
@@ -932,6 +1009,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q246_gap_fill" -> q246Sql,
     "q241_scd2_history" -> q241Sql,
     "q243_assoc_lift" -> q243Sql,
     "q236_watermark_join_loss" -> q236Sql,

@@ -1279,7 +1279,66 @@ object Stats {
        |  max(digest) AS frontier_digest
        |FROM sel GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q245 — Hill tail-index estimator over document lengths: α̂ from the
+    * top-100 order statistics against the 101st as reference,
+    * α̂⁻¹ = mean ln(x_i/x_ref) — the heavy-tail diagnostic that decides
+    * whether length-stratified processing (q88/q153) faces a power-law
+    * tail (α ≤ 2: variance is infinite, mean-based capacity planning
+    * lies) or a benign one. Order statistics come from
+    * [[GlobalRank.rowNumber]] descending (no single-partition window);
+    * each log-ratio is quantized `round(log2(x/x_ref)·1e6)::BIGINT`
+    * before the fold (q180's discipline), and α̂ converts base at the
+    * end through ln 2 — one IEEE derivation over exact sums.
+    */
+  private val q245: Q = (s, dir) => {
+    val ranked = GlobalRank.rowNumber(
+        Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), col("n_chars")),
+        "rank", Seq(col("n_chars").desc, col("doc_id")))
+      .filter(col("rank") <= 101)
+      .transform(graft.util.QueryCaches.tracked)
+    val ref = ranked.filter(col("rank") === 101)
+      .select(col("n_chars").as("x_ref"))
+    ranked.filter(col("rank") <= 100)
+      .crossJoin(broadcast(ref))
+      .select(col("x_ref"), expr(
+        """CAST(round(log2(CAST(n_chars AS DOUBLE)
+          |  / CAST(x_ref AS DOUBLE)) * 1e6) AS BIGINT)"""
+          .stripMargin).as("lq"))
+      .agg(count(lit(1)).as("k"), max("x_ref").as("x_ref"),
+        sum("lq").as("slq"))
+      .select(col("k"), col("x_ref"),
+        (col("slq").cast("double") / 1e6 / col("k").cast("double"))
+          .as("mean_log2_ratio"),
+        expr("""CASE WHEN slq <= 0 THEN 0.0
+          |ELSE CAST(k AS DOUBLE) * 1e6
+          |  / (CAST(slq AS DOUBLE) * ln(CAST(2 AS DOUBLE))) END"""
+          .stripMargin).as("alpha_hat"))
+  }
+
+  private val q245Sql =
+    """WITH r AS (SELECT n_chars,
+      |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+      |      AS BIGINT) AS rank
+      |  FROM documents),
+      |ref AS (SELECT CAST(n_chars AS BIGINT) AS x_ref FROM r
+      |  WHERE rank = 101),
+      |t AS (SELECT ref.x_ref,
+      |    CAST(round(log2(CAST(n_chars AS DOUBLE)
+      |  / CAST(ref.x_ref AS DOUBLE)) * 1e6) AS BIGINT) AS lq
+      |  FROM r CROSS JOIN ref WHERE r.rank <= 100)
+      |SELECT CAST(count(*) AS BIGINT) AS k,
+      |  CAST(max(x_ref) AS BIGINT) AS x_ref,
+      |  CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE) / 1e6
+      |    / CAST(count(*) AS DOUBLE) AS mean_log2_ratio,
+      |  CASE WHEN CAST(sum(lq) AS BIGINT) <= 0 THEN 0.0
+      |ELSE CAST(count(*) AS DOUBLE) * 1e6
+      |  / (CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE)
+      |     * ln(CAST(2 AS DOUBLE))) END AS alpha_hat
+      |FROM t""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q245_hill_tail" -> q245,
     "q235_quota_sample" -> q235,
     "q231_shard_uniformity" -> q231,
     "q230_winsorized_mean" -> q230,
@@ -1300,6 +1359,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q245_hill_tail" -> q245Sql,
     "q235_quota_sample" -> q235Sql,
     "q231_shard_uniformity" -> q231Sql,
     "q230_winsorized_mean" -> q230Sql,
