@@ -989,7 +989,78 @@ object Behavioral {
        |    ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS carried_value
        |FROM x""".stripMargin
 
+  /** q248 — Markov information gain: H(next) − H(next|prev) over q97's
+    * transition counts — the single number saying how much one step of
+    * history actually predicts (≈0 bits: the "chain" is noise and q204's
+    * stationary analysis is decoration; high: sequence models have
+    * signal). Both entropies come from the same exact transition counts
+    * through the quantized-log discipline (each term
+    * `round(n·log2(ratio)·1e6)::BIGINT` before any cross-row sum), the
+    * marginals are |types|-row rollups of the pair relation, and the
+    * final bits are three same-order IEEE derivations over exact sums.
+    */
+  private val q248: Q = (s, dir) => {
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts")))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .transform(graft.util.QueryCaches.tracked)
+    val na = t.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val nb = t.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val n = t.agg(sum("n_ab").as("n"))
+    val cond = t.join(broadcast(na), "a")
+      .select(expr("CAST(round(CAST(n_ab AS DOUBLE)" +
+        " * log2(CAST(n_a AS DOUBLE) / CAST(n_ab AS DOUBLE)) * 1e6)" +
+        " AS BIGINT)").as("tq"))
+      .agg(sum("tq").as("condq"))
+    val marg = nb.crossJoin(broadcast(n))
+      .select(expr("CAST(round(CAST(n_b AS DOUBLE)" +
+        " * log2(CAST(n AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6)" +
+        " AS BIGINT)").as("mq"))
+      .agg(sum("mq").as("margq"))
+    n.crossJoin(broadcast(cond)).crossJoin(broadcast(marg))
+      .select(col("n").as("n_transitions"),
+        (col("margq").cast("double") / 1e6 / col("n").cast("double"))
+          .as("h_next_bits"),
+        (col("condq").cast("double") / 1e6 / col("n").cast("double"))
+          .as("h_cond_bits"),
+        ((col("margq") - col("condq")).cast("double") / 1e6 /
+          col("n").cast("double")).as("info_gain_bits"))
+  }
+
+  private val q248Sql =
+    """WITH tr AS (SELECT event_type AS a,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS b
+      |  FROM events),
+      |t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM tr
+      |  WHERE b IS NOT NULL GROUP BY 1, 2),
+      |na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM t
+      |  GROUP BY 1),
+      |nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM t
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM t),
+      |cond AS (SELECT CAST(sum(CAST(round(CAST(n_ab AS DOUBLE)
+      |   * log2(CAST(n_a AS DOUBLE) / CAST(n_ab AS DOUBLE)) * 1e6)
+      |   AS BIGINT)) AS BIGINT) AS condq
+      |  FROM t JOIN na USING (a)),
+      |marg AS (SELECT CAST(sum(CAST(round(CAST(n_b AS DOUBLE)
+      |   * log2(CAST(nn.n AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6)
+      |   AS BIGINT)) AS BIGINT) AS margq
+      |  FROM nb CROSS JOIN nn)
+      |SELECT nn.n AS n_transitions,
+      |  CAST(margq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS h_next_bits,
+      |  CAST(condq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS h_cond_bits,
+      |  CAST(margq - condq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS info_gain_bits
+      |FROM nn CROSS JOIN cond CROSS JOIN marg""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q248_markov_entropy" -> q248,
     "q246_gap_fill" -> q246,
     "q241_scd2_history" -> q241,
     "q243_assoc_lift" -> q243,
@@ -1009,6 +1080,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q248_markov_entropy" -> q248Sql,
     "q246_gap_fill" -> q246Sql,
     "q241_scd2_history" -> q241Sql,
     "q243_assoc_lift" -> q243Sql,

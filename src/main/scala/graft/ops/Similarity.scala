@@ -2612,6 +2612,17 @@ object Similarity {
        |    AS cluster_mean_dist
        |FROM ag ORDER BY cluster_id""".stripMargin
 
+  /** Undirected distinct kNN edge set — keyed-shared by q233 (k-core)
+    * and q237 (eigenvector centrality), so a composed graph-health job
+    * pays the directed-edge build + symmetrize once. */
+  private def undirectedKnnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"knn:und:$dir") {
+      knnNeighbors(s, dir)
+        .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+          greatest(col("vec_id"), col("neighbor_id")).as("b"))
+        .distinct()
+    }
+
   /** q233 — 2-core peeling of the kNN graph: iteratively remove nodes
     * with (undirected) degree < 2 and report the survivor curve — the
     * degeneracy view that separates the graph's connected "body" from
@@ -2625,12 +2636,7 @@ object Similarity {
     * certificate. Exact integers throughout.
     */
   private val q233: Q = (s, dir) => {
-    val und = graft.util.QueryCaches.tracked(
-      knnNeighbors(s, dir)
-        .select(least(col("vec_id"), col("neighbor_id")).as("a"),
-          greatest(col("vec_id"), col("neighbor_id")).as("b"))
-        .distinct())
-    var edges = und
+    var edges = undirectedKnnEdges(s, dir)
     val curve = (1 to 5).map { i =>
       val deg = edges.select(col("a").as("v"))
         .unionByName(edges.select(col("b").as("v")))
@@ -2699,10 +2705,7 @@ object Similarity {
     * (the q233 lesson); top-10 is TakeOrdered, never a window.
     */
   private val q237: Q = (s, dir) => {
-    val und = knnNeighbors(s, dir)
-      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
-        greatest(col("vec_id"), col("neighbor_id")).as("b"))
-      .distinct()
+    val und = undirectedKnnEdges(s, dir)
     val sym = graft.util.QueryCaches.tracked(
       und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))

@@ -860,7 +860,52 @@ object TextStats {
       |FROM r CROSS JOIN tot ORDER BY w DESC, token LIMIT 20"""
       .stripMargin
 
+  /** q247 — language-ID confidence calibration: the margin (top score −
+    * runner-up score) of q48's argmax classifier, bucketed, with
+    * per-margin accuracy — the calibration curve that turns a
+    * classifier into a ROUTING POLICY (accept when margin ≥ m, route to
+    * the expensive model below m). Shares q48/q206's scoring kernel so
+    * the three views cannot drift; the margin is exact integer
+    * arithmetic over the sorted 5-score vector, and the fold is a
+    * ≤|distinct margins|-row partial+final count.
+    */
+  private val q247: Q = (s, dir) => {
+    val arr = s"array(${langs.map(l => s"s_$l").mkString(", ")})"
+    langScoresPred(s, dir)
+      .withColumn("sorted", expr(s"sort_array($arr, false)"))
+      .select((col("pred_lang") === col("lang")).as("is_correct"),
+        (expr("element_at(sorted, 1)") - expr("element_at(sorted, 2)"))
+          .cast("long").as("margin"))
+      .groupBy("margin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_correct"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("margin"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+      .orderBy("margin")
+  }
+
+  private val q247Sql = {
+    val arr = s"[${langs.map(l => s"s_$l").mkString(", ")}]"
+    s"""WITH w AS (SELECT *, string_split(text, ' ') AS words
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $langScoreColsSql
+       |FROM w),
+       |m AS (SELECT (CASE $langPredCaseSql END) = lang AS is_correct,
+       |    CAST(list_sort($arr)[${langs.size}]
+       |      - list_sort($arr)[${langs.size - 1}] AS BIGINT) AS margin
+       |  FROM sc)
+       |SELECT margin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS accuracy
+       |FROM m GROUP BY margin ORDER BY margin""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q247_langid_margin" -> q247,
     "q244_negative_sampling" -> q244,
     "q234_token_burstiness" -> q234,
     "q213_simpson_diversity" -> q213,
@@ -882,6 +927,7 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q247_langid_margin" -> q247Sql,
     "q244_negative_sampling" -> q244Sql,
     "q234_token_burstiness" -> q234Sql,
     "q213_simpson_diversity" -> q213Sql,
