@@ -1337,7 +1337,169 @@ object Stats {
       |     * ln(CAST(2 AS DOUBLE))) END AS alpha_hat
       |FROM t""".stripMargin
 
+  /** q249 — lag-1 autocorrelation of the daily event-count series: is
+    * tomorrow's volume predictable from today's (r₁ ≫ 0: provision by
+    * yesterday; r₁ ≈ 0: provision by the q196 band)? All moments are
+    * exact BIGINTs — per-day counts, their squares and the
+    * consecutive-day products under the [[MomentGuard]] certificates
+    * (the day+1 self-equi-join is q209's boundary pattern) — and r₁
+    * assembles in ONE same-order IEEE derivation at the end. Missing
+    * days simply contribute no pair (the series uses observed days;
+    * q246 is the densified view if gaps must count as zero).
+    */
+  private val q249: Q = (s, dir) => {
+    val d = Tables.events(s, dir)
+      .select(expr(graft.util.SqlArith.floorDiv("unix_micros(ts)",
+        86400000000L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+      .transform(graft.util.QueryCaches.tracked)
+    val m = d.select(col("x"),
+        expr(MomentGuard.productGuardSpark("x", "x", "q249")).as("xx"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("xx").as("sxx"),
+        max("xx").as("mxx"))
+      .select(col("n"), col("sx"),
+        expr(MomentGuard.sumGuardSpark("sxx", "n", "mxx", "q249"))
+          .as("sxx"))
+    val p = d.as("a").join(d.as("b"), col("b.day") === col("a.day") + 1)
+      .select(col("a.x").as("xa"), col("b.x").as("xb"),
+        expr(MomentGuard.productGuardSpark("a.x", "b.x", "q249"))
+          .as("xab"))
+      .agg(count(lit(1)).as("np"), sum("xa").as("spa"),
+        sum("xb").as("spb"), sum("xab").as("sab"), max("xab").as("mab"))
+      .select(col("np"), col("spa"), col("spb"),
+        expr(MomentGuard.sumGuardSpark("sab", "np", "mab", "q249"))
+          .as("sab"))
+    m.crossJoin(broadcast(p))
+      .select(col("n").as("n_days"), col("np").as("n_pairs"),
+        (col("sx").cast("double") / col("n").cast("double"))
+          .as("mean_daily"),
+        expr(
+          """CASE WHEN CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)
+            |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) <= 0 THEN 0.0
+            |ELSE (CAST(sab AS DOUBLE)
+            |  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            |    * (CAST(spa AS DOUBLE) + CAST(spb AS DOUBLE))
+            |  + CAST(np AS DOUBLE) * (CAST(sx AS DOUBLE)
+            |    / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE)
+            |    / CAST(n AS DOUBLE)))
+            |  / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)
+            |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+            |END""".stripMargin).as("r1"))
+  }
+
+  private val q249Sql: String =
+    s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+       |m0 AS (SELECT x,
+       |    ${MomentGuard.productGuardDuck("x", "x", "q249")} AS xx
+       |  FROM d),
+       |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(xx) AS BIGINT) AS sxx,
+       |    CAST(max(xx) AS BIGINT) AS mxx FROM m0),
+       |m AS (SELECT n, sx,
+       |    ${MomentGuard.sumGuardDuck("sxx", "n", "mxx", "q249")} AS sxx
+       |  FROM m1),
+       |p0 AS (SELECT a.x AS xa, b.x AS xb,
+       |    ${MomentGuard.productGuardDuck("a.x", "b.x", "q249")} AS xab
+       |  FROM d a JOIN d b ON b.day = a.day + 1),
+       |p1 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(xa) AS BIGINT) AS spa,
+       |    CAST(sum(xb) AS BIGINT) AS spb,
+       |    CAST(sum(xab) AS BIGINT) AS sab,
+       |    CAST(max(xab) AS BIGINT) AS mab FROM p0),
+       |p AS (SELECT np, spa, spb,
+       |    ${MomentGuard.sumGuardDuck("sab", "np", "mab", "q249")} AS sab
+       |  FROM p1)
+       |SELECT m.n AS n_days, p.np AS n_pairs,
+       |  CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_daily,
+       |  CASE WHEN CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)
+       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) <= 0 THEN 0.0
+       |ELSE (CAST(sab AS DOUBLE)
+       |  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (CAST(spa AS DOUBLE) + CAST(spb AS DOUBLE))
+       |  + CAST(np AS DOUBLE) * (CAST(sx AS DOUBLE)
+       |    / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE)
+       |    / CAST(n AS DOUBLE)))
+       |  / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)
+       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+       |END AS r1
+       |FROM m CROSS JOIN p""".stripMargin
+
+  /** q250 — Spearman rank correlation between two source orderings: does
+    * document COUNT rank sources the same way character MASS does (if
+    * yes, the cheap count is a valid sampling proxy for the expensive
+    * mass; if no, count-based source weighting misallocates)? Both
+    * rankings come from the bounded |sources|² triangle join (q193's
+    * pattern — never a window), d² stays exact BIGINT, and
+    * ρ = 1 − 6Σd²/(n(n²−1)) is one IEEE derivation. The rank-statistics
+    * twin of q132's moment (Pearson) correlation.
+    */
+  private val q250: Q = (s, dir) => {
+    val src = Tables.spread(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .transform(graft.util.QueryCaches.tracked)
+    def rank(metric: String, as: String): DataFrame =
+      src.as("a").join(src.as("b"),
+          col(s"b.$metric") > col(s"a.$metric") ||
+            (col(s"b.$metric") === col(s"a.$metric") &&
+              col("b.source") < col("a.source")), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg((count(col("b.source")) + 1).as(as))
+    rank("n_docs", "rank_docs").join(rank("n_chars", "rank_chars"),
+        "source")
+      .select(col("source"),
+        (col("rank_docs") - col("rank_chars")).as("dd"))
+      .select(col("dd"),
+        expr(MomentGuard.productGuardSpark("dd", "dd", "q250")).as("d2"))
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"), max("d2").as("md2"))
+      .select(col("n").as("n_sources"),
+        expr(MomentGuard.sumGuardSpark("sd2", "n", "md2", "q250"))
+          .as("sum_d2"))
+      .select(col("n_sources"), col("sum_d2"),
+        expr(
+          """CASE WHEN n_sources < 2 THEN 0.0
+            |ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+            |  / (CAST(n_sources AS DOUBLE) * (CAST(n_sources AS DOUBLE)
+            |    * CAST(n_sources AS DOUBLE) - 1.0))
+            |END""".stripMargin).as("spearman_rho"))
+  }
+
+  private val q250Sql: String =
+    s"""WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+       |  GROUP BY 1),
+       |rd AS (SELECT a.source, CAST(count(b.source) + 1 AS BIGINT)
+       |    AS rank_docs
+       |  FROM src a LEFT JOIN src b ON b.n_docs > a.n_docs
+       |    OR (b.n_docs = a.n_docs AND b.source < a.source)
+       |  GROUP BY 1),
+       |rc AS (SELECT a.source, CAST(count(b.source) + 1 AS BIGINT)
+       |    AS rank_chars
+       |  FROM src a LEFT JOIN src b ON b.n_chars > a.n_chars
+       |    OR (b.n_chars = a.n_chars AND b.source < a.source)
+       |  GROUP BY 1),
+       |dd AS (SELECT rd.rank_docs - rc.rank_chars AS dd
+       |  FROM rd JOIN rc USING (source)),
+       |d2 AS (SELECT dd, ${MomentGuard.productGuardDuck("dd", "dd",
+            "q250")} AS d2 FROM dd),
+       |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d2) AS BIGINT) AS sd2,
+       |    CAST(max(d2) AS BIGINT) AS md2 FROM d2),
+       |m AS (SELECT n AS n_sources,
+       |    ${MomentGuard.sumGuardDuck("sd2", "n", "md2", "q250")}
+       |      AS sum_d2 FROM m0)
+       |SELECT n_sources, sum_d2,
+       |  CASE WHEN n_sources < 2 THEN 0.0
+       |ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+       |  / (CAST(n_sources AS DOUBLE) * (CAST(n_sources AS DOUBLE)
+       |    * CAST(n_sources AS DOUBLE) - 1.0))
+       |END AS spearman_rho
+       |FROM m""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q249_daily_autocorr" -> q249,
+    "q250_spearman_sources" -> q250,
     "q245_hill_tail" -> q245,
     "q235_quota_sample" -> q235,
     "q231_shard_uniformity" -> q231,
@@ -1359,6 +1521,8 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q249_daily_autocorr" -> q249Sql,
+    "q250_spearman_sources" -> q250Sql,
     "q245_hill_tail" -> q245Sql,
     "q235_quota_sample" -> q235Sql,
     "q231_shard_uniformity" -> q231Sql,
