@@ -268,6 +268,7 @@ class PlanSpec extends AnyFunSuite {
       "q245_hill_tail", // crosses the 1-row reference order statistic, like q70
       "q248_markov_entropy", // crosses the 1-row transition total, like q70
       "q249_daily_autocorr", // crosses the 1-row pair-moment aggregate, like q11
+      "q250_spearman_sources", // two bounded |sources|^2 triangle-join rankings, like q193
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
