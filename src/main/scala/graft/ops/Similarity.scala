@@ -46,17 +46,28 @@ object Similarity {
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** Oracle twin of [[planeCountFor]] + [[planeLits]] — the corpus-size-
+    * derived plane count (`nplanes`, integer-exact twin of the Scala
+    * formula) and the seeded sign matrix for exactly that many planes.
+    * Single-sourced here so every oracle consumer derives p the one way.
+    */
+  private[ops] val planesCteSql =
+    """nplanes AS (SELECT GREATEST(4, (
+      |    SELECT count(*) FROM generate_series(0, 30) AS g(g)
+      |    WHERE CAST(power(2, g.g + 11) AS BIGINT) < (SELECT count(*) FROM embeddings))) AS np),
+      |planes AS (
+      |  SELECT t.p, list_transform(generate_series(1,64), j ->
+      |    CASE WHEN CAST(('0x' || substr(md5(t.p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM nplanes, unnest(generate_series(0, np - 1)) AS t(p))""".stripMargin
+
   /** Oracle twin of the hyperplane bucketing — the CTE chain shared by
     * q57Sql/q136Sql/q155Sql/q158Sql/q160Sql so the bucketing definition
     * cannot drift between consumers. (Declared before every consumer:
     * object vals initialize in order.)
     */
   private val bucketPairCtes =
-    s"""planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
+    s"""$planesCteSql,
        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (
        |  SELECT e0.vec_id, planes.p,
@@ -78,7 +89,7 @@ object Similarity {
   /** q44 — embedding-cosine near-duplicates within label blocks, LSH-
     * bounded: the pair join's block key is (label, hyperplane bucket), an
     * equi-join on a composite key whose per-block size the HASH bounds
-    * (16-way here; add planes to shrink further), never the label alone.
+    * (2^p-way, p corpus-derived via planesFor: doubling the corpus adds a plane), never the label alone.
     * A bare `label` block is scale-risky — one dominant label makes the
     * block quadratic at 100×. Label stays in the key because "near-dups
     * within a class" is the declared semantics; the bucket is what makes
@@ -89,9 +100,9 @@ object Similarity {
   private val q44: Q = (s, dir) => {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
       // self-joined: bucket signatures computed once. NOT pre-partitioned
-      // by (label, bucket): the key's cardinality is bounded (16 buckets ×
+      // by (label, bucket): the key's cardinality is bounded (2^p buckets ×
       // few labels), so a cache partitioned on it would cap parallelism at
       // that cardinality and bypass AQE's skew-split on the join exchange —
       // cache-aligned partitioning is only right for UNBOUNDED keys
@@ -108,11 +119,7 @@ object Similarity {
   }
 
   private val q44Sql =
-    s"""WITH planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
+    s"""WITH $planesCteSql,
        |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (
        |  SELECT e0.vec_id, planes.p,
@@ -168,27 +175,58 @@ object Similarity {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Seeded random-hyperplane sign matrix for q46's LSH: 4 planes × 64
-    * dims of Rademacher ±1, each sign the hex-value parity of
+  /** Seeded random-hyperplane sign matrix for the LSH family: `p` planes
+    * × 64 dims of Rademacher ±1, each sign the hex-value parity of
     * `md5("{plane}_{dim}")`'s first nibble. md5 is the one hash both
     * engines share, so the DuckDB oracle derives the SAME matrix in SQL
     * while the Spark side bakes it in as a LITERAL nested array — the
     * "trained" LSH model a real deployment would broadcast — keeping
-    * bucketing map-side with zero per-row hashing.
+    * bucketing map-side with zero per-row hashing. Plane i's row never
+    * depends on p, so matrices for different plane counts are prefixes of
+    * one another — raising p refines every existing bucket rather than
+    * reshuffling it.
     */
-  private[graft] lazy val planeLits: Seq[String] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 4).map { p =>
-      (1 to 64).map { j =>
-        md.reset()
-        val hex = md.digest(s"${p}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) "1.0D" else "-1.0D"
-      }.mkString("array(", ",", ")")
-    }
-  }
+  private val planeLitCache = scala.collection.concurrent.TrieMap.empty[Int, Seq[String]]
+  private[graft] def planeLits(p: Int): Seq[String] =
+    planeLitCache.getOrElseUpdate(p, {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until p).map { pl =>
+        (1 to 64).map { j =>
+          md.reset()
+          val hex = md.digest(s"${pl}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) "1.0D" else "-1.0D"
+        }.mkString("array(", ",", ")")
+      }
+    })
 
-  private[graft] lazy val hyperplaneLit: String =
-    planeLits.mkString("array(", ",", ")")
+  private[graft] def hyperplaneLit(p: Int): String =
+    planeLits(p).mkString("array(", ",", ")")
+
+  /** Corpus-size-derived plane count: the number of doublings of
+    * [[TargetBlockLog2]]'s 2048-row target block that the corpus exceeds,
+    * floored at 4 so tiny corpora keep a nontrivial hash. Pure integer
+    * arithmetic — `2^(g+11) < n` — so the oracle's `nplanes` CTE (same
+    * comparison via `CAST(power(2, g+11) AS BIGINT)`, exact since
+    * g+11 ≤ 41 powers of two are exactly representable) derives the
+    * IDENTICAL value with no FP-boundary risk. Doubling the corpus adds
+    * one plane, so expected in-bucket block size stays ~2048 at any
+    * scale: the in-bucket pair joins are Θ(n · 2048), not Θ((n/16)²) —
+    * the parameterization that survives a 100× scale-up.
+    */
+  private[graft] val TargetBlockLog2 = 11 // 2048-row target in-bucket block
+  private[graft] def planeCountFor(n: Long): Int =
+    math.max(4, (0 to 30).count(g => (1L << (g + TargetBlockLog2)) < n))
+
+  private val planesForCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Plane count for the embeddings corpus at `dir`, derived once per
+    * (application, dir) from a `count(*)` parquet answers out of footer
+    * row-group metadata — the one driver-side action the "trained"
+    * blocking model costs, same discipline as q124's trained quantizer.
+    */
+  private[graft] def planesFor(s: SparkSession, dir: String): Int =
+    planesForCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir",
+      planeCountFor(Tables.embeddings(s, dir).count()))
 
   /** Sign-bit bucket of a 64-dim double vector column under
     * [[planeLits]]: bit p = (v · plane_p) > 0. For non-zero vectors the
@@ -203,19 +241,19 @@ object Similarity {
     * evaluate the 64-element loop twice unless subexpression elimination
     * happens to fire).
     */
-  private[graft] def hyperplaneBucket(vcol: String): String =
-    planeLits.map(pl => s"IF(nanvl(cosine_sim($vcol, $pl), 0D) > 0, '1', '0')")
+  private[graft] def hyperplaneBucket(vcol: String, p: Int): String =
+    planeLits(p).map(pl => s"IF(nanvl(cosine_sim($vcol, $pl), 0D) > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
 
   /** q46 — LSH-bucketed ANN: bucket = sign bits under 4 seeded random
-    * hyperplanes (16 buckets); candidates share the query's bucket; top-5
+    * hyperplanes (2^p buckets, p corpus-derived); candidates share the query's bucket; top-5
     * per query. The cross join of q45 becomes an equi-join on `bucket`.
     */
   private val q46: Q = (s, dir) => {
     val topk = udaf(new graft.functions.TopKByScore(5))
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
     e.join(broadcast(queries), Seq("bucket"))
@@ -232,11 +270,7 @@ object Similarity {
   }
 
   private val q46Sql =
-    s"""WITH planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
+    s"""WITH $planesCteSql,
        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (
        |  SELECT e0.vec_id, planes.p,
@@ -469,7 +503,7 @@ object Similarity {
   /** q57 — embedding near-duplicates within LSH buckets: q44's semantics
     * with the label block replaced by the seeded hyperplane bucket — the
     * concrete 100 TB path q44's doc promises. Pair generation is an
-    * equi-join on the 16-way bucket id, so block sizes are bounded by the
+    * equi-join on the 2^p-way bucket id, so block sizes are bounded by the
     * hash (add planes to shrink them), never by a data-dependent label.
     */
   /** Sort-free LSH-bucketed near-dup pairs — q57 adds the oracle's total
@@ -478,9 +512,9 @@ object Similarity {
   private def bucketNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
       // self-joined: bucket signatures computed once. NOT pre-partitioned
-      // by the 16-way bucket (bounded key — see q44's note: it would cap
+      // by the bounded-cardinality bucket (2^p key — see q44's note: it would cap
       // parallelism and bypass AQE skew-splitting)
       .transform(graft.util.QueryCaches.tracked)
     e.as("a").join(e.as("b"),
@@ -497,7 +531,7 @@ object Similarity {
     * in-bucket neighbors by cosine — the adjacency structure behind
     * graph-based semantic dedup (q129 consumes threshold edges of the same
     * join), diversity sampling, and label propagation. Pair generation is
-    * q57's hash-bounded equi-join on the 16-way hyperplane bucket (both
+    * q57's hash-bounded equi-join on the 2^p-way hyperplane bucket (both
     * directions here, since each vector ranks its own neighbors; bucket
     * signatures computed once via the tracked cache). Per-vector top-k is
     * the bounded [[graft.functions.TopKByScore]] partial+final aggregation
@@ -524,8 +558,8 @@ object Similarity {
     val topk = udaf(new graft.functions.TopKByScore(3))
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
-      // NOT pre-partitioned by the bounded 16-way bucket (q44's note:
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
+      // NOT pre-partitioned by the bounded 2^p-way bucket (q44's note:
       // would cap parallelism and bypass AQE skew-splitting)
       .transform(graft.util.QueryCaches.tracked)
     e.as("a").join(e.as("b"),
@@ -1334,8 +1368,8 @@ object Similarity {
     val topk = udaf(new graft.functions.TopKByScore(2))
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
-      // bounded 16-way key: not pre-partitioned, per q44's cache note
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
+      // bounded 2^p-way key: not pre-partitioned, per q44's cache note
       .transform(graft.util.QueryCaches.tracked)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.label") =!= col("b.label"))
@@ -1350,11 +1384,7 @@ object Similarity {
   }
 
   private val q184Sql =
-    s"""WITH planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
+    s"""WITH $planesCteSql,
        |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (
        |  SELECT e0.vec_id, planes.p,
@@ -1791,7 +1821,7 @@ object Similarity {
     *
     * Blocking: (trained k-means cell × hyperplane bucket) — the cell
     * (q124's trained quantizer, broadcast ≤ 8 rows) gives semantic
-    * locality so true near-dups share a block; the 16-way hyperplane
+    * locality so true near-dups share a block; the 2^p-way hyperplane
     * bucket is what BOUNDS the block, because cell sizes are
     * data-dependent (one dominant topic makes a cell quadratic at 100×,
     * exactly q44's label trap). At corpus scale both knobs grow:
@@ -1811,7 +1841,7 @@ object Similarity {
     // assignment carries v; bucket recomputed map-side post-aggregation
     val blocked = assignCells(e, trainedCentroids(e))
       .select(col("vec_id"), col("v"), col("cell"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
       // self-joined + re-read for the keep flag: computed once
       .transform(graft.util.QueryCaches.tracked)
     val dropped = blocked.as("a").join(blocked.as("b"),
@@ -1834,11 +1864,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cell) AS rn
        |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
-       |planes AS (
-       |  SELECT p, list_transform(generate_series(1,64), j ->
-       |    CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
-       |         THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM unnest(generate_series(0,3)) AS t(p)),
+       |$planesCteSql,
        |bits AS (
        |  SELECT e.vec_id, planes.p,
        |    CASE WHEN list_dot_product(e.v, planes.s) > 0 THEN '1' ELSE '0' END AS bit
@@ -2170,10 +2196,10 @@ object Similarity {
     * identical hyperplane signs, so the collision is guaranteed) and a
     * near-orthogonal holdout vector, and assert leaked/not-leaked.
     */
-  private[graft] def semanticLeakage(emb: DataFrame): DataFrame = {
+  private[graft] def semanticLeakage(emb: DataFrame, p: Int = 4): DataFrame = {
     val e = emb
       .select(col("vec_id"), expr(vd).as("v"))
-      .withColumn("bucket", expr(hyperplaneBucket("v")))
+      .withColumn("bucket", expr(hyperplaneBucket("v", p)))
       .withColumn("sb", expr(
         "CAST(conv(substring(md5(cast(vec_id AS string)), 1, 4), 16, 10) AS INT) % 100"))
       .transform(graft.util.QueryCaches.tracked)
@@ -2195,7 +2221,7 @@ object Similarity {
   }
 
   private val q158: Q = (s, dir) =>
-    semanticLeakage(Tables.spread(Tables.embeddings(s, dir)))
+    semanticLeakage(Tables.spread(Tables.embeddings(s, dir)), planesFor(s, dir))
 
   private val q158Sql =
     s"""WITH $bucketPairCtes,
@@ -2770,17 +2796,19 @@ object Similarity {
     */
   private val q239: Q = (s, dir) => {
     val topk = udaf(new graft.functions.TopKByScore(5))
+    val np = planesFor(s, dir)
     val e = graft.util.QueryCaches.tracked(
-      embVecs(s, dir).withColumn("bucket", expr(hyperplaneBucket("v"))))
+      embVecs(s, dir).withColumn("bucket", expr(hyperplaneBucket("v", np))))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("bucket").as("qb"))
-    def flip(p: Int) = expr(
-      s"concat(substring(qb, 1, $p), IF(substring(qb, ${p + 1}, 1) = '1'," +
-        s" '0', '1'), substring(qb, ${p + 2}, ${3 - p}))")
+    // 2-arg substring takes the tail, so the flip template is p-agnostic
+    def flip(pos: Int) = expr(
+      s"concat(substring(qb, 1, $pos), IF(substring(qb, ${pos + 1}, 1) = '1'," +
+        s" '0', '1'), substring(qb, ${pos + 2}))")
     val own = q.select(col("query_id"), col("qv"), col("qb").as("pb"))
-    val flips = (0 until 4).map(p =>
-      q.select(col("query_id"), col("qv"), flip(p).as("pb")))
+    val flips = (0 until np).map(pos =>
+      q.select(col("query_id"), col("qv"), flip(pos).as("pb")))
       .reduce(_.unionByName(_))
     val exact = graft.util.QueryCaches.tracked(
       q45(s, dir).filter(col("rank") <= 5)
@@ -2811,10 +2839,14 @@ object Similarity {
   }
 
   private val q239Sql: String = {
-    def flipSql(p: Int): String =
-      s"SELECT query_id, qv, substr(qb, 1, $p) || CASE WHEN " +
-        s"substr(qb, ${p + 1}, 1) = '1' THEN '0' ELSE '1' END || " +
-        s"substr(qb, ${p + 2}, ${3 - p}) AS pb FROM qv"
+    // flips are data-driven over generate_series(0, np-1): one SQL text
+    // serves any derived plane count, mirroring the Spark side's
+    // (0 until np) probe fan-out
+    val flipSql: String =
+      "SELECT query_id, qv, substr(qb, 1, f.fp) || CASE WHEN " +
+        "substr(qb, f.fp + 1, 1) = '1' THEN '0' ELSE '1' END || " +
+        "substr(qb, f.fp + 2) AS pb FROM qv, nplanes, " +
+        "unnest(generate_series(0, np - 1)) AS f(fp)"
     def runSql(depth: Int, probeRel: String): String =
       s"""sc_$depth AS (SELECT DISTINCT p.query_id, e.vec_id,
          |    round(list_dot_product(p.qv, e.v)
@@ -2845,8 +2877,7 @@ object Similarity {
        |  WHERE vec_id < 5),
        |pr0 AS (SELECT query_id, qv, qb AS pb FROM qv),
        |pr1 AS (SELECT * FROM pr0
-       |  ${(0 until 4).map(p => "UNION ALL " + flipSql(p))
-            .mkString("\n  ")}),
+       |  UNION ALL $flipSql),
        |$exactTop5Cte,
        |${runSql(0, "pr0")},
        |${runSql(1, "pr1")}

@@ -104,11 +104,17 @@ class SkewStressSpec extends AnyFunSuite {
       s"candidates must stay ~linear in n, got $cands")
   }
 
+  // derived plane count for the fixture corpus — the SAME formula the
+  // production kernels apply, so the spec's buckets match the queries'
+  private def fixtureP: Int =
+    Similarity.planeCountFor(
+      spark.read.parquet(s"${SkewFixture.dir}/embeddings.parquet").count())
+
   test("q44/q57 hyperplane blocks: dominant label splits across buckets") {
     val e = spark.read.parquet(s"${SkewFixture.dir}/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         expr("CAST(embedding AS array<double>)").as("v"))
-      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v")))
+      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v", fixtureP)))
     val sizes = e.groupBy("label", "bucket").count()
     val maxBlock = sizes.agg(max("count")).head.getLong(0)
     val dominant = e.filter(col("label") === 0).count()
@@ -117,6 +123,40 @@ class SkewStressSpec extends AnyFunSuite {
     // Bound = 4x the uniform share, far below the label-only block.
     assert(maxBlock <= dominant / 4,
       s"one (label,bucket) block holds $maxBlock of $dominant dominant-label vectors")
+  }
+
+  test("adaptive planes: in-bucket block sizes stay bounded at two corpus sizes") {
+    // The 100× claim, executed: at n=1230 the floor p=4 applies; at
+    // n=100000 the derived p=6 must hold blocks near the 2048-row target
+    // instead of letting them grow 81× with the corpus. Vectors are a
+    // deterministic distributed expression (no driver-side materialize).
+    val results = Seq(1230L, 100000L).map { n =>
+      val p = Similarity.planeCountFor(n)
+      val e = spark.range(n).selectExpr("id AS vec_id",
+          "transform(sequence(1,64), j -> cast(sin(id * j * 0.7) AS double)) AS v")
+        .withColumn("bucket", expr(Similarity.hyperplaneBucket("v", p)))
+      val sizes = e.groupBy("bucket").count()
+      val maxBlock = sizes.agg(max("count")).head.getLong(0)
+      val nBuckets = sizes.count()
+      println(s"[skew] adaptive-p n=$n p=$p buckets=$nBuckets maxBlock=$maxBlock")
+      // at most 4× the uniform share — the hash bounds the block, the
+      // corpus size does not
+      assert(maxBlock <= 4L * (n >> p).max(1L),
+        s"n=$n p=$p: block $maxBlock exceeds 4x uniform ${n >> p}")
+      (n, p, maxBlock)
+    }
+    assert(results.map(_._2) === Seq(4, 6), "p must grow with the corpus")
+    // the counterfactual, executed: at n=100000 the OLD fixed p=4 leaves
+    // blocks ~4x larger than the derived p=6 does — the derived planes
+    // are what absorb the corpus growth
+    val n2 = 100000L
+    val fixedMax = spark.range(n2).selectExpr("id AS vec_id",
+        "transform(sequence(1,64), j -> cast(sin(id * j * 0.7) AS double)) AS v")
+      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v", 4)))
+      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    println(s"[skew] adaptive-p counterfactual: fixed p=4 maxBlock=$fixedMax vs derived ${results(1)._3}")
+    assert(results(1)._3 * 2 < fixedMax,
+      s"derived p must shrink blocks vs fixed p=4: ${results(1)._3} vs $fixedMax")
   }
 
   test("q61 simhash bands: candidate volume bounded, correlated content notwithstanding") {
@@ -164,7 +204,7 @@ class SkewStressSpec extends AnyFunSuite {
     val cells = out.toSeq.map(r => (r.getLong(0), r.getLong(1))).toDF("vec_id", "cell")
     val blocks = spark.read.parquet(s"${SkewFixture.dir}/embeddings.parquet")
       .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("v"))
-      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v")))
+      .withColumn("bucket", expr(Similarity.hyperplaneBucket("v", fixtureP)))
       .join(cells, "vec_id")
       .groupBy("cell", "bucket").count()
     val maxBlock = blocks.agg(max("count")).head.getLong(0)

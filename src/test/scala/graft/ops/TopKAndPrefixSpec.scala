@@ -63,25 +63,45 @@ class TopKAndPrefixSpec extends AnyFunSuite {
 
   // ---- q46 hyperplane LSH ----
 
-  test("hyperplane literal matrix equals the md5 derivation computed in SQL") {
+  test("hyperplane literal matrix equals the md5 derivation computed in SQL — at p=4 AND p=6") {
     val spark2 = spark
     import spark2.implicits._
     // recompute the ±1 matrix with Spark SQL's md5 (the oracle's formula)
-    // and compare against the Scala-generated literal
-    val fromSql = spark.range(4).toDF("p")
-      .selectExpr("p", """transform(sequence(1,64), j ->
-        |  IF(conv(substring(md5(concat(cast(p AS string), '_', cast(j AS string))), 1, 1), 16, 10) % 2 = 0,
-        |     1.0D, -1.0D)) AS s""".stripMargin)
-      .orderBy("p").collect().map(_.getSeq[Double](1))
-    val lit = spark.sql(s"SELECT ${Similarity.hyperplaneLit} AS m")
-      .collect()(0).getSeq[scala.collection.Seq[Double]](0)
-    assert(lit.map(_.toSeq) === fromSql.map(_.toSeq))
+    // and compare against the Scala-generated literal, at two plane counts
+    // (the adaptive-p path must produce the same per-plane rows)
+    for (p <- Seq(4, 6)) {
+      val fromSql = spark.range(p).toDF("p")
+        .selectExpr("p", """transform(sequence(1,64), j ->
+          |  IF(conv(substring(md5(concat(cast(p AS string), '_', cast(j AS string))), 1, 1), 16, 10) % 2 = 0,
+          |     1.0D, -1.0D)) AS s""".stripMargin)
+        .orderBy("p").collect().map(_.getSeq[Double](1))
+      val lit = spark.sql(s"SELECT ${Similarity.hyperplaneLit(p)} AS m")
+        .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+      assert(lit.map(_.toSeq) === fromSql.map(_.toSeq), s"p=$p")
+    }
+    // prefix property: plane i's row is independent of the plane count
+    assert(Similarity.planeLits(6).take(4) === Similarity.planeLits(4))
+  }
+
+  test("planeCountFor: integer-exact corpus-size → plane-count derivation") {
+    // pinned table shared with scripts/planes_check.py (the DuckDB twin)
+    val expect = Seq(0L -> 4, 1L -> 4, 500L -> 4, 2000L -> 4, 2048L -> 4,
+      2049L -> 4, 4096L -> 4, 4097L -> 4, 60000L -> 5, 100000L -> 6,
+      1000000L -> 9, 10000000L -> 13, 1000000000L -> 19, 100000000000L -> 26)
+    expect.foreach { case (n, p) =>
+      assert(Similarity.planeCountFor(n) === p, s"n=$n")
+    }
+    // block-size invariant: n / 2^p ≤ 2048 whenever p is above the floor
+    Seq(5000L, 123457L, 9999999L, 5000000000L).foreach { n =>
+      val p = Similarity.planeCountFor(n)
+      assert(n.toDouble / math.pow(2, p) <= 2048.0, s"n=$n p=$p")
+    }
   }
 
   test("hyperplane buckets spread the corpus (no degenerate bucket)") {
     val e = graft.source.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .selectExpr("transform(embedding, x -> cast(x AS double)) AS v")
-      .selectExpr(s"${Similarity.hyperplaneBucket("v")} AS bucket")
+      .selectExpr(s"${Similarity.hyperplaneBucket("v", 4)} AS bucket")
     val counts = e.groupBy("bucket").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
