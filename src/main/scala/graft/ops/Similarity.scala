@@ -2674,13 +2674,12 @@ object Similarity {
       // logical tree through analysis/codegen (this OOM'd the driver
       // before truncation). The survivor edge set is bounded (≤3|V|),
       // so each round materializes a small relation and the next round
-      // plans against just it. Cluster deployments: localCheckpoint
-      // blocks die with their executor — the CC kernel's
-      // spark.graft.checkpointDir escape applies if this ever runs there.
-      edges = edges
+      // plans against just it. Lineage.truncate honors the
+      // spark.graft.checkpointDir reliable-checkpoint escape on clusters
+      // (localCheckpoint blocks die with their executor).
+      edges = graft.util.Lineage.truncate(edges
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
       keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
         .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
@@ -2735,19 +2734,18 @@ object Similarity {
     val sym = graft.util.QueryCaches.tracked(
       und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
-    var v = sym.select(col("src").as("v")).distinct()
-      .withColumn("vq", lit(1000000L))
-      .localCheckpoint(true)
+    var v = graft.util.Lineage.truncate(
+      sym.select(col("src").as("v")).distinct()
+        .withColumn("vq", lit(1000000L)))
     for (_ <- 1 to 4) {
       val av = sym
         .join(v.select(col("v").as("dst"), col("vq").as("dvq")), "dst")
         .groupBy("src").agg(sum("dvq").as("av"))
       val mx = av.agg(max("av").as("mx"))
-      v = av.crossJoin(broadcast(mx))
+      v = graft.util.Lineage.truncate(av.crossJoin(broadcast(mx))
         .select(col("src").as("v"),
           expr("CAST(round(CAST(av AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6)" +
-            " AS BIGINT)").as("vq"))
-        .localCheckpoint(true)
+            " AS BIGINT)").as("vq")))
     }
     v.orderBy(col("vq").desc, col("v")).limit(10)
       .select(col("v").as("vec_id"), col("vq").as("score_q"),

@@ -33,7 +33,6 @@ object TextDedup {
     * tracked here because `setCheckpointDir` appends a UUID subdir, so
     * the context's dir never compares equal to the configured path.
     */
-  @volatile private var lastCheckpointDir: Option[String] = None
 
   /** Word k-shingles as a SQL expression over a `words` array column.
     * Guarded: Spark's `sequence(1, n)` DESCENDS for n<1 (DuckDB's
@@ -1052,39 +1051,13 @@ object TextDedup {
     val sym = e.toDF("src", "dst")
       .union(e.toDF("dst", "src").select("src", "dst"))
       .persist(MEMORY_AND_DISK)
-    // Eager checkpoint per round: iterative plans otherwise NEST — the
-    // optimizer re-analyzes and re-codegens an O(iteration)-deep tree every
-    // round (quadratic planning cost, unbounded lineage on failure
-    // recovery). Truncating to the materialized partitions keeps each round
-    // a constant two-shuffle job. `truncateLineage` picks the storage:
-    // executor-local by default (fast, fine single-JVM), RELIABLE when
-    // `spark.graft.checkpointDir` is set — on a real cluster a lost
-    // executor takes its localCheckpoint blocks with it and the truncated
-    // lineage cannot recompute them, so cluster deployments must set the
-    // dir (HDFS/S3) and take the write-through cost.
+    // Eager checkpoint per round via graft.util.Lineage (executor-local
+    // by default, RELIABLE when `spark.graft.checkpointDir` is set — the
+    // cluster-safety escape every iterative kernel shares; rationale in
+    // Lineage's scaladoc).
     // Init already folds the first propagation round in: label(v) =
     // min(v, min neighbor) — one aggregation instead of distinct + a round.
-    def truncateLineage(df: DataFrame): DataFrame = {
-      val spark = df.sparkSession
-      spark.conf.getOption("spark.graft.checkpointDir") match {
-        case Some(dir) =>
-          // Always honor the CONFIGURED dir — the context may hold a stale
-          // dir set by someone else (setCheckpointDir appends a UUID
-          // subdir, so the raw values never compare equal; track what WE
-          // set instead). Reliable checkpoint files are not auto-deleted
-          // by default: a long-running deployment should also set
-          // spark.cleaner.referenceTracking.cleanCheckpoints=true so GC'd
-          // label RDDs clean their files.
-          TextDedup.synchronized {
-            if (!lastCheckpointDir.contains(dir)) {
-              spark.sparkContext.setCheckpointDir(dir)
-              lastCheckpointDir = Some(dir)
-            }
-          }
-          df.checkpoint(eager = true)
-        case None => df.localCheckpoint(eager = true)
-      }
-    }
+    def truncateLineage(df: DataFrame): DataFrame = graft.util.Lineage.truncate(df)
     var labels = truncateLineage(sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .withColumnRenamed("src", "doc_id"))

@@ -104,10 +104,10 @@ object StreamingLshDedup {
     // micro-batch's source — a foreachBatch DataFrame is only readable
     // inside its own batch, and the index must outlive it. (Production:
     // append to the index TABLES instead; see the scaladoc.)
-    val aBands = bBands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val aSets = bSets.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val aBands = graft.util.Lineage.truncate(
+      bBands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val aSets = graft.util.Lineage.truncate(
+      bSets.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"))
     bBands.unpersist()
     bSets.unpersist()
     (admitted, dropped, aBands, aSets)
@@ -146,7 +146,8 @@ object StreamingLshDedup {
         sinceCollapse += 1
         index = if (sinceCollapse >= 8) {
           sinceCollapse = 0
-          Index(next.bands.localCheckpoint(true), next.sets.localCheckpoint(true))
+          Index(graft.util.Lineage.truncate(next.bands),
+            graft.util.Lineage.truncate(next.sets))
         } else next
         onBatch(admitted, dropped, id)
         // per-batch working caches end with the batch
@@ -243,8 +244,8 @@ object StreamingLshDedup {
         // and drop every doc as a self-match. aBands/aSets are already
         // eager localCheckpoints (admitCore); do the same for the two
         // caller-visible outputs.
-        val admitted = admitted0.localCheckpoint(true)
-        val dropped = dropped0.localCheckpoint(true)
+        val admitted = graft.util.Lineage.truncate(admitted0)
+        val dropped = graft.util.Lineage.truncate(dropped0)
         admitted0.unpersist()
         dropped0.unpersist()
         // append BEFORE the user sink sees the batch: if the job dies

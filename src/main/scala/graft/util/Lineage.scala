@@ -1,0 +1,58 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative dataflows (connected components,
+  * k-core peeling, eigencentrality power iteration, the streaming LSH
+  * index collapse). Iterative plans otherwise NEST: the optimizer
+  * re-analyzes and re-codegens an O(iteration)-deep tree every round
+  * (quadratic planning cost, unbounded lineage on failure recovery), so
+  * each round's result is eagerly checkpointed down to its materialized
+  * partitions.
+  *
+  * Storage choice is the cluster-safety decision:
+  *  - default: `localCheckpoint` — executor-local blocks, no write-through
+  *    cost, correct in single-JVM/local mode;
+  *  - `spark.graft.checkpointDir` set: RELIABLE `checkpoint()` to that
+  *    dir — on a real cluster a lost executor takes its localCheckpoint
+  *    blocks with it and the truncated lineage cannot recompute them, so
+  *    cluster deployments must set the dir (HDFS/S3) and take the
+  *    write-through cost. Long-running deployments should also set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` so GC'd
+  *    checkpointed RDDs clean their files (reliable checkpoint files are
+  *    not auto-deleted by default).
+  *
+  * One definition for every iterative kernel — extracted from
+  * TextDedup.connectedComponents so q233/q237 and StreamingLshDedup
+  * honor the same escape hatch.
+  */
+object Lineage {
+
+  // Track what WE set: the context may hold a stale dir set by someone
+  // else, and setCheckpointDir appends a UUID subdir so the raw values
+  // never compare equal.
+  @volatile private var lastCheckpointDir: Option[String] = None
+
+  /** True when the last [[truncate]] call took the reliable-checkpoint
+    * path — observable hook for the cluster-safety spec.
+    */
+  @volatile private[graft] var lastWasReliable: Boolean = false
+
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        Lineage.synchronized {
+          if (!lastCheckpointDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            lastCheckpointDir = Some(dir)
+          }
+        }
+        lastWasReliable = true
+        df.checkpoint(eager = true)
+      case None =>
+        lastWasReliable = false
+        df.localCheckpoint(eager = true)
+    }
+  }
+}

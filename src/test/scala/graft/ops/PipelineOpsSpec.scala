@@ -100,6 +100,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("q233/q237 iterative rounds checkpoint RELIABLY when spark.graft.checkpointDir is set") {
+    // The k-core peeling and power-iteration loops route every round
+    // through util.Lineage (the CC kernel's escape hatch, extracted):
+    // with the conf set, rounds must take the reliable-checkpoint path
+    // (files on shared storage), not executor-local blocks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-kcore").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val out = graft.SparkEntry.queries("q233_kcore_curve")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(out.length === 5, "five peeling rounds")
+      assert(graft.util.Lineage.lastWasReliable,
+        "Lineage must have taken the reliable-checkpoint path")
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles = try stream.filter(java.nio.file.Files.isRegularFile(_)).count()
+                   finally stream.close()
+      assert(nFiles > 0, s"expected reliable checkpoint files under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      graft.util.QueryCaches.drain()
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
