@@ -1001,9 +1001,12 @@ object Behavioral {
     */
   private val q248: Q = (s, dir) => {
     val t = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      // event_id tiebreak: per-user ts uniqueness is NOT assumed (q218/
+      // q241 discipline) — a tie would otherwise let the two engines
+      // order lead() differently
       .withColumn("next_type", lead("event_type", 1).over(
-        Window.partitionBy("user_id").orderBy("ts")))
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("a"), col("next_type").as("b"))
       .agg(count(lit(1)).as("n_ab"))
@@ -1033,7 +1036,7 @@ object Behavioral {
 
   private val q248Sql =
     """WITH tr AS (SELECT event_type AS a,
-      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS b
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
       |  FROM events),
       |t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM tr
       |  WHERE b IS NOT NULL GROUP BY 1, 2),

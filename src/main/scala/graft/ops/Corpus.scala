@@ -918,7 +918,10 @@ object Corpus {
       .select(col("n_known"), col("n_candidates"),
         (col("n_candidates") - col("n_new")).as("n_true_dups"),
         col("n_new"), col("n_false_pos"),
-        expr("CAST((n_false_pos * 1000000L) div n_new AS BIGINT)")
+        // n_new = 0 guard (q212/q241 discipline): a degenerate corpus
+        // where every candidate is a known dup must report 0, not NULL
+        expr("CAST(CASE WHEN n_new = 0 THEN 0 ELSE" +
+          " (n_false_pos * 1000000L) div n_new END AS BIGINT)")
           .as("fpp_measured_ppm"),
         expr(s"""CAST(round(power(CAST(1 AS DOUBLE) -
           |power(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST($m AS DOUBLE),
@@ -965,7 +968,8 @@ object Corpus {
        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_known FROM known)
        |SELECT c.n_known, a.n_candidates,
        |  a.n_candidates - b.n_new AS n_true_dups, b.n_new, b.n_false_pos,
-       |  CAST((b.n_false_pos * 1000000) // b.n_new AS BIGINT)
+       |  CAST(CASE WHEN b.n_new = 0 THEN 0
+       |    ELSE (b.n_false_pos * 1000000) // b.n_new END AS BIGINT)
        |    AS fpp_measured_ppm,
        |  CAST(round(power(CAST(1 AS DOUBLE) -
        |power(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST($m AS DOUBLE),

@@ -80,6 +80,14 @@ object GlobalRank {
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // The long cast is EXACT only for integral inputs; a fractional
+    // DOUBLE would silently truncate maxima away from the window form
+    // this decomposes, so reject it loudly at plan time.
+    val vType = df.select(value.as("__gr_probe")).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"prefixMax requires an integral value column (exact long compare); " +
+        s"got ${vType.typeName} — quantize to BIGINT first (MomentGuard " +
+        s"discipline) if the source is fractional")
     val ranged = graft.util.QueryCaches.tracked(
       df.repartitionByRange(p, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)

@@ -1307,10 +1307,16 @@ object Stats {
           .stripMargin).as("lq"))
       .agg(count(lit(1)).as("k"), max("x_ref").as("x_ref"),
         sum("lq").as("slq"))
-      .select(col("k"), col("x_ref"),
-        (col("slq").cast("double") / 1e6 / col("k").cast("double"))
-          .as("mean_log2_ratio"),
-        expr("""CASE WHEN slq <= 0 THEN 0.0
+      // k = 0 guard: a corpus under 101 docs has no rank-101 reference —
+      // emit ONE defined row (k=0, zeros) instead of an empty result a
+      // downstream consumer cannot tell from a failed query (both
+      // engines; the global aggregate already yields one row on empty
+      // input, this pins its payload)
+      .select(col("k"), coalesce(col("x_ref"), lit(0L)).as("x_ref"),
+        expr("""CASE WHEN k = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(slq AS DOUBLE) / 1e6 / CAST(k AS DOUBLE) END"""
+          .stripMargin).as("mean_log2_ratio"),
+        expr("""CASE WHEN k = 0 OR slq <= 0 THEN 0.0
           |ELSE CAST(k AS DOUBLE) * 1e6
           |  / (CAST(slq AS DOUBLE) * ln(CAST(2 AS DOUBLE))) END"""
           .stripMargin).as("alpha_hat"))
@@ -1328,10 +1334,11 @@ object Stats {
       |  / CAST(ref.x_ref AS DOUBLE)) * 1e6) AS BIGINT) AS lq
       |  FROM r CROSS JOIN ref WHERE r.rank <= 100)
       |SELECT CAST(count(*) AS BIGINT) AS k,
-      |  CAST(max(x_ref) AS BIGINT) AS x_ref,
-      |  CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE) / 1e6
-      |    / CAST(count(*) AS DOUBLE) AS mean_log2_ratio,
-      |  CASE WHEN CAST(sum(lq) AS BIGINT) <= 0 THEN 0.0
+      |  CAST(coalesce(max(x_ref), 0) AS BIGINT) AS x_ref,
+      |  CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE) / 1e6
+      |    / CAST(count(*) AS DOUBLE) END AS mean_log2_ratio,
+      |  CASE WHEN count(*) = 0 OR CAST(sum(lq) AS BIGINT) <= 0 THEN 0.0
       |ELSE CAST(count(*) AS DOUBLE) * 1e6
       |  / (CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE)
       |     * ln(CAST(2 AS DOUBLE))) END AS alpha_hat

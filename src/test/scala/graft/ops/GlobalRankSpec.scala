@@ -142,6 +142,17 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixMax rejects fractional value columns at plan time") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 1.5, 1L), (1L, 2.5, 2L)).toDF("k", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.prefixMax(df, "before", col("v"), Seq(col("k"), col("id")))
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    graft.util.QueryCaches.drain()
+  }
+
   test("prefixSum on empty input yields an empty relation") {
     val spark2 = spark
     import spark2.implicits._
