@@ -26,6 +26,25 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Phase-calibration probe: a FIXED, data-independent CPU-bound job
+    * (64M-row hash-sum over `spark.range`, no I/O, no shuffle beyond the
+    * final 1-row aggregate) whose cost depends only on host speed. Its
+    * median, emitted as `calib` in the summary line, lets cross-round
+    * bench ratios be deconfounded from the shared host's slow phases
+    * (round 7's gate artifact read 1.27x on unchanged plans purely from
+    * phase noise): comparable rounds divide totals by their calib before
+    * comparing.
+    */
+  private[graft] def calibrateOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // per-term modulo bounds the ANSI sum: terms < 2^20, 2^26 of them,
+    // total < 2^46 — no overflow at any host speed
+    spark.range(1L << 26)
+      .selectExpr("CAST(sum((id * 2654435761L) % 1048576) AS BIGINT) AS h")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,12 +90,20 @@ object Bench {
     // of the budget the remaining queries skip warmup (they run cold in
     // the timed pass — a noisier number beats an external timeout).
     names.foreach { n => if (elapsed < budgetSec * 0.4) { once(n, timed = false); () } }
+    // Calibration samples bracket the timed passes (first one also JIT-warms
+    // the probe) so phase drift across the run is captured, not just the
+    // phase at one instant.
+    val calibSamples = Seq.newBuilder[(Double)]
+    calibrateOnce(spark) // untimed probe warmup
+    (1 to 3).foreach(_ => calibSamples += calibrateOnce(spark))
     val passSamples = Seq.newBuilder[(String, Double)]
     var pass = 0
     while (pass < reps && (pass == 0 || elapsed < budgetSec)) {
       names.foreach(n => once(n, timed = true).foreach(t => passSamples += n -> t))
       pass += 1
+      (1 to 3).foreach(_ => calibSamples += calibrateOnce(spark))
     }
+    val calib = median(calibSamples.result())
     val samples = passSamples.result()
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = names.map { n =>
@@ -95,12 +122,12 @@ object Bench {
         .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
         .mkString("{", ",", "}")
       val body =
-        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"queries":$qs}"""
+        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"calib":${"%.3f".formatLocal(java.util.Locale.ROOT, calib)},"queries":$qs}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] full-dump write failed: ${e.getMessage}") }
     }
-    val line = summaryLine(results, errors, pass, sfDir)
+    val line = summaryLine(results, errors, pass, sfDir, calib)
     // Stop Spark FIRST, then emit: the summary must be the process's last
     // stdout so it sits raw and final in the driver's 2000-char tail (with
     // build.sbt's StdoutOutput + showSuccess=false nothing trails it).
@@ -143,7 +170,8 @@ object Bench {
 
   private[graft] def summaryLine(results: Map[String, Double],
                                  errors: collection.Map[String, String],
-                                 reps: Int, sfDir: String): String = {
+                                 reps: Int, sfDir: String,
+                                 calib: Double = -1.0): String = {
     def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${ms3(v)}"))
       .mkString("{", ",", "}")
@@ -176,6 +204,7 @@ object Bench {
     val nOk = results.values.count(_ >= 0)
     val nFail = results.size - nOk
     val failJson = if (nFail > 0) s""","nfail":$nFail""" else ""
-    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
+    val calibJson = if (calib >= 0) s""","calib":${ms3(calib)}""" else ""
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson$calibJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 }

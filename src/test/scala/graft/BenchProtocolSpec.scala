@@ -35,6 +35,19 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!line.contains("\"qa\""))
   }
 
+  test("calibration probe field rides the summary line when provided") {
+    val line = Bench.summaryLine(
+      Map("qa" -> 1.0), scala.collection.mutable.LinkedHashMap.empty[String, String],
+      reps = 1, sfDir = "/sf", calib = 0.0789)
+    assert(line.contains(""""calib":0.079"""), line)
+    val node = strictParse(line).getOrElse(fail(s"not strict JSON: $line"))
+    assert(node.get("calib").isNumber)
+    // omitted (not a bogus value) when the caller has no probe sample
+    val bare = Bench.summaryLine(Map("qa" -> 1.0),
+      scala.collection.mutable.LinkedHashMap.empty[String, String], 1, "/sf")
+    assert(!bare.contains("calib"))
+  }
+
   test("failed queries (-1 sentinel) are excluded from the total AND nq") {
     val line = Bench.summaryLine(
       Map("qa" -> 2.0, "qb" -> -1.0),
