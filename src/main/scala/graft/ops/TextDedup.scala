@@ -656,6 +656,127 @@ object TextDedup {
        |  LEFT JOIN ranked ON ranked.doc_id = qual.doc_id
        |ORDER BY qual.doc_id""".stripMargin
 
+  /** q251 — the full admission pipeline as ONE declared Spark job: the
+    * composed chain a real corpus build runs end-to-end — exact-dup gate
+    * (q40's digest rule) → near-dup cluster survivorship over the SHARED
+    * [[lexicalClusters]] relation (q144's highest-quality-survives rule)
+    * → quality admission (q54's blend + q146's thresholds) → per-source
+    * admission funnel → temperature-scaled mixture over the ADMITTED
+    * token mass (q151's α=½ rule). One row per source: how many docs
+    * each gate dropped, what survived, and the sampling share the
+    * mixture assigns it.
+    *
+    * Composition is the point: every expensive kernel here is a shared
+    * relation this inventory already pays for once per session — the CC
+    * cluster relation comes from the keyed registry (built once even if
+    * q56/q144/q146 ran first; `SharedRelationSpec` asserts the
+    * build-once property for this query), quality is the one tracked
+    * scan, and the mixture is a |sources|-row aggregate + a 1-row
+    * broadcast. Nothing in the chain re-pairs, re-clusters, or windows;
+    * at 100 TB this is three narrow doc_id joins over bounded relations
+    * and two tiny aggregates on top of work the dedup stage already did.
+    *
+    * Determinism: the funnel counts are exact BIGINTs; the temperature
+    * mass is `floor(sqrt(tokens)·1e6)::BIGINT` per source (q151's
+    * quantize-before-Σ discipline) so `temp_share` is one IEEE divide of
+    * exact integers, with a tot_sq = 0 guard on both engines.
+    */
+  private val q251: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val canon = docs.select(col("doc_id"), md5(col("text")).as("m"))
+    val exact = canon
+      .join(canon.groupBy("m").agg(min("doc_id").as("canon_id")), "m")
+      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("exact_keep"))
+    val qual = TextStats.qualityScored(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .transform(graft.util.QueryCaches.tracked)
+    val cc = lexicalClusters(s, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val best = struct(col("quality"), (-col("doc_id")).as("nd"))
+    val surv = cc.join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), best).as("survivor_id"))
+    val near = cc.join(surv, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") === col("survivor_id")).as("near_keep"))
+    val verd = docs.select(col("doc_id"), col("source"))
+      .join(qual, "doc_id")
+      .join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        when(!col("exact_keep"), lit("exact_duplicate"))
+          .when(!coalesce(col("near_keep"), lit(true)), lit("near_duplicate"))
+          .when(!(col("quality") >= 0.5 && col("n_tokens") >= 5), lit("low_quality"))
+          .otherwise(lit("kept")).as("verdict"))
+    val per = verd.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "exact_duplicate", 1L).otherwise(0L))
+          .as("n_exact_dup"),
+        sum(when(col("verdict") === "near_duplicate", 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum(when(col("verdict") === "low_quality", 1L).otherwise(0L))
+          .as("n_low_quality"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("verdict") === "kept", col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"))
+      .withColumn("sq",
+        expr("CAST(floor(sqrt(CAST(admitted_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = per.agg(sum("sq").as("tot_sq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"), col("n_low_quality"), col("n_admitted"),
+        col("admitted_tokens"),
+        expr("""CASE WHEN tot_sq = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) END"""
+          .stripMargin).as("temp_share"))
+      .orderBy("source")
+  }
+
+  private val q251Sql =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |${TextStats.qualityMeasuresCte("qw", "qm")},
+       |qual AS (SELECT doc_id, ${TextStats.qualityBlendSql} AS quality,
+       |  n_tokens FROM qm),
+       |ex AS (SELECT doc_id,
+       |  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS exact_keep
+       |  FROM documents),
+       |ranked AS (SELECT cc.doc_id,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY q.quality DESC, cc.doc_id) AS rn
+       |  FROM cc JOIN qual q ON q.doc_id = cc.doc_id),
+       |verd AS (SELECT d.source, qual.n_tokens,
+       |    CASE WHEN NOT ex.exact_keep THEN 'exact_duplicate'
+       |         WHEN NOT coalesce(ranked.rn = 1, TRUE) THEN 'near_duplicate'
+       |         WHEN NOT (qual.quality >= 0.5 AND qual.n_tokens >= 5)
+       |           THEN 'low_quality'
+       |         ELSE 'kept' END AS verdict
+       |  FROM qual JOIN ex ON ex.doc_id = qual.doc_id
+       |  JOIN documents d ON d.doc_id = qual.doc_id
+       |  LEFT JOIN ranked ON ranked.doc_id = qual.doc_id),
+       |per AS (SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN verdict = 'exact_duplicate' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_exact_dup,
+       |    CAST(sum(CASE WHEN verdict = 'near_duplicate' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_near_dup,
+       |    CAST(sum(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_low_quality,
+       |    CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_admitted,
+       |    CAST(sum(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END)
+       |      AS BIGINT) AS admitted_tokens
+       |  FROM verd GROUP BY source),
+       |per2 AS (SELECT *,
+       |    CAST(floor(sqrt(CAST(admitted_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS sq FROM per),
+       |tot AS (SELECT CAST(sum(sq) AS BIGINT) AS tot_sq FROM per2)
+       |SELECT source, n_docs, n_exact_dup, n_near_dup, n_low_quality,
+       |  n_admitted, admitted_tokens,
+       |  CASE WHEN tot_sq = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE) END
+       |    AS temp_share
+       |FROM per2 CROSS JOIN tot ORDER BY source""".stripMargin
+
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
        |SELECT doc_a, doc_b,
@@ -1199,6 +1320,7 @@ object TextDedup {
     "q144_dedup_survivorship" -> q144,
     "q145_dedup_increment" -> q145,
     "q146_corpus_manifest" -> q146,
+    "q251_admission_pipeline" -> q251,
     "q162_cluster_size_hist" -> q162
   )
 
@@ -1219,6 +1341,7 @@ object TextDedup {
     "q144_dedup_survivorship" -> q144Sql,
     "q145_dedup_increment" -> q145Sql,
     "q146_corpus_manifest" -> q146Sql,
+    "q251_admission_pipeline" -> q251Sql,
     "q162_cluster_size_hist" -> q162Sql
   )
 }

@@ -39,6 +39,31 @@ class SharedRelationSpec extends AnyFunSuite {
     QueryCaches.drain()
   }
 
+  test("q251 admission pipeline composes the shared cluster relation (built once)") {
+    QueryCaches.drain()
+    // A composed corpus build runs the dedup stage first: prime the
+    // registry the way q56 would, then run the full admission chain —
+    // it must consume the primed CC relation, not re-run the
+    // minhash→verify→CC pipeline.
+    val tcc = TextDedup.lexicalClusters(spark, dir)
+    val before = QueryCaches.pending
+    val rows = graft.SparkEntry.queries("q251_admission_pipeline")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(tcc eq TextDedup.lexicalClusters(spark, dir),
+      "q251 must reuse the primed cluster relation")
+    // q251 registers its own quality-scan cache but must not have
+    // re-built the CC pipeline (each build registers tracked caches)
+    assert(QueryCaches.pending <= before + 2,
+      s"q251 registered ${QueryCaches.pending - before} new caches — " +
+      "did it rebuild the cluster relation?")
+    // funnel sanity: every doc lands in exactly one verdict bucket
+    val totals = rows.map(r => (r.getLong(1),
+      r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)))
+    totals.foreach { case (n, parts) => assert(n === parts) }
+    QueryCaches.drain()
+  }
+
   test("q167 composes the same shared relations q56/q129 would build") {
     QueryCaches.drain()
     // Prime the registry the way a composed pipeline would (q56 + q129
