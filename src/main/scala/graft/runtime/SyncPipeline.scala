@@ -80,7 +80,8 @@ object SyncPipeline {
               snapshot: DataFrame,
               connect: () => (String => Unit, () => Unit),
               targetCount: String => Long,
-              batchSize: Int = JdbcUpsert.DefaultBatchSize): SyncResult = {
+              batchSize: Int = JdbcUpsert.DefaultBatchSize,
+              dialect: JdbcUpsert.Dialect = JdbcUpsert.Postgres): SyncResult = {
     val table = Schemas.tableName(resourceType)
     val classified = classifyWithPayloads(sourceVersions(resources), snapshot)
       .persist()
@@ -98,14 +99,15 @@ object SyncPipeline {
 
       def only(action: String) = classified.filter(col("action") === action)
       JdbcUpsert.insertPartitions(
-        only(Reconcile.Insert).select("resource"), table, connect, batchSize)
+        only(Reconcile.Insert).select("resource"), table, connect, batchSize,
+        dialect)
       JdbcUpsert.updatePartitions(
         only(Reconcile.Update)
           .select(col("pk_id").cast("int").as("pk_id"), col("resource")),
-        table, connect, batchSize)
+        table, connect, batchSize, dialect)
       JdbcUpsert.deletePartitions(
         only(Reconcile.Delete).select(col("pk_id").cast("int").as("pk_id")),
-        table, connect, batchSize)
+        table, connect, batchSize, dialect)
 
       SyncResult(resourceType, inserts = nIns, updates = nUpd, deletes = nDel,
         sourceTotal = srcTotal, targetAfter = targetCount(table))

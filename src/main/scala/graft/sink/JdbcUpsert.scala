@@ -29,6 +29,53 @@ object JdbcUpsert {
 
   val DefaultBatchSize = 10000
 
+  /** Statement-text dialect. [[Postgres]] is the reference's verbatim
+    * syntax (dollar-quoting, `::jsonb`, inline-VALUES UPDATE join);
+    * [[Ansi]] is standard-SQL text (doubled-quote string literals,
+    * CASE-based UPDATE) that embedded Derby — the one real JDBC engine
+    * on the Spark classpath — executes, so the e2e suite can drive the
+    * ACTUAL partition writers over a genuine driver
+    * (`DerbyE2ESpec`). Serializable: dialects ride the
+    * `foreachPartition` closures to executors.
+    */
+  sealed trait Dialect extends Serializable {
+    def insertSql(table: String, resources: Seq[String]): String
+    def updateSql(table: String, items: Seq[(Int, String)]): String
+    def deleteSql(table: String, ids: Seq[Int]): String =
+      s"DELETE FROM $table WHERE id IN (${ids.mkString(", ")})"
+  }
+
+  case object Postgres extends Dialect {
+    def insertSql(table: String, resources: Seq[String]): String =
+      s"INSERT INTO $table (resource) VALUES " +
+        resources.map(r => s"(${dollarQuote(r)})").mkString(", ")
+    def updateSql(table: String, items: Seq[(Int, String)]): String =
+      s"UPDATE $table SET resource = data.resource::jsonb FROM (VALUES " +
+        items.map { case (id, r) => s"($id, ${dollarQuote(r)})" }.mkString(", ") +
+        s") AS data(id, resource) WHERE data.id = $table.id"
+  }
+
+  case object Ansi extends Dialect {
+    private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    def insertSql(table: String, resources: Seq[String]): String =
+      s"INSERT INTO $table (resource) VALUES " +
+        resources.map(r => s"(${q(r)})").mkString(", ")
+    // standard searched-CASE update — one statement per chunk, same
+    // batched shape as the PG inline-VALUES join
+    def updateSql(table: String, items: Seq[(Int, String)]): String =
+      s"UPDATE $table SET resource = CASE id " +
+        items.map { case (id, r) => s"WHEN $id THEN ${q(r)}" }.mkString(" ") +
+        s" END WHERE id IN (${items.map(_._1).mkString(", ")})"
+    /** Derby-compatible mirror-table DDL (IDENTITY for SERIAL, CLOB for
+      * JSONB; the audit trigger is PG-specific and omitted).
+      */
+    def ddl(table: String): Seq[String] = Seq(
+      s"""CREATE TABLE $table (
+         |    id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         |    resource CLOB NOT NULL
+         |)""".stripMargin)
+  }
+
   private[graft] def dollarQuote(json: String): String = {
     // `$$` inside the payload would terminate the quoted literal; the
     // reference ignores this (injection-prone by design, SURVEY.md §4).
@@ -46,21 +93,18 @@ object JdbcUpsert {
     * reference `src/main.rs:107-111`.
     */
   def insertSql(table: String, resources: Seq[String]): String =
-    s"INSERT INTO $table (resource) VALUES " +
-      resources.map(r => s"(${dollarQuote(r)})").mkString(", ")
+    Postgres.insertSql(table, resources)
 
   /** `UPDATE {t} SET resource = data.resource::jsonb FROM (VALUES …) AS
     * data(id, resource) WHERE data.id = {t}.id` — reference
     * `src/main.rs:85-90` (an inline-VALUES inner join).
     */
   def updateSql(table: String, items: Seq[(Int, String)]): String =
-    s"UPDATE $table SET resource = data.resource::jsonb FROM (VALUES " +
-      items.map { case (id, r) => s"($id, ${dollarQuote(r)})" }.mkString(", ") +
-      s") AS data(id, resource) WHERE data.id = $table.id"
+    Postgres.updateSql(table, items)
 
   /** `DELETE FROM {t} WHERE id IN (…)` — reference `src/main.rs:127-131`. */
   def deleteSql(table: String, ids: Seq[Int]): String =
-    s"DELETE FROM $table WHERE id IN (${ids.mkString(", ")})"
+    Postgres.deleteSql(table, ids)
 
   /** Chunk an iterator into `batchSize` groups and execute one statement
     * per chunk (reference's counter-and-flush dance, `src/main.rs:188-190,
@@ -113,11 +157,12 @@ object JdbcUpsert {
     */
   def insertPartitions(inserts: DataFrame, table: String,
                        connect: () => (String => Unit, () => Unit),
-                       batchSize: Int = DefaultBatchSize): Unit =
+                       batchSize: Int = DefaultBatchSize,
+                       dialect: Dialect = Postgres): Unit =
     inserts.select("resource").foreachPartition { (rows: Iterator[Row]) =>
       transactionalPartition(rows, connect) { (rs, exec) =>
         writeBatched(rs.map(_.getString(0)), batchSize,
-          (c: Seq[String]) => insertSql(table, c), exec); ()
+          (c: Seq[String]) => dialect.insertSql(table, c), exec); ()
       }
     }
 
@@ -126,22 +171,24 @@ object JdbcUpsert {
     */
   def updatePartitions(updates: DataFrame, table: String,
                        connect: () => (String => Unit, () => Unit),
-                       batchSize: Int = DefaultBatchSize): Unit =
+                       batchSize: Int = DefaultBatchSize,
+                       dialect: Dialect = Postgres): Unit =
     updates.select("pk_id", "resource").foreachPartition { (rows: Iterator[Row]) =>
       transactionalPartition(rows, connect) { (rs, exec) =>
         writeBatched(rs.map(r => (r.getInt(0), r.getString(1))), batchSize,
-          (c: Seq[(Int, String)]) => updateSql(table, c), exec); ()
+          (c: Seq[(Int, String)]) => dialect.updateSql(table, c), exec); ()
       }
     }
 
   /** Executor-parallel DELETE of classified delete pk ids. */
   def deletePartitions(deletes: DataFrame, table: String,
                        connect: () => (String => Unit, () => Unit),
-                       batchSize: Int = DefaultBatchSize): Unit =
+                       batchSize: Int = DefaultBatchSize,
+                       dialect: Dialect = Postgres): Unit =
     deletes.select("pk_id").foreachPartition { (rows: Iterator[Row]) =>
       transactionalPartition(rows, connect) { (rs, exec) =>
         writeBatched(rs.map(_.getInt(0)), batchSize,
-          (c: Seq[Int]) => deleteSql(table, c), exec); ()
+          (c: Seq[Int]) => dialect.deleteSql(table, c), exec); ()
       }
     }
 
