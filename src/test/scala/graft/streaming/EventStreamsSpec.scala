@@ -157,6 +157,64 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q214's trailing-window state model matches the real stream-stream join state") {
+    // The q214/q236 claim, executed: q214 budgets stream-state as "rows
+    // whose event time is inside the trailing watermark window of the
+    // running max event time". Here the q236-shaped join (clicks within
+    // the hour before a purchase, 2h watermarks) runs for real on a
+    // MemoryStream, and StreamingQueryProgress.stateOperators is
+    // asserted against that model with EXACT bounds:
+    //  - purchases retained  iff p_ts >= wm       (all earlier clicks arrived)
+    //  - clicks retained     iff c_ts >= wm - 1h  (may match a purchase 1h later)
+    // evaluated at the two watermarks that bracket the final batch (state
+    // cleanup in batch N uses the watermark computed after batch N-1).
+    val spark2 = spark
+    import spark2.implicits._
+    val input = MemoryStream[Event](spark2)
+    val q = EventStreams.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("statebudget")
+      .outputMode("append").start()
+    def mk(i: Int) = ev(i.toLong,
+      new Timestamp(ts(8).getTime + i * 30000L), (i % 3).toLong,
+      if (i % 2 == 0) "click" else "purchase")
+    def wmMs(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+      java.time.Instant.parse(p.eventTime.get("watermark")).toEpochMilli
+    try {
+      input.addData((0 until 180).map(mk): _*)
+      runAll(q)
+      input.addData((180 until 240).map(mk): _*)
+      runAll(q)
+      // sentinel at i=400 (11:20): advances the watermark to 09:20 —
+      // INSIDE the bulk, so the eviction frontier splits it nontrivially
+      input.addData(mk(400))
+      runAll(q)
+      // the next batch RUNS the eviction at that watermark; its progress
+      // reports the watermark it evicted WITH
+      input.addData(mk(401))
+      runAll(q)
+      val prog = q.lastProgress
+      val observed = prog.stateOperators.apply(0).numRowsTotal
+      val wmUsed = wmMs(prog)
+      assert(wmUsed > ts(8).getTime, "sentinel must have advanced the watermark")
+      assert(wmUsed < mk(239).ts.getTime, "frontier must split the bulk")
+
+      val all = ((0 until 240) ++ Seq(400, 401)).map(mk)
+      def model(wm: Long): Long =
+        all.count(e => e.event_type == "purchase" && e.ts.getTime >= wm) +
+          all.count(e => e.event_type == "click" && e.ts.getTime >= wm - 3600000L)
+      // boundary rows (ts exactly AT a frontier) may fall either side of
+      // Spark's internal </<= choice — the one exactness caveat
+      val boundary = all.count(e =>
+        (e.event_type == "purchase" && e.ts.getTime == wmUsed) ||
+        (e.event_type == "click" && e.ts.getTime == wmUsed - 3600000L))
+      assert(observed <= model(wmUsed) && observed >= model(wmUsed) - boundary,
+        s"state $observed outside [${model(wmUsed) - boundary}, ${model(wmUsed)}] " +
+        s"(wmUsed=$wmUsed, boundary=$boundary)")
+      println(s"[q214-validate] observed=$observed model=${model(wmUsed)} " +
+        s"boundary=$boundary wmUsed=$wmUsed")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension per micro-batch") {
     val spark2 = spark
     import spark2.implicits._
