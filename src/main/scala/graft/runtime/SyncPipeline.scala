@@ -81,7 +81,55 @@ object SyncPipeline {
               connect: () => (String => Unit, () => Unit),
               targetCount: String => Long,
               batchSize: Int = JdbcUpsert.DefaultBatchSize,
-              dialect: JdbcUpsert.Dialect = JdbcUpsert.Postgres): SyncResult = {
+              dialect: JdbcUpsert.Dialect = JdbcUpsert.Postgres): SyncResult =
+    syncCore(resourceType, resources, snapshot, targetCount) { (classified, table) =>
+      def only(action: String) = classified.filter(col("action") === action)
+      JdbcUpsert.insertPartitions(
+        only(Reconcile.Insert).select("resource"), table, connect, batchSize,
+        dialect)
+      JdbcUpsert.updatePartitions(
+        only(Reconcile.Update)
+          .select(col("pk_id").cast("int").as("pk_id"), col("resource")),
+        table, connect, batchSize, dialect)
+      JdbcUpsert.deletePartitions(
+        only(Reconcile.Delete).select(col("pk_id").cast("int").as("pk_id")),
+        table, connect, batchSize, dialect)
+    }
+
+  /** One type's sync through the DECLARATIVE V2 write path: the whole
+    * classified diff goes down in ONE `graft-jdbc-upsert` write (all
+    * three actions applied per partition inside one task transaction,
+    * riding Spark's V2 commit/abort protocol) instead of three
+    * `foreachPartition` jobs. `writeOptions` reaches the sink's
+    * connector (`url`/`dialect`/`connector`/`batchsize`).
+    */
+  def syncOneV2(spark: SparkSession,
+                resourceType: String,
+                resources: DataFrame,
+                snapshot: DataFrame,
+                writeOptions: Map[String, String],
+                targetCount: String => Long): SyncResult =
+    syncCore(resourceType, resources, snapshot, targetCount) { (classified, table) =>
+      classified.filter(col("action") =!= Reconcile.Noop)
+        .select(col("action"), col("pk_id").cast("int").as("pk_id"),
+          col("resource"))
+        .write.format("graft-jdbc-upsert")
+        .options(writeOptions)
+        .option("table", table)
+        .mode("append")
+        .save()
+    }
+
+  /** Shared classify → count → write → reconcile skeleton: counts are
+    * taken from the persisted classification BEFORE any write mutates
+    * the live target (the execution-count discipline in the object
+    * scaladoc), then `writeClassified` applies the diff.
+    */
+  private def syncCore(resourceType: String,
+                       resources: DataFrame,
+                       snapshot: DataFrame,
+                       targetCount: String => Long)(
+                       writeClassified: (DataFrame, String) => Unit): SyncResult = {
     val table = Schemas.tableName(resourceType)
     val classified = classifyWithPayloads(sourceVersions(resources), snapshot)
       .persist()
@@ -97,17 +145,7 @@ object SyncPipeline {
       // every valid source row is exactly one of insert/update/noop
       val srcTotal = nIns + nUpd + byAction(Reconcile.Noop)
 
-      def only(action: String) = classified.filter(col("action") === action)
-      JdbcUpsert.insertPartitions(
-        only(Reconcile.Insert).select("resource"), table, connect, batchSize,
-        dialect)
-      JdbcUpsert.updatePartitions(
-        only(Reconcile.Update)
-          .select(col("pk_id").cast("int").as("pk_id"), col("resource")),
-        table, connect, batchSize, dialect)
-      JdbcUpsert.deletePartitions(
-        only(Reconcile.Delete).select(col("pk_id").cast("int").as("pk_id")),
-        table, connect, batchSize, dialect)
+      writeClassified(classified, table)
 
       SyncResult(resourceType, inserts = nIns, updates = nUpd, deletes = nDel,
         sourceTotal = srcTotal, targetAfter = targetCount(table))

@@ -109,6 +109,32 @@ object DerbyTarget {
           get_json_object(col("resource"), "$.meta.versionId").as("version_text")))
 }
 
+/** V2-writer connector over the Derby target (zero-arg, class-name
+  * instantiated): routes through DerbyTarget.connect so writer
+  * transactions pass the same txGate as the foreachPartition path.
+  */
+class GatedDerbyConnector extends graft.sink.v2.UpsertConnector {
+  override def connect(options: Map[String, String]): (String => Unit, () => Unit) =
+    DerbyTarget.connect()
+}
+
+/** Dies on its 2nd real statement — AFTER one already executed inside
+  * the open transaction — to exercise the V2 abort path.
+  */
+class FailingDerbyConnector extends graft.sink.v2.UpsertConnector {
+  override def connect(options: Map[String, String]): (String => Unit, () => Unit) = {
+    val (exec, close) = DerbyTarget.connect()
+    var stmts = 0
+    ((s: String) => {
+      if (s != "BEGIN" && s != "COMMIT") {
+        stmts += 1
+        if (stmts == 2) throw new RuntimeException("connection lost mid-partition")
+      }
+      exec(s)
+    }, close)
+  }
+}
+
 class DerbyE2ESpec extends AnyFunSuite {
 
   private val spark = SparkTestSession.spark
@@ -203,6 +229,85 @@ class DerbyE2ESpec extends AnyFunSuite {
     JdbcUpsert.insertPartitions(rows, "patient", () => DerbyTarget.connect(),
       batchSize = 2, dialect = JdbcUpsert.Ansi)
     assert(DerbyTarget.count("patient") === 8L, "exactly one copy after retry")
+  }
+
+  test("V2 write path over real JDBC: sync -> no-op -> heal through one declarative write") {
+    DerbyTarget.reset()
+    def syncV2() = graft.model.Schemas.resourceTypes.map { t =>
+      SyncPipeline.syncOneV2(spark, t,
+        SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
+          classOf[graft.source.v2.FixtureFetcher].getName)(t),
+        DerbyTarget.snapshot(spark)(graft.model.Schemas.tableName(t)),
+        Map("connector" -> classOf[GatedDerbyConnector].getName,
+          "dialect" -> "ansi"),
+        DerbyTarget.count)
+    }
+    val first = syncV2()
+    first.foreach { r =>
+      assert(r.inserts === 23 && r.updates === 0 && r.deletes === 0, r)
+      assert(r.reconciled, s"post-write count must equal source: $r")
+    }
+    val second = syncV2()
+    second.foreach { r =>
+      assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0, r)
+    }
+    val byJson = DerbyTarget.rows("patient")
+    val staleId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r5"""") => id }.get
+    DerbyTarget.execute(s"UPDATE patient SET resource = " +
+      s"'{\"id\":\"r5\",\"meta\":{\"versionId\":\"999\"}}' WHERE id = $staleId")
+    DerbyTarget.execute(
+      "INSERT INTO patient (resource) VALUES ('{\"id\":\"zzz\",\"meta\":{\"versionId\":\"1\"}}')")
+    val heal = syncV2()
+    val patient = heal.find(_.resourceType == "Patient").get
+    assert(patient.inserts === 0 && patient.updates === 1 && patient.deletes === 1,
+      s"one V2 healing run must fix both corruptions: $patient")
+    assert(patient.reconciled)
+  }
+
+  test("V2 truncate-and-append mode: overwrite rebuilds the table from scratch") {
+    DerbyTarget.reset()
+    val spark2 = spark
+    import spark2.implicits._
+    // seed rows the overwrite must clear
+    DerbyTarget.execute("INSERT INTO patient (resource) VALUES ('{\"id\":\"old1\"}')")
+    DerbyTarget.execute("INSERT INTO patient (resource) VALUES ('{\"id\":\"old2\"}')")
+    val fresh = (0 until 5).map(i => ("insert", Option.empty[Int],
+        s"""{"id":"n$i"}"""))
+      .toDF("action", "pk_id", "resource")
+    fresh.write.format("graft-jdbc-upsert")
+      .option("table", "patient")
+      .option("connector", classOf[GatedDerbyConnector].getName)
+      .option("dialect", "ansi")
+      .mode("overwrite")
+      .save()
+    val rows = DerbyTarget.rows("patient").values.toSeq
+    assert(rows.size === 5, s"truncate must clear the seeded rows: $rows")
+    assert(rows.forall(_.contains(""""id":"n""")), rows)
+  }
+
+  test("V2 writer abort: a failing task commits nothing in the real engine") {
+    DerbyTarget.reset()
+    val spark2 = spark
+    import spark2.implicits._
+    // rows in ONE partition; the connector's exec dies on the 2nd
+    // statement (batchsize 2 → several INSERT statements), AFTER the
+    // first already executed inside the open transaction
+    val rows = (0 until 8).map(i => ("insert", Option.empty[Int],
+        s"""{"id":"v$i"}"""))
+      .toDF("action", "pk_id", "resource").coalesce(1)
+    val e = intercept[Exception] {
+      rows.write.format("graft-jdbc-upsert")
+        .option("table", "patient")
+        .option("connector", classOf[FailingDerbyConnector].getName)
+        .option("dialect", "ansi")
+        .option("batchsize", "2")
+        .mode("append")
+        .save()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("connection lost")), e)
+    assert(DerbyTarget.count("patient") === 0L,
+      "the executed batch must roll back when the V2 task aborts")
   }
 
   test("Ansi dialect round-trips payloads with embedded quotes") {

@@ -153,6 +153,15 @@ object PgLiteStore {
   }
 }
 
+/** V2-writer connector over the in-JVM PG-semantics store (zero-arg,
+  * instantiated by class name on executors — local-mode same-JVM, the
+  * FixtureFetcher pattern).
+  */
+class PgLiteConnector extends graft.sink.v2.UpsertConnector {
+  override def connect(options: Map[String, String]): (String => Unit, () => Unit) =
+    PgLiteStore.connect()
+}
+
 /** End-to-end self-healing contract (reference `src/main.rs:159-175`):
   * sync into an empty target, prove the SECOND run is a no-op, corrupt
   * the target three ways (drop a row, stale a version, add an alien
@@ -221,6 +230,44 @@ class SyncE2ESpec extends AnyFunSuite {
       assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
         s"post-heal sync must be a no-op: $r")
     }
+  }
+
+  test("V2 declarative write path: sync -> no-op re-sync -> heal, unchanged semantics") {
+    PgLiteStore.clear()
+    def syncV2() = graft.model.Schemas.resourceTypes.map { t =>
+      SyncPipeline.syncOneV2(spark, t,
+        SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
+          classOf[graft.source.v2.FixtureFetcher].getName)(t),
+        PgLiteStore.snapshot(spark)(graft.model.Schemas.tableName(t)),
+        Map("connector" -> classOf[PgLiteConnector].getName),
+        PgLiteStore.count)
+    }
+
+    val first = syncV2()
+    assert(first.size === 4)
+    first.foreach { r =>
+      assert(r.inserts === 23 && r.updates === 0 && r.deletes === 0, r)
+      assert(r.reconciled, s"post-write count must equal source: $r")
+    }
+    val second = syncV2()
+    second.foreach { r =>
+      assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
+        s"second V2 sync must be a no-op: $r")
+    }
+    // same three-way corruption as the foreachPartition path
+    val byJson = PgLiteStore.rows("patient")
+    val dropId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r3"""") => id }.get
+    val staleId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r5"""") => id }.get
+    PgLiteStore.delete("patient", dropId)
+    PgLiteStore.replace("patient", staleId,
+      """{"id":"r5","meta":{"versionId":"999"},"resourceType":"Patient"}""")
+    PgLiteStore.put("patient",
+      """{"id":"zzz","meta":{"versionId":"1"},"resourceType":"Patient"}""")
+    val heal = syncV2()
+    val patient = heal.find(_.resourceType == "Patient").get
+    assert(patient.inserts === 1 && patient.updates === 1 && patient.deletes === 1,
+      s"one V2 healing run must fix all three corruptions: $patient")
+    assert(patient.reconciled)
   }
 
   test("a mid-partition failure commits nothing; the retry writes exactly once") {
