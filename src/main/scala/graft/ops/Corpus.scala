@@ -1189,7 +1189,55 @@ object Corpus {
        |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
 
+  /** q255 — quasi-identifier k-anonymity audit: bucket every document by
+    * its metadata fingerprint (lang, source, length-centile bucket
+    * n_chars div 100) and report the cells whose population is below
+    * k = 5 — the combinations that could single out a document (or its
+    * author) from metadata alone, the audit a release pipeline runs
+    * before publishing per-document metadata alongside a corpus. Emits
+    * the global summary: cell count, risky-cell count, documents at
+    * risk, min/max cell size, risky-mass share.
+    *
+    * Scale shape: one composite-key groupBy (partial+final over an
+    * unbounded key — the cell relation is data-sized but each row is 5
+    * integers) folded to a 1-row summary; exact BIGINTs end-to-end and
+    * one IEEE divide for the share. No windows, no joins.
+    */
+  private val q255: Q = (s, dir) => {
+    val cells = Tables.spread(Tables.documents(s, dir))
+      .select(col("lang"), col("source"),
+        expr(graft.util.SqlArith.floorDiv("n_chars", 100L)).as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("cell_n"))
+    cells.agg(count(lit(1)).as("n_cells"),
+        sum(when(col("cell_n") < 5, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("cell_n") < 5, col("cell_n")).otherwise(0L))
+          .as("n_docs_risky"),
+        min("cell_n").as("min_cell"), max("cell_n").as("max_cell"),
+        sum("cell_n").as("n_docs"))
+      .select(col("n_cells"), col("n_risky_cells"), col("n_docs_risky"),
+        col("min_cell"), col("max_cell"),
+        (col("n_docs_risky").cast("double") / col("n_docs").cast("double"))
+          .as("risky_share"))
+  }
+
+  private val q255Sql =
+    """WITH cells AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS cell_n
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN cell_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risky_cells,
+      |  CAST(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT)
+      |    AS n_docs_risky,
+      |  CAST(min(cell_n) AS BIGINT) AS min_cell,
+      |  CAST(max(cell_n) AS BIGINT) AS max_cell,
+      |  CAST(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(cell_n) AS DOUBLE) AS risky_share
+      |FROM cells""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q255_k_anonymity" -> q255,
     "q117_postings" -> q117,
     "q118_degree_hist" -> q118,
     "q70_tfidf" -> q70,
@@ -1217,6 +1265,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q255_k_anonymity" -> q255Sql,
     "q117_postings" -> q117Sql,
     "q118_degree_hist" -> q118Sql,
     "q70_tfidf" -> q70Sql,

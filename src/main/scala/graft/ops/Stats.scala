@@ -1504,7 +1504,89 @@ object Stats {
        |END AS spearman_rho
        |FROM m""".stripMargin
 
+  /** q254 — event-type × weekday association (chi-square + Cramér's V):
+    * is traffic composition a function of the day of week, and HOW
+    * strongly — the effect-size companion to q137/q210's significance
+    * tests (a 100 TB corpus makes any χ² "significant"; V ∈ [0,1] is
+    * the number that says whether the association matters). Weekday is
+    * the exact integer `floor(µs/day) % 7` (no date functions — both
+    * engines do the same integer arithmetic). Every χ² cell term is
+    * computed in DOUBLE from exact BIGINTs through ONE shared
+    * expression, quantized `round(·1e6)::BIGINT` per cell BEFORE the
+    * cross-cell sum (shuffle-order-independent, the q248 discipline);
+    * the final V is one sqrt over exact integers. Dataflow: one
+    * (type, dow) groupBy, two marginal rollups of the ≤ |types|·7 cell
+    * relation, a 1-row broadcast — nothing scales with the event count
+    * after the first aggregate.
+    */
+  private val q254: Q = (s, dir) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr(s"${SqlArith.floorDiv("unix_micros(ts)", 86400000000L)} % 7")
+          .as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n_rc"))
+      .transform(graft.util.QueryCaches.tracked)
+    val rowTot = cells.groupBy("event_type").agg(sum("n_rc").as("n_r"))
+    val colTot = cells.groupBy("dow").agg(sum("n_rc").as("n_c"))
+    val tot = cells.agg(sum("n_rc").as("n"),
+      countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+    val termQ =
+      """CAST(round(
+        |  (CAST(n_rc AS DOUBLE) * CAST(n AS DOUBLE)
+        |     - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+        |  * (CAST(n_rc AS DOUBLE) * CAST(n AS DOUBLE)
+        |     - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+        |  * 1e6) AS BIGINT)""".stripMargin
+    cells.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"), expr(termQ).as("tq"))
+      .groupBy("n", "r", "c").agg(sum("tq").as("chi2q"))
+      .select(col("n").as("n_events"), col("r").as("n_types"),
+        col("c").as("n_days"),
+        (col("chi2q").cast("double") / 1e6).as("chi2"),
+        expr("""CASE WHEN least(r - 1, c - 1) <= 0 THEN CAST(0 AS DOUBLE)
+          |ELSE sqrt(CAST(chi2q AS DOUBLE) / 1e6
+          |  / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+          |END""".stripMargin).as("cramers_v"))
+  }
+
+  private val q254Sql =
+    """WITH e AS (SELECT event_type,
+      |    (epoch_us(ts) // 86400000000) % 7 AS dow
+      |  FROM events),
+      |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_rc
+      |  FROM e GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(n_rc) AS BIGINT) AS n_r
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(n_rc) AS BIGINT) AS n_c
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_rc) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+      |    CAST(count(DISTINCT dow) AS BIGINT) AS c FROM cells),
+      |q AS (SELECT tot.n, tot.r, tot.c,
+      |    CAST(round(
+      |      (CAST(n_rc AS DOUBLE) * CAST(tot.n AS DOUBLE)
+      |         - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+      |      * (CAST(n_rc AS DOUBLE) * CAST(tot.n AS DOUBLE)
+      |         - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+      |      / (CAST(tot.n AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+      |      * 1e6) AS BIGINT) AS tq
+      |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+      |  CROSS JOIN tot),
+      |m AS (SELECT n, r, c, CAST(sum(tq) AS BIGINT) AS chi2q FROM q
+      |  GROUP BY 1, 2, 3)
+      |SELECT n AS n_events, r AS n_types, c AS n_days,
+      |  CAST(chi2q AS DOUBLE) / 1e6 AS chi2,
+      |  CASE WHEN least(r - 1, c - 1) <= 0 THEN CAST(0 AS DOUBLE)
+      |ELSE sqrt(CAST(chi2q AS DOUBLE) / 1e6
+      |  / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+      |END AS cramers_v
+      |FROM m""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q254_cramers_v" -> q254,
     "q249_daily_autocorr" -> q249,
     "q250_spearman_sources" -> q250,
     "q245_hill_tail" -> q245,
@@ -1528,6 +1610,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q254_cramers_v" -> q254Sql,
     "q249_daily_autocorr" -> q249Sql,
     "q250_spearman_sources" -> q250Sql,
     "q245_hill_tail" -> q245Sql,

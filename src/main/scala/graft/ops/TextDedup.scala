@@ -777,6 +777,56 @@ object TextDedup {
        |    AS temp_share
        |FROM per2 CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q258 — near-dup cluster edge density: per resolved cluster (≥ 2
+    * members), its size, direct verified-edge count, and density
+    * 2e/(s(s−1)) — the audit that separates TIGHT clusters (mutual
+    * near-dups: density ≈ 1, safe for q144's keep-one survivorship)
+    * from CHAINS (density → 0: A~B~C where A and C are NOT near-dups,
+    * the transitive-closure overreach every CC-based dedup risks). Low-
+    * density large clusters are where keep-one deletes non-duplicates —
+    * this is the query that finds them before the deletion does.
+    *
+    * Composition: fourth consumer of the keyed-shared [[lexicalClusters]]
+    * relation, plus the verified-pair relation both already paid for;
+    * the density math is one cluster-keyed equi-join + two bounded
+    * aggregates. Counts exact; one IEEE divide per cluster.
+    */
+  private val q258: Q = (s, dir) => {
+    val cc = lexicalClusters(s, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .transform(graft.util.QueryCaches.tracked)
+    val edges = verifiedPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val ecnt = edges
+      .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")), "doc_a")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    sizes.join(ecnt, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density", expr(
+        """round(CAST(2 * n_edges AS DOUBLE)
+          |  / (CAST(n_members AS DOUBLE) * CAST(n_members - 1 AS DOUBLE)), 6)"""
+          .stripMargin))
+      .orderBy("cluster_id")
+  }
+
+  private val q258Sql =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM cc GROUP BY 1 HAVING count(*) >= 2),
+       |ec AS (SELECT cc.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM edges e JOIN cc ON cc.doc_id = e.doc_a GROUP BY 1)
+       |SELECT s.cluster_id, s.n_members,
+       |  coalesce(ec.n_edges, 0) AS n_edges,
+       |  round(CAST(2 * coalesce(ec.n_edges, 0) AS DOUBLE)
+       |    / (CAST(s.n_members AS DOUBLE) * CAST(s.n_members - 1 AS DOUBLE)), 6)
+       |    AS density
+       |FROM sizes s LEFT JOIN ec USING (cluster_id)
+       |ORDER BY s.cluster_id""".stripMargin
+
   private val q41bSql =
     s"""WITH $minhashVerifyCtes
        |SELECT doc_a, doc_b,
@@ -1321,6 +1371,7 @@ object TextDedup {
     "q145_dedup_increment" -> q145,
     "q146_corpus_manifest" -> q146,
     "q251_admission_pipeline" -> q251,
+    "q258_cluster_density" -> q258,
     "q162_cluster_size_hist" -> q162
   )
 
@@ -1342,6 +1393,7 @@ object TextDedup {
     "q145_dedup_increment" -> q145Sql,
     "q146_corpus_manifest" -> q146Sql,
     "q251_admission_pipeline" -> q251Sql,
+    "q258_cluster_density" -> q258Sql,
     "q162_cluster_size_hist" -> q162Sql
   )
 }

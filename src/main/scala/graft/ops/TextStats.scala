@@ -904,7 +904,145 @@ object TextStats {
        |FROM m GROUP BY margin ORDER BY margin""".stripMargin
   }
 
+  /** q252 — intra-document repetition filter (the Gopher-style
+    * duplicate-n-gram signal): per document, the fraction of 3-gram
+    * INSTANCES whose gram occurs more than once within that same
+    * document — boilerplate, template spam, and degenerate generation
+    * score high; clean prose scores low. Documents under 3 words have
+    * no grams and score a defined 0 (kept). The keep flag applies the
+    * standard ≤ 0.2 bar.
+    *
+    * Scale shape: one explode → (doc_id, gram) groupBy (partial+final
+    * on an unbounded composite key — the q43 shingle discipline) → a
+    * per-doc rollup; counts are exact BIGINTs and the fraction is one
+    * guarded IEEE divide per document. No windows, no pair joins:
+    * intra-doc repetition is embarrassingly parallel at any corpus
+    * size.
+    */
+  private val q252: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val per = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(TextDedup.shinglesExpr(3))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_rep"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep"))
+      .withColumn("rep_frac", expr(
+        """CASE WHEN n_grams = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE round(CAST(n_rep AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+          |END""".stripMargin))
+      .withColumn("keep", col("rep_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
+  private val q252Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS g
+      |  FROM w),
+      |gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY 1, 2),
+      |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rep
+      |  FROM gc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_grams, 0) AS n_grams,
+      |  coalesce(per.n_rep, 0) AS n_rep,
+      |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE round(CAST(per.n_rep AS DOUBLE) / CAST(per.n_grams AS DOUBLE), 6)
+      |  END AS rep_frac,
+      |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE round(CAST(per.n_rep AS DOUBLE) / CAST(per.n_grams AS DOUBLE), 6)
+      |  END <= 0.2 AS keep
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q253 — corpus bigram predictability: H(next token) and
+    * H(next | current) over within-document adjacent token pairs, plus
+    * the information gain between them — the token-level twin of q248's
+    * event-transition gain and the corpus-health probe q195's Zipf fit
+    * cannot see (a corpus can be perfectly Zipfian yet templated:
+    * near-zero conditional entropy means the next token is rote).
+    * Both entropies derive from the SAME exact bigram counts through the
+    * quantized-log discipline — every term `round(n·log2(ratio)·1e6)::
+    * BIGINT` before any cross-row sum — so the bits are
+    * shuffle-order-independent; the marginals are |vocab|-row rollups of
+    * the pair relation and the final three bits-values are same-order
+    * IEEE derivations over exact sums.
+    */
+  private val q253: Q = (s, dir) => {
+    val t = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |  i -> struct(words[i - 1] AS a, words[i] AS b))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .transform(graft.util.QueryCaches.tracked)
+    val na = t.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val nb = t.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val n = t.agg(sum("n_ab").as("n"))
+    val cond = t.join(na, "a")
+      .select(expr("CAST(round(CAST(n_ab AS DOUBLE)" +
+        " * log2(CAST(n_a AS DOUBLE) / CAST(n_ab AS DOUBLE)) * 1e6)" +
+        " AS BIGINT)").as("tq"))
+      .agg(sum("tq").as("condq"))
+    val marg = nb.crossJoin(broadcast(n))
+      .select(expr("CAST(round(CAST(n_b AS DOUBLE)" +
+        " * log2(CAST(n AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6)" +
+        " AS BIGINT)").as("mq"))
+      .agg(sum("mq").as("margq"))
+    n.crossJoin(broadcast(cond)).crossJoin(broadcast(marg))
+      .select(col("n").as("n_bigrams"),
+        (col("margq").cast("double") / 1e6 / col("n").cast("double"))
+          .as("h_next_bits"),
+        (col("condq").cast("double") / 1e6 / col("n").cast("double"))
+          .as("h_cond_bits"),
+        ((col("margq") - col("condq")).cast("double") / 1e6 /
+          col("n").cast("double")).as("info_gain_bits"))
+  }
+
+  private val q253Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |pr AS (SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+      |      i -> {'a': words[i], 'b': words[i + 1]})) AS p
+      |  FROM w WHERE len(words) >= 2),
+      |t AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM pr GROUP BY 1, 2),
+      |na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM t GROUP BY 1),
+      |nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM t GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM t),
+      |cond AS (SELECT CAST(sum(CAST(round(CAST(n_ab AS DOUBLE)
+      |   * log2(CAST(n_a AS DOUBLE) / CAST(n_ab AS DOUBLE)) * 1e6)
+      |   AS BIGINT)) AS BIGINT) AS condq
+      |  FROM t JOIN na USING (a)),
+      |marg AS (SELECT CAST(sum(CAST(round(CAST(n_b AS DOUBLE)
+      |   * log2(CAST(nn.n AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6)
+      |   AS BIGINT)) AS BIGINT) AS margq
+      |  FROM nb CROSS JOIN nn)
+      |SELECT nn.n AS n_bigrams,
+      |  CAST(marg.margq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS h_next_bits,
+      |  CAST(cond.condq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS h_cond_bits,
+      |  CAST(marg.margq - cond.condq AS DOUBLE) / 1e6 / CAST(nn.n AS DOUBLE)
+      |    AS info_gain_bits
+      |FROM nn CROSS JOIN cond CROSS JOIN marg""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q252_repetition_filter" -> q252,
+    "q253_bigram_entropy" -> q253,
     "q247_langid_margin" -> q247,
     "q244_negative_sampling" -> q244,
     "q234_token_burstiness" -> q234,
@@ -927,6 +1065,8 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q252_repetition_filter" -> q252Sql,
+    "q253_bigram_entropy" -> q253Sql,
     "q247_langid_margin" -> q247Sql,
     "q244_negative_sampling" -> q244Sql,
     "q234_token_burstiness" -> q234Sql,
