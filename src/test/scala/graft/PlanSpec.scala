@@ -269,6 +269,9 @@ class PlanSpec extends AnyFunSuite {
       "q248_markov_entropy", // crosses the 1-row transition total, like q70
       "q249_daily_autocorr", // crosses the 1-row pair-moment aggregate, like q11
       "q250_spearman_sources", // two bounded |sources|^2 triangle-join rankings, like q193
+      "q251_admission_pipeline", // crosses the 1-row mixture-mass total, like q151
+      "q253_bigram_entropy", // crosses the 1-row bigram total, like q248
+      "q254_cramers_v", // crosses the 1-row contingency totals, like q137
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
