@@ -1236,7 +1236,58 @@ object Corpus {
       |    / CAST(sum(cell_n) AS DOUBLE) AS risky_share
       |FROM cells""".stripMargin
 
+  /** q260 — shingle document-frequency spectrum: the distinct 3-gram
+    * vocabulary bucketed by ⌊log₂ df⌋ — the ONE histogram that sizes
+    * every gram-keyed operator in this inventory: where the df-caps of
+    * q109/q150 should sit (how much mass the cap drops), how skewed the
+    * postings lists q117/GramPostings carry are, and whether
+    * prefix-filter token ordering (q43) has the rare-token head it
+    * needs. Buckets are EXACT integer bit-lengths (`length(bin(df))` on
+    * both engines — no float log anywhere near a power-of-two
+    * boundary). Dataflow: distinct (doc, gram) → per-gram df
+    * (partial+final on the unbounded gram key) → a ≤ 64-row histogram
+    * with exact BIGINT counts and one share divide per bucket.
+    */
+  private val q260: Q = (s, dir) => {
+    val df = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(TextDedup.shinglesExpr(3)))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val hist = df.groupBy(expr("length(bin(df))").cast("int").as("df_bucket"))
+      .agg(count(lit(1)).as("n_grams"), min("df").as("min_df"),
+        max("df").as("max_df"), sum("df").as("posting_mass"))
+    val tot = hist.agg(sum("n_grams").as("vocab"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("df_bucket"), col("n_grams"), col("min_df"), col("max_df"),
+        col("posting_mass"),
+        (col("n_grams").cast("double") / col("vocab").cast("double"))
+          .as("vocab_share"))
+      .orderBy("df_bucket")
+  }
+
+  private val q260Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS g
+      |  FROM w),
+      |dfr AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+      |hist AS (SELECT CAST(length(bin(df)) AS INTEGER) AS df_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(min(df) AS BIGINT) AS min_df,
+      |    CAST(max(df) AS BIGINT) AS max_df,
+      |    CAST(sum(df) AS BIGINT) AS posting_mass
+      |  FROM dfr GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_grams) AS BIGINT) AS vocab FROM hist)
+      |SELECT df_bucket, n_grams, min_df, max_df, posting_mass,
+      |  CAST(n_grams AS DOUBLE) / CAST(vocab AS DOUBLE) AS vocab_share
+      |FROM hist CROSS JOIN tot ORDER BY df_bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q260_gram_df_spectrum" -> q260,
     "q255_k_anonymity" -> q255,
     "q117_postings" -> q117,
     "q118_degree_hist" -> q118,
@@ -1265,6 +1316,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q260_gram_df_spectrum" -> q260Sql,
     "q255_k_anonymity" -> q255Sql,
     "q117_postings" -> q117Sql,
     "q118_degree_hist" -> q118Sql,

@@ -1077,7 +1077,64 @@ object CorpusPrep {
       |    / CAST(tc.total_chars AS DOUBLE) AS est_coverage
       |FROM tc CROSS JOIN ng CROSS JOIN t32""".stripMargin
 
+  /** q262 — cross-source gram containment matrix: for every ordered
+    * source pair (a, b), the fraction of a's distinct 3-gram vocabulary
+    * that also appears in b — the mirror/syndication detector at the
+    * SOURCE granularity (q150 answers it per document pair; this is the
+    * rollup that says "src9 is 80% contained in src2, drop or downweight
+    * the feed"), and the between-source complement of q149's novelty.
+    *
+    * Scale shape: the distinct (source, gram) relation is one groupBy;
+    * the pair counts come from a self-equi-join ON GRAM whose per-gram
+    * fan-out is (sources containing it)² — bounded by the SOURCE
+    * dimension's cardinality squared, not the corpus (sources are an
+    * enumerable dimension like q151's mixture rows); the matrix is
+    * ≤ |sources|² rows of exact counts with one divide. Pairs sharing
+    * nothing are absent by definition on both engines.
+    */
+  private val q262: Q = (s, dir) => {
+    val sg = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("source"),
+        explode(array_distinct(expr(TextDedup.shinglesExpr(3)))).as("g"))
+      .distinct()
+      .transform(graft.util.QueryCaches.tracked)
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams_a"))
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")),
+        "source_a")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"),
+        round(col("n_shared").cast("double") / col("n_grams_a").cast("double"),
+          6).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q262Sql =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS words
+      |  FROM documents),
+      |sg AS (SELECT DISTINCT source,
+      |    unnest(CASE WHEN len(words) < 3 THEN [] ELSE
+      |    list_transform(generate_series(1, len(words)-2), i ->
+      |      words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS g
+      |  FROM w),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams_a
+      |  FROM sg GROUP BY 1),
+      |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, p.n_shared, t.n_grams_a,
+      |  round(CAST(p.n_shared AS DOUBLE) / CAST(t.n_grams_a AS DOUBLE), 6)
+      |    AS containment
+      |FROM pairs p JOIN tot t ON t.source = p.source_a
+      |ORDER BY p.source_a, p.source_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q262_source_containment" -> q262,
     "q240_dict_coverage" -> q240,
     "q212_chunk_stitch" -> q212,
     "q208_chunk_overhead" -> q208,
@@ -1098,6 +1155,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q262_source_containment" -> q262Sql,
     "q240_dict_coverage" -> q240Sql,
     "q212_chunk_stitch" -> q212Sql,
     "q178_source_gram_overlap" -> q178Sql,

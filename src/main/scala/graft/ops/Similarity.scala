@@ -2883,7 +2883,56 @@ object Similarity {
        |ORDER BY probe_depth""".stripMargin
   }
 
+  /** q256 — embedding norm audit: the distribution of ‖v‖ over the
+    * corpus — zero-norm count (vectors cosine must guard against, the
+    * q44/q158 NaN lesson as a MEASURED population), mean, exact
+    * p50/p95, and max. Read before every similarity decision: a wide
+    * norm spread means dot-product and cosine rankings genuinely differ
+    * (and normalization is not optional); norm drift between snapshots
+    * flags an encoder change. Each norm is one IEEE sqrt of the exact
+    * left-to-right double dot product (bit-identical across engines,
+    * the file-header discipline), quantized `round(·1e6)::BIGINT`
+    * BEFORE aggregation so the mean is an exact-integer fold and the
+    * percentiles are exact order statistics over BIGINTs. One map-side
+    * pass + a 1-row aggregate; nothing scales past the scan.
+    */
+  private val q256: Q = (s, dir) => {
+    val normQ =
+      "CAST(round(sqrt(aggregate(zip_with(v, v, (x, y) -> x * y)," +
+        " CAST(0 AS DOUBLE), (a, x) -> a + x)) * 1e6) AS BIGINT)"
+    embVecs(s, dir)
+      .select(expr(normQ).as("nq"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nq") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum("nq").as("snq"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nq)").as("p50q"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY nq)").as("p95q"),
+        max("nq").as("maxq"))
+      .select(col("n_vecs"), col("n_zero_norm"),
+        (col("snq").cast("double") / 1e6 / col("n_vecs").cast("double"))
+          .as("mean_norm"),
+        (col("p50q").cast("double") / 1e6).as("p50_norm"),
+        (col("p95q").cast("double") / 1e6).as("p95_norm"),
+        (col("maxq").cast("double") / 1e6).as("max_norm"))
+  }
+
+  private val q256Sql =
+    """WITH nq AS (SELECT CAST(round(sqrt(list_dot_product(
+      |      embedding::DOUBLE[], embedding::DOUBLE[])) * 1e6) AS BIGINT)
+      |    AS nq
+      |  FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_norm,
+      |  CAST(CAST(sum(nq) AS BIGINT) AS DOUBLE) / 1e6
+      |    / CAST(count(*) AS DOUBLE) AS mean_norm,
+      |  CAST(quantile_disc(nq, 0.5) AS DOUBLE) / 1e6 AS p50_norm,
+      |  CAST(quantile_disc(nq, 0.95) AS DOUBLE) / 1e6 AS p95_norm,
+      |  CAST(max(nq) AS DOUBLE) / 1e6 AS max_norm
+      |FROM nq""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q256_norm_audit" -> q256,
     "q233_kcore_curve" -> q233,
     "q237_eigen_centrality" -> q237,
     "q239_multiprobe_lsh" -> q239,
@@ -2931,6 +2980,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q256_norm_audit" -> q256Sql,
     "q168_pq_train_step" -> q168Sql,
     "q167_modal_agreement" -> q167Sql,
     "q166_label_cohesion" -> q166Sql,
