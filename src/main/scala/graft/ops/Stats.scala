@@ -1530,6 +1530,10 @@ object Stats {
     val colTot = cells.groupBy("dow").agg(sum("n_rc").as("n_c"))
     val tot = cells.agg(sum("n_rc").as("n"),
       countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+    // Cells with n_rc = 0 are ABSENT from the sparse cell relation, yet
+    // each contributes (0-E)²/E = E to χ². Their exact total is the
+    // complement n − Σ_present E (ΣE over the FULL grid is n), so χ² =
+    // Σ_present term + (n − Σ_present E) — no dense grid materialized.
     val termQ =
       """CAST(round(
         |  (CAST(n_rc AS DOUBLE) * CAST(n AS DOUBLE)
@@ -1538,11 +1542,18 @@ object Stats {
         |     - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
         |  / (CAST(n AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
         |  * 1e6) AS BIGINT)""".stripMargin
+    val expQ =
+      """CAST(round(CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |  / CAST(n AS DOUBLE) * 1e6) AS BIGINT)""".stripMargin
     cells.join(broadcast(rowTot), "event_type")
       .join(broadcast(colTot), "dow")
       .crossJoin(broadcast(tot))
-      .select(col("n"), col("r"), col("c"), expr(termQ).as("tq"))
-      .groupBy("n", "r", "c").agg(sum("tq").as("chi2q"))
+      .select(col("n"), col("r"), col("c"), expr(termQ).as("tq"),
+        expr(expQ).as("eq"))
+      .groupBy("n", "r", "c").agg(sum("tq").as("tqs"), sum("eq").as("eqs"))
+      .select(col("n"), col("r"), col("c"),
+        expr(s"tqs + (${graft.util.MomentGuard.productGuardSpark("n",
+          "1000000", "q254")} - eqs)").as("chi2q"))
       .select(col("n").as("n_events"), col("r").as("n_types"),
         col("c").as("n_days"),
         (col("chi2q").cast("double") / 1e6).as("chi2"),
@@ -1553,7 +1564,7 @@ object Stats {
   }
 
   private val q254Sql =
-    """WITH e AS (SELECT event_type,
+    s"""WITH e AS (SELECT event_type,
       |    (epoch_us(ts) // 86400000000) % 7 AS dow
       |  FROM events),
       |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_rc
@@ -1572,11 +1583,16 @@ object Stats {
       |      * (CAST(n_rc AS DOUBLE) * CAST(tot.n AS DOUBLE)
       |         - CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
       |      / (CAST(tot.n AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
-      |      * 1e6) AS BIGINT) AS tq
+      |      * 1e6) AS BIGINT) AS tq,
+      |    CAST(round(CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+      |      / CAST(tot.n AS DOUBLE) * 1e6) AS BIGINT) AS eq
       |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
       |  CROSS JOIN tot),
-      |m AS (SELECT n, r, c, CAST(sum(tq) AS BIGINT) AS chi2q FROM q
-      |  GROUP BY 1, 2, 3)
+      |m AS (SELECT n, r, c,
+      |    CAST(CAST(sum(tq) AS BIGINT)
+      |      + (${graft.util.MomentGuard.productGuardDuck("n", "1000000", "q254")}
+      |         - CAST(sum(eq) AS BIGINT)) AS BIGINT) AS chi2q
+      |  FROM q GROUP BY 1, 2, 3)
       |SELECT n AS n_events, r AS n_types, c AS n_days,
       |  CAST(chi2q AS DOUBLE) / 1e6 AS chi2,
       |  CASE WHEN least(r - 1, c - 1) <= 0 THEN CAST(0 AS DOUBLE)

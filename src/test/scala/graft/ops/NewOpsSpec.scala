@@ -1,0 +1,142 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Crafted-input semantics for the round-8 additions: the driver's
+  * DuckDB gate proves cross-engine parity on the synthetic corpus; these
+  * tests prove the MEANING on inputs where the right answer is known in
+  * closed form.
+  */
+class NewOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private def docsDir(texts: Seq[String]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-newops").toString
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", s"src${i % 2}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q252: a looping document scores high repetition; distinct words score zero") {
+    val loop = Seq.fill(10)("alpha beta gamma").mkString(" ") // 30 tokens, 3 distinct grams
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")      // every gram unique
+    val dir = docsDir(Seq(loop, clean))
+    val rows = graft.SparkEntry.queries("q252_repetition_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("rep_frac")), r.getBoolean(r.fieldIndex("keep"))))
+      .toMap
+    graft.util.QueryCaches.drain()
+    // loop doc: 28 gram instances over 3 distinct rotating grams — ALL repeated
+    assert(rows(0L)._1 === 1.0)
+    assert(!rows(0L)._2, "looping doc must be dropped")
+    assert(rows(1L)._1 === 0.0)
+    assert(rows(1L)._2, "distinct-word doc must be kept")
+  }
+
+  test("q253: a deterministic bigram chain has zero conditional entropy, gain = H(next)") {
+    // "a b a b ..." — next token is a FUNCTION of the current one
+    val dir = docsDir(Seq(Seq.fill(20)("a b").mkString(" ")))
+    val r = graft.SparkEntry.queries("q253_bigram_entropy")(spark, dir).collect()(0)
+    graft.util.QueryCaches.drain()
+    val hNext = r.getDouble(r.fieldIndex("h_next_bits"))
+    val hCond = r.getDouble(r.fieldIndex("h_cond_bits"))
+    val gain = r.getDouble(r.fieldIndex("info_gain_bits"))
+    assert(hCond === 0.0, "deterministic chain: H(next|cur) must be exactly 0")
+    // 39 bigrams: 20 end in b, 19 in a — H slightly under 1 bit
+    assert(hNext > 0.9 && hNext < 1.0, s"hNext=$hNext")
+    assert(gain === hNext)
+  }
+
+  test("q254: exact independence yields V = 0; determinism yields V = 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    def writeEvents(d: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, day, typ) =>
+        (id, new Timestamp(day * 86400000L), 1L, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    // independent: every (type, dow) cell holds exactly 3 events
+    val dIndep = java.nio.file.Files.createTempDirectory("graft-cv1").toString
+    writeEvents(dIndep, for {
+      day <- 0L until 7L; t <- Seq("a", "b"); k <- 0 until 3
+    } yield (day * 100 + t.length * 10 + k, day, t))
+    val vIndep = graft.SparkEntry.queries("q254_cramers_v")(spark, dIndep)
+      .collect()(0).getDouble(4)
+    graft.util.QueryCaches.drain()
+    assert(vIndep === 0.0, "uniform contingency must give exactly V = 0")
+
+    // deterministic: type is a function of weekday (weekend vs weekday)
+    val dDep = java.nio.file.Files.createTempDirectory("graft-cv2").toString
+    writeEvents(dDep, for {
+      day <- 0L until 7L; k <- 0 until 4
+    } yield (day * 10 + k, day, if (day % 7 >= 5) "wknd" else "wkday"))
+    val vDep = graft.SparkEntry.queries("q254_cramers_v")(spark, dDep)
+      .collect()(0).getDouble(4)
+    graft.util.QueryCaches.drain()
+    assert(math.abs(vDep - 1.0) < 1e-6, s"deterministic mapping must give V = 1, got $vDep")
+  }
+
+  test("q255: planted singleton cells are counted as risky") {
+    // two sources: src0 gets 10 same-length docs, src1 exactly one
+    val texts = Seq.fill(10)((1 to 20).map(i => s"w$i").mkString(" ")) :+ "solo doc here"
+    val dir = docsDir(texts) // sources alternate i % 2 → craft manually instead
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    ((0 until 10).map(i => (i.toLong, "x " * 50, "en", "big", 100L)) :+
+      (10L, "solo", "en", "tiny", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.SparkEntry.queries("q255_k_anonymity")(spark, d).collect()(0)
+    graft.util.QueryCaches.drain()
+    assert(r.getLong(r.fieldIndex("n_cells")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_risky_cells")) === 1L)
+    assert(r.getLong(r.fieldIndex("n_docs_risky")) === 1L)
+    assert(r.getLong(r.fieldIndex("min_cell")) === 1L)
+  }
+
+  test("q256: norms are exact — a planted 3-4-5 vector reads back 5.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-norm").toString
+    val v345 = Array(3.0f, 4.0f) ++ Array.fill(62)(0.0f)
+    val zero = Array.fill(64)(0.0f)
+    Seq((0L, v345.toSeq, 0), (1L, zero.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q256_norm_audit")(spark, d).collect()(0)
+    graft.util.QueryCaches.drain()
+    assert(r.getLong(r.fieldIndex("n_vecs")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_zero_norm")) === 1L)
+    assert(r.getDouble(r.fieldIndex("max_norm")) === 5.0)
+    assert(r.getDouble(r.fieldIndex("p95_norm")) === 5.0)
+  }
+
+  test("q262: a fully-contained source reads containment 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "orig", base.length.toLong),
+      (1L, base, "en", "mirror", base.length.toLong), // verbatim mirror
+      (2L, (21 to 40).map(i => s"w$i").mkString(" "), "en", "orig", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q262_source_containment")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("containment"))).toMap
+    graft.util.QueryCaches.drain()
+    assert(rows(("mirror", "orig")) === 1.0, "mirror's grams are all in orig")
+    assert(rows(("orig", "mirror")) === 0.5, "orig has twice the vocabulary")
+  }
+}
