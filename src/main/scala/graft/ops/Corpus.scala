@@ -1286,7 +1286,59 @@ object Corpus {
       |  CAST(n_grams AS DOUBLE) / CAST(vocab AS DOUBLE) AS vocab_share
       |FROM hist CROSS JOIN tot ORDER BY df_bucket""".stripMargin
 
+  /** q266 — deterministic weighted reservoir (Efraimidis–Spirakis
+    * A-Res): a fixed-size 100-doc sample WITHOUT replacement where
+    * inclusion probability scales with the q54 quality blend — the
+    * fixed-budget companion to q92's per-row Bernoulli weighting
+    * (q92 keeps a random-SIZED set; a curation budget wants exactly
+    * N). Key = log2(u)/w with u ∈ (0,1] derived from the md5 digest
+    * (q62's reproducible-sampling rule: same corpus → same sample on
+    * any engine, cluster, or day) and w = max(quality, 0.05) (floor so
+    * zero-quality docs keep a defined, tiny-but-nonzero chance, and no
+    * division blows up); taking the TOP-k keys is exactly sampling
+    * n/replacement with P(i) ∝ wᵢ (Efraimidis & Spirakis 2006). log2
+    * and one divide are the only float ops — both IEEE-identical
+    * cross-engine (the q244 lesson: no pow anywhere) — and the key is
+    * quantized `round(·1e9)::BIGINT` with (key, doc_id) total order,
+    * so selection is hash-exact. Scale shape: key computation is
+    * map-side over the scan; top-100 is TakeOrderedAndProject (bounded
+    * per-partition heaps, never a global sort or window).
+    */
+  private val q266: Q = (s, dir) => {
+    val keyQ =
+      """CAST(round(
+        |  log2((CAST(conv(substring(md5(cast(doc_id AS string)), 1, 5), 16, 10)
+        |        AS BIGINT) % 1048576 + 1) / CAST(1048576 AS DOUBLE))
+        |  / greatest(quality, CAST(0.05 AS DOUBLE)) * 1e9) AS BIGINT)"""
+        .stripMargin
+    TextStats.qualityScored(s, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("key_q", expr(keyQ))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        col("key_q"))
+  }
+
+  private val q266Sql =
+    s"""WITH ${graft.ops.TextStats.qualityMeasuresCte("qw", "qm")},
+       |qual AS (SELECT doc_id, ${graft.ops.TextStats.qualityBlendSql}
+       |  AS quality FROM qm),
+       |keyed AS (SELECT doc_id, quality,
+       |    CAST(round(
+       |      log2((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 5))
+       |            AS BIGINT) % 1048576 + 1) / CAST(1048576 AS DOUBLE))
+       |      / greatest(quality, CAST(0.05 AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS key_q
+       |  FROM qual)
+       |SELECT doc_id, round(quality, 6) AS quality, key_q FROM (
+       |  SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id) AS rn
+       |  FROM keyed) t
+       |WHERE rn <= 100
+       |ORDER BY key_q DESC, doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q266_weighted_reservoir" -> q266,
     "q260_gram_df_spectrum" -> q260,
     "q255_k_anonymity" -> q255,
     "q117_postings" -> q117,
@@ -1316,6 +1368,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q266_weighted_reservoir" -> q266Sql,
     "q260_gram_df_spectrum" -> q260Sql,
     "q255_k_anonymity" -> q255Sql,
     "q117_postings" -> q117Sql,

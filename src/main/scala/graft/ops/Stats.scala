@@ -1601,7 +1601,76 @@ object Stats {
       |END AS cramers_v
       |FROM m""".stripMargin
 
+  /** q264 — length↔quality confound audit: Pearson r between a
+    * document's length (n_chars) and its q54 quality blend — the probe
+    * that says whether the quality score is measuring anything BEYOND
+    * length (r near ±1: the blend is a length proxy and
+    * quality-gating q146/q251 double-counts the q153 length filter;
+    * r near 0: independent signals). q132's exact integer-moment
+    * discipline: x = n_chars (raw BIGINT), y = the bit-identical
+    * blend quantized `round(·1e7)::BIGINT` (q177's scale); every
+    * moment guarded by [[graft.util.MomentGuard]], the r derivation
+    * one IEEE expression over exact sums. Map-side y + a 1-row
+    * aggregate — nothing past the scan.
+    */
+  private val q264: Q = (s, dir) => {
+    graft.ops.TextStats.qualityScored(s, dir)
+      .select(col("n_chars").cast("long").as("x"),
+        expr("CAST(round(quality * 1e7) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*x")).as("sxxr"), sum(expr("y*y")).as("syyr"),
+        sum(expr("x*y")).as("sxyr"),
+        max(expr("x*x")).as("mxx"), max(expr("y*y")).as("myy"),
+        max(expr("abs(x*y)")).as("mxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr(MomentGuard.sumGuardSpark("sxxr", "n", "mxx", "q264")).as("sxx"),
+        expr(MomentGuard.sumGuardSpark("syyr", "n", "myy", "q264")).as("syy"),
+        expr(MomentGuard.sumGuardSpark("sxyr", "n", "mxy", "q264")).as("sxy"))
+      .withColumn("detx", expr(
+        "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)"))
+      .withColumn("dety", expr(
+        "CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .withColumn("cov", expr(
+        "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)"))
+      .filter(col("detx") > 0 && col("dety") > 0)
+      .select(col("n").as("n_docs"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_chars"),
+        (col("sy").cast("double") / 1e7 / col("n").cast("double"))
+          .as("mean_quality"),
+        (col("cov") / sqrt(col("detx") * col("dety"))).as("len_quality_corr"))
+  }
+
+  private val q264Sql = {
+    val g = (m: String, mx: String) =>
+      MomentGuard.sumGuardDuck(s"CAST(sum($m) AS BIGINT)", "count(*)", mx, "q264")
+    s"""WITH ${graft.ops.TextStats.qualityMeasuresCte("qw", "qm")},
+       |j AS (SELECT CAST(d.n_chars AS BIGINT) AS x,
+       |    CAST(round((${graft.ops.TextStats.qualityBlendSql}) * 1e7)
+       |      AS BIGINT) AS y
+       |  FROM qm JOIN documents d USING (doc_id)),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    ${g("x*x", "max(x*x)")} AS sxx,
+       |    ${g("y*y", "max(y*y)")} AS syy,
+       |    ${g("x*y", "max(abs(x*y))")} AS sxy
+       |  FROM j),
+       |d2 AS (SELECT n, sx, sy,
+       |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS detx,
+       |    CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dety,
+       |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov
+       |  FROM m)
+       |SELECT n AS n_docs,
+       |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+       |  CAST(sy AS DOUBLE) / 1e7 / CAST(n AS DOUBLE) AS mean_quality,
+       |  cov / sqrt(detx * dety) AS len_quality_corr
+       |FROM d2 WHERE detx > 0 AND dety > 0""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q264_length_quality_corr" -> q264,
     "q254_cramers_v" -> q254,
     "q249_daily_autocorr" -> q249,
     "q250_spearman_sources" -> q250,
@@ -1626,6 +1695,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q264_length_quality_corr" -> q264Sql,
     "q254_cramers_v" -> q254Sql,
     "q249_daily_autocorr" -> q249Sql,
     "q250_spearman_sources" -> q250Sql,
