@@ -2649,6 +2649,70 @@ object Similarity {
         .distinct()
     }
 
+  /** q267 — label-propagation communities over the kNN graph: three
+    * SYNCHRONOUS rounds of "adopt the most frequent neighbor label,
+    * ties to the smallest" starting from self-labels — the community-
+    * detection complement of [[TextDedup.connectedComponents]] (CC
+    * answers "connected at all?", LPA answers "densely knit with
+    * whom?"; near-dup components merge through single bridge edges,
+    * communities do not). Synchronous update + the total (count desc,
+    * label asc) tie-break makes every round a DETERMINISTIC function
+    * of the previous one, so both engines converge identically —
+    * asynchronous LPA's order-dependence is exactly what a
+    * distributed, cross-engine-verified implementation cannot ship.
+    * Per round: one edge⋈label equi-join, a (node, label) count, and
+    * a max_by((c, −label)) argmax — never a ranking window — with
+    * [[graft.util.Lineage]] truncation (the q233/q237 discipline; the
+    * oracle's rounds are AS MATERIALIZED for the same reason). Output:
+    * community sizes after round 3. Third consumer of the keyed-shared
+    * undirected edge relation.
+    */
+  private val q267: Q = (s, dir) => {
+    val und = undirectedKnnEdges(s, dir)
+    val sym = graft.util.QueryCaches.tracked(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = graft.util.Lineage.truncate(
+      sym.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v")))
+    for (_ <- 1 to 3) {
+      labels = graft.util.Lineage.truncate(sym
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("v"))
+        .agg(max_by(col("nl"),
+          struct(col("c"), (-col("nl")).as("t"))).as("lbl")))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("community")
+  }
+
+  private val q267Sql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (SELECT src AS v, nl AS lbl FROM (
+         |  SELECT s.src, l.lbl AS nl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY s.src
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM sym s JOIN $prev l ON l.v = s.dst
+         |  GROUP BY s.src, l.lbl) t WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b FROM knn),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q233 — 2-core peeling of the kNN graph: iteratively remove nodes
     * with (undirected) degree < 2 and report the survivor curve — the
     * degeneracy view that separates the graph's connected "body" from
@@ -2933,6 +2997,7 @@ object Similarity {
 
   val all: Map[String, Q] = Map(
     "q256_norm_audit" -> q256,
+    "q267_lpa_communities" -> q267,
     "q233_kcore_curve" -> q233,
     "q237_eigen_centrality" -> q237,
     "q239_multiprobe_lsh" -> q239,
@@ -2981,6 +3046,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q256_norm_audit" -> q256Sql,
+    "q267_lpa_communities" -> q267Sql,
     "q168_pq_train_step" -> q168Sql,
     "q167_modal_agreement" -> q167Sql,
     "q166_label_cohesion" -> q166Sql,
