@@ -2667,28 +2667,40 @@ object Similarity {
     * community sizes after round 3. Third consumer of the keyed-shared
     * undirected edge relation.
     */
-  private val q267: Q = (s, dir) => {
-    val und = undirectedKnnEdges(s, dir)
-    val sym = graft.util.QueryCaches.tracked(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
-    var labels = graft.util.Lineage.truncate(
-      sym.select(col("src").as("v")).distinct()
-        .withColumn("lbl", col("v")))
-    for (_ <- 1 to 3) {
-      labels = graft.util.Lineage.truncate(sym
-        .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), "dst")
-        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src").as("v"))
-        .agg(max_by(col("nl"),
-          struct(col("c"), (-col("nl")).as("t"))).as("lbl")))
+  /** LPA label relation (v, lbl) after three synchronous rounds —
+    * keyed-shared so q267 (community sizes) and q268 (modularity) pay
+    * the propagation once per composed session.
+    */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"knn:lpa:$dir") {
+      val und = undirectedKnnEdges(s, dir)
+      val sym = graft.util.QueryCaches.tracked(
+        und.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+      var labels = graft.util.Lineage.truncate(
+        sym.select(col("src").as("v")).distinct()
+          .withColumn("lbl", col("v")))
+      for (_ <- 1 to 3) {
+        labels = graft.util.Lineage.truncate(sym
+          .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), "dst")
+          .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src").as("v"))
+          .agg(max_by(col("nl"),
+            struct(col("c"), (-col("nl")).as("t"))).as("lbl")))
+      }
+      labels
     }
-    labels.groupBy(col("lbl").as("community"))
+
+  private val q267: Q = (s, dir) =>
+    lpaLabels(s, dir).groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("community")
-  }
 
-  private val q267Sql: String = {
+  /** Oracle twin of [[lpaLabels]] — shared by q267Sql/q268Sql so the
+    * propagation definition cannot drift between consumers. Ends with
+    * `l3(v, lbl)`; rounds are AS MATERIALIZED (the q233 CTE-inlining
+    * lesson). */
+  private[ops] val lpaCtes: String = {
     def round(i: Int): String = {
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""l$i AS MATERIALIZED (SELECT src AS v, nl AS lbl FROM (
@@ -2698,7 +2710,7 @@ object Similarity {
          |  FROM sym s JOIN $prev l ON l.v = s.dst
          |  GROUP BY s.src, l.lbl) t WHERE rn = 1)""".stripMargin
     }
-    s"""WITH $knnScoredCtes,
+    s"""$knnScoredCtes,
        |knn AS (SELECT vec_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
@@ -2708,10 +2720,79 @@ object Similarity {
        |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
        |  UNION ALL SELECT b, a FROM und),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym),
-       |${(1 to 3).map(round).mkString(",\n")}
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val q267Sql: String =
+    s"""WITH $lpaCtes
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q268 — Newman modularity of q267's communities:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over the kNN graph — the single
+    * number that says whether the LPA partition is STRUCTURE (Q ≫ 0)
+    * or noise (Q ≈ 0), i.e. whether community-aware sharding/sampling
+    * of the corpus would beat random. e_c (intra-community edges),
+    * d_c (community degree mass), and m are exact BIGINTs; each
+    * community's term is ONE shared IEEE expression quantized
+    * `round(·1e9)::BIGINT` before the cross-community sum (shuffle-
+    * order-independent). Composes the keyed-shared [[lpaLabels]] and
+    * [[undirectedKnnEdges]] relations — in a composed graph-health job
+    * the propagation and the edge build are already paid. Dataflow:
+    * two narrow label equi-joins, a degree rollup, and a ≤|communities|
+    * aggregate with a 1-row m broadcast.
+    */
+  private val q268: Q = (s, dir) => {
+    val labels = lpaLabels(s, dir)
+    val und = undirectedKnnEdges(s, dir)
+    val m = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(labels.select(col("v").as("a"), col("lbl").as("ca")), "a")
+      .join(labels.select(col("v").as("b"), col("lbl").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, "v")
+      .groupBy(col("lbl").as("community")).agg(sum("deg").as("d_c"))
+    val termQ =
+      """CAST(round((CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)
+        |  - (CAST(d_c AS DOUBLE) / (2 * CAST(m AS DOUBLE)))
+        |    * (CAST(d_c AS DOUBLE) / (2 * CAST(m AS DOUBLE))))
+        |  * 1e9) AS BIGINT)""".stripMargin
+    dc.join(intra, Seq("community"), "left")
+      .select(col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .select(expr(termQ).as("tq"))
+      .agg(count(lit(1)).as("n_communities"), sum("tq").as("mq"))
+      .crossJoin(broadcast(m))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        (col("mq").cast("double") / 1e9).as("modularity"))
   }
+
+  private val q268Sql: String =
+    s"""WITH $lpaCtes,
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |dc AS (SELECT l.lbl AS community, CAST(sum(deg) AS BIGINT) AS d_c
+       |  FROM l3 l JOIN deg ON deg.v = l.v GROUP BY 1),
+       |intra AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM und JOIN l3 la ON la.v = und.a
+       |           JOIN l3 lb ON lb.v = und.b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |terms AS (SELECT CAST(round((CAST(coalesce(intra.e_c, 0) AS DOUBLE)
+       |      / CAST(m.m AS DOUBLE)
+       |    - (CAST(dc.d_c AS DOUBLE) / (2 * CAST(m.m AS DOUBLE)))
+       |      * (CAST(dc.d_c AS DOUBLE) / (2 * CAST(m.m AS DOUBLE))))
+       |    * 1e9) AS BIGINT) AS tq
+       |  FROM dc LEFT JOIN intra USING (community) CROSS JOIN m)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  m.m AS n_edges,
+       |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1e9 AS modularity
+       |FROM terms CROSS JOIN m GROUP BY m.m""".stripMargin
 
   /** q233 — 2-core peeling of the kNN graph: iteratively remove nodes
     * with (undirected) degree < 2 and report the survivor curve — the
@@ -2998,6 +3079,7 @@ object Similarity {
   val all: Map[String, Q] = Map(
     "q256_norm_audit" -> q256,
     "q267_lpa_communities" -> q267,
+    "q268_modularity" -> q268,
     "q233_kcore_curve" -> q233,
     "q237_eigen_centrality" -> q237,
     "q239_multiprobe_lsh" -> q239,
@@ -3047,6 +3129,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q256_norm_audit" -> q256Sql,
     "q267_lpa_communities" -> q267Sql,
+    "q268_modularity" -> q268Sql,
     "q168_pq_train_step" -> q168Sql,
     "q167_modal_agreement" -> q167Sql,
     "q166_label_cohesion" -> q166Sql,
