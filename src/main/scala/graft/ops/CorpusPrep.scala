@@ -1085,12 +1085,17 @@ object CorpusPrep {
     * the feed"), and the between-source complement of q149's novelty.
     *
     * Scale shape: the distinct (source, gram) relation is one groupBy;
-    * the pair counts come from a self-equi-join ON GRAM whose per-gram
-    * fan-out is (sources containing it)² — bounded by the SOURCE
-    * dimension's cardinality squared, not the corpus (sources are an
-    * enumerable dimension like q151's mixture rows); the matrix is
-    * ≤ |sources|² rows of exact counts with one divide. Pairs sharing
-    * nothing are absent by definition on both engines.
+    * the pair counts come from a self-equi-join ON GRAM. The per-gram
+    * fan-out is (sources containing it)², so a ubiquitous gram at a
+    * thousand-source scale would go quadratic in the source dimension —
+    * the q109/q150/q165 df-cap discipline applies: grams present in
+    * MORE THAN 50 sources are excluded from the shared-gram join (they
+    * carry no pair-discriminating signal — appearing everywhere is
+    * evidence of nothing), while the per-source denominator stays
+    * UNCAPPED so the containment rate remains comparable across pairs
+    * (q165's exact rule). The matrix is ≤ |sources|² rows of exact
+    * counts with one divide. Pairs sharing nothing are absent by
+    * definition on both engines.
     */
   private val q262: Q = (s, dir) => {
     val sg = Tables.spread(Tables.documents(s, dir))
@@ -1100,7 +1105,11 @@ object CorpusPrep {
       .distinct()
       .transform(graft.util.QueryCaches.tracked)
     val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams_a"))
-    sg.as("a").join(sg.as("b"),
+    // source-df cap: the join side only (denominator stays uncapped)
+    val capped = sg.join(
+      sg.groupBy("g").agg(count(lit(1)).as("sdf")).filter(col("sdf") <= 50)
+        .select("g"), "g")
+    capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.source") =!= col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1123,9 +1132,11 @@ object CorpusPrep {
       |  FROM w),
       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams_a
       |  FROM sg GROUP BY 1),
+      |keep AS (SELECT g FROM sg GROUP BY g HAVING count(*) <= 50),
+      |cg AS (SELECT sg.source, sg.g FROM sg JOIN keep USING (g)),
       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
       |    CAST(count(*) AS BIGINT) AS n_shared
-      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+      |  FROM cg a JOIN cg b ON a.g = b.g AND a.source <> b.source
       |  GROUP BY 1, 2)
       |SELECT p.source_a, p.source_b, p.n_shared, t.n_grams_a,
       |  round(CAST(p.n_shared AS DOUBLE) / CAST(t.n_grams_a AS DOUBLE), 6)

@@ -1009,23 +1009,33 @@ object TextDedup {
     * is counted on candidates only — same candidates-then-verify shape
     * as q41b/q43, never all pairs.
     */
-  private val q61: Q = (s, dir) => {
-    // Integer fingerprint (one BIGINT per doc): hamming is bit_count(xor),
-    // one machine instruction — the string-per-bit formulation shuffled
-    // 64 chars of fingerprint text per candidate and compared 32
-    // substrings per pair (GC pressure measured at 50×+ query cost).
-    val fp = bitVotes(s, dir, 32).select(col("doc_id"),
-      (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
-        .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-    val bands = fp.select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
-        .as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.nib").as("nib"))
+  /** Banded 32-bit simhash relation (doc_id, simhash, b, nib) —
+    * keyed-shared by q61 (thresholded pairs) and q269 (the distance
+    * spectrum), so a composed dedup-tuning job pays the fingerprint
+    * build once. Integer fingerprint (one BIGINT per doc): hamming is
+    * bit_count(xor), one machine instruction — the string-per-bit
+    * formulation shuffled 64 chars of fingerprint text per candidate
+    * and compared 32 substrings per pair (GC pressure measured at
+    * 50×+ query cost).
+    */
+  private def simhashBands(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"simhash:bands:$dir") {
+      val fp = bitVotes(s, dir, 32).select(col("doc_id"),
+        (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      fp.select(col("doc_id"), col("simhash"), explode(expr(
+          "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
+          .as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.b").as("b"),
+          col("band.nib").as("nib"))
       // self-joined: fingerprints computed once. NOT pre-partitioned by
       // (b, nib) — 4×256 = 1024 possible keys is a BOUNDED cardinality
       // that would cap the cache's parallelism and bypass AQE
       // skew-splitting on the join exchange (cf. q44/q57)
-      .transform(graft.util.QueryCaches.tracked)
+    }
+
+  private val q61: Q = (s, dir) => {
+    val bands = simhashBands(s, dir)
     bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.nib") === col("c.nib") &&
           col("a.doc_id") < col("c.doc_id"))
@@ -1054,6 +1064,58 @@ object TextDedup {
       |  FROM bands a JOIN bands c
       |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id) t
       |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q269 — simhash Hamming-distance spectrum: the distribution of exact
+    * Hamming distances over the banded candidate pairs — the
+    * threshold-selection diagnostic q61 bakes its `≤ 2` into. Read
+    * before a dedup run commits to a radius: a bimodal spectrum (near-
+    * dup mass at 0–3, background mass near 16) means any radius in the
+    * valley works; a flat one means simhash carries no signal for this
+    * corpus and banding is just noise admission. Same banded equi-join
+    * as q61 over the SHARED fingerprint relation (complete for ≤ 3 by
+    * pigeonhole; higher distances appear only when band-lucky, which is
+    * exactly the admission behavior being diagnosed), distances counted
+    * on candidates only, the ≤ 33-row histogram cumulated through a
+    * bounded triangle join — never a window, never all pairs.
+    */
+  private val q269: Q = (s, dir) => {
+    val bands = simhashBands(s, dir)
+    val hist = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.nib") === col("c.nib") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ c.simhash) AS INT)").as("hamming"))
+      .distinct()
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .transform(graft.util.QueryCaches.tracked)
+    hist.as("a").join(hist.as("b"), col("b.hamming") <= col("a.hamming"))
+      .select(col("a.hamming").as("hamming"), col("a.n_pairs").as("n_pairs"),
+        col("b.n_pairs").as("bn"))
+      .groupBy("hamming", "n_pairs").agg(sum("bn").as("n_pairs_cum"))
+      .orderBy("hamming")
+  }
+
+  private val q269Sql =
+    """WITH w AS (SELECT doc_id,
+      |  list_transform(string_split(text,' '), x -> md5(x)) AS hs FROM documents),
+      |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(1,32), j ->
+      |  CASE WHEN list_sum(list_transform(hs, h ->
+      |    CASE WHEN substr(h,j,1) IN ('8','9','a','b','c','d','e','f')
+      |    THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << (32-j)) ELSE 0 END))::BIGINT
+      |  AS simhash FROM w),
+      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS nib
+      |  FROM fp, unnest(generate_series(0, 3)) AS t(b)),
+      |cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+      |  FROM bands a JOIN bands c
+      |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id) t),
+      |hist AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM cand GROUP BY 1)
+      |SELECT a.hamming, a.n_pairs, CAST(sum(b.n_pairs) AS BIGINT)
+      |    AS n_pairs_cum
+      |FROM hist a JOIN hist b ON b.hamming <= a.hamming
+      |GROUP BY 1, 2 ORDER BY a.hamming""".stripMargin
 
   /** The prefix-filtered similarity-join kernel behind q43, extracted so
     * the losslessness property (prefix join ≡ brute-force within blocks)
@@ -1372,6 +1434,7 @@ object TextDedup {
     "q146_corpus_manifest" -> q146,
     "q251_admission_pipeline" -> q251,
     "q258_cluster_density" -> q258,
+    "q269_simhash_spectrum" -> q269,
     "q162_cluster_size_hist" -> q162
   )
 
@@ -1394,6 +1457,7 @@ object TextDedup {
     "q146_corpus_manifest" -> q146Sql,
     "q251_admission_pipeline" -> q251Sql,
     "q258_cluster_density" -> q258Sql,
+    "q269_simhash_spectrum" -> q269Sql,
     "q162_cluster_size_hist" -> q162Sql
   )
 }
