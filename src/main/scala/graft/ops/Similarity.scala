@@ -3076,7 +3076,73 @@ object Similarity {
       |  CAST(max(nq) AS DOUBLE) / 1e6 AS max_norm
       |FROM nq""".stripMargin
 
+  /** q270 — retrieval-set redundancy audit: per query, the mean pairwise
+    * cosine among its exact top-10 results — the "are the top-k results
+    * all near-duplicates of each other" number that says whether
+    * retrieval needs an MMR-style diversity re-rank (redundancy near the
+    * query-result similarity: the result set is one cluster; low: the
+    * neighborhood is genuinely diverse). Scale shape: the top-10 comes
+    * from q45's brute-force kernel shape (broadcast queries, bounded
+    * TopKByScore — the ground-truth pass recall audits already pay);
+    * the pair stage is a within-query self-join of a ≤ 10-row-per-query
+    * relation (≤ 45 pairs per query, bounded by k² not the corpus);
+    * each pairwise cosine is quantized `round(·1e6)::BIGINT` before the
+    * per-query mean so the fold is exact.
+    */
+  private val q270: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKByScore(10))
+    val e = graft.util.QueryCaches.tracked(embVecs(s, dir))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val top = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr(cosExpr("qv", "v")), 6).as("cs"))
+      .groupBy("query_id")
+      .agg(topk(col("cs"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("m"))
+      .select(col("query_id"), col("m.id").as("vec_id"))
+      .join(e, "vec_id")
+      .transform(graft.util.QueryCaches.tracked)
+    top.as("a").join(top.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        expr(s"CAST(round(${cosExpr("a.v", "b.v")} * 1e6) AS BIGINT)")
+          .as("pq"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("pq").as("spq"))
+      .select(col("query_id"), col("n_pairs"),
+        (col("spq").cast("double") / 1e6 / col("n_pairs").cast("double"))
+          .as("mean_pairwise_cos"))
+      .orderBy("query_id")
+  }
+
+  private val q270Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.v,
+      |         round(list_dot_product(q.qv, e.v)
+      |           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+      |           AS cs
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |top AS (SELECT query_id, vec_id, v FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cs DESC, vec_id) AS rank FROM scored) t
+      |  WHERE rank <= 10),
+      |pw AS (SELECT a.query_id,
+      |    CAST(round(list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      |      * 1e6) AS BIGINT) AS pq
+      |  FROM top a JOIN top b ON a.query_id = b.query_id
+      |    AND a.vec_id < b.vec_id)
+      |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / 1e6
+      |    / CAST(count(*) AS DOUBLE) AS mean_pairwise_cos
+      |FROM pw GROUP BY 1 ORDER BY query_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q270_result_redundancy" -> q270,
     "q256_norm_audit" -> q256,
     "q267_lpa_communities" -> q267,
     "q268_modularity" -> q268,
@@ -3127,6 +3193,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q270_result_redundancy" -> q270Sql,
     "q256_norm_audit" -> q256Sql,
     "q267_lpa_communities" -> q267Sql,
     "q268_modularity" -> q268Sql,
