@@ -64,6 +64,29 @@ class SharedRelationSpec extends AnyFunSuite {
     QueryCaches.drain()
   }
 
+  test("q267/q268 share one LPA propagation; q61/q269 share one simhash build") {
+    QueryCaches.drain()
+    // LPA pair: q267 primes the keyed lpaLabels relation; q268 must
+    // compose it (and the undirected edge relation) without re-running
+    // the three propagation rounds.
+    graft.SparkEntry.queries("q267_lpa_communities")(spark, dir).collect()
+    val afterLpa = QueryCaches.pending
+    graft.SparkEntry.queries("q268_modularity")(spark, dir).collect()
+    assert(QueryCaches.pending <= afterLpa + 1,
+      s"q268 registered ${QueryCaches.pending - afterLpa} new caches — " +
+      "did it re-run the LPA rounds?")
+    QueryCaches.drain()
+    // simhash pair: q61 primes the keyed banded-fingerprint relation;
+    // q269's spectrum must consume it, paying only its own histogram.
+    graft.SparkEntry.queries("q61_dedup_simhash_pairs")(spark, dir).collect()
+    val afterSim = QueryCaches.pending
+    graft.SparkEntry.queries("q269_simhash_spectrum")(spark, dir).collect()
+    assert(QueryCaches.pending <= afterSim + 1,
+      s"q269 registered ${QueryCaches.pending - afterSim} new caches — " +
+      "did it rebuild the fingerprints?")
+    QueryCaches.drain()
+  }
+
   test("q167 composes the same shared relations q56/q129 would build") {
     QueryCaches.drain()
     // Prime the registry the way a composed pipeline would (q56 + q129
