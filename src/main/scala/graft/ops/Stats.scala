@@ -1669,7 +1669,71 @@ object Stats {
        |FROM d2 WHERE detx > 0 AND dety > 0""".stripMargin
   }
 
+  /** q271 — CUSUM change-point localization over the daily value
+    * series: the day d maximizing |Σ_{d'≤d} x_{d'} − rank_d · mean| —
+    * WHERE the level shifted, completing the monitoring triad (q196
+    * says a day is anomalous, q249 says days are correlated, this says
+    * the regime changed HERE). All integer-exact: per-day sums of the
+    * quantized value ([[graft.util.MomentGuard]] envelope), the mean
+    * never materializes — the statistic is scaled by n_days
+    * (c_d = n·S_d − rank_d·total, exact BIGINTs under product guards)
+    * so no division touches the argmax; the float CUSUM value divides
+    * once at the end. The day dimension is BOUNDED (a time axis, not a
+    * data axis), so the prefix triangle join is |days|² over a tiny
+    * relation at any corpus size; the argmax is a max_by struct with a
+    * day tiebreak, never a window.
+    */
+  private val q271: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .select(expr(SqlArith.floorDiv("unix_micros(ts)", 86400000000L))
+        .as("day"),
+        expr(MomentGuard.quantizeSpark("value", 3000L, 1000L, "q271"))
+          .as("q"))
+      .groupBy("day").agg(sum("q").as("x"))
+      .transform(graft.util.QueryCaches.tracked)
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("total"))
+    val pre = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(sum(col("b.x")).as("s_d"), count(lit(1)).as("rank_d"))
+    pre.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        expr(s"${MomentGuard.productGuardSpark("n", "s_d", "q271")}" +
+          s" - ${MomentGuard.productGuardSpark("rank_d", "total", "q271")}")
+          .as("c_d"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_days"),
+        max_by(col("day"), struct(abs(col("c_d")), -col("day"))).as("change_day"),
+        max(abs(col("c_d"))).as("c_max"))
+      .select(col("n_days"), col("change_day"),
+        (col("c_max").cast("double") / col("n").cast("double") / 1e3)
+          .as("cusum_max"))
+  }
+
+  private val q271Sql = {
+    val pg = (a: String, b: String) => MomentGuard.productGuardDuck(a, b, "q271")
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(sum(${MomentGuard.quantizeDuck("value", 3000L, 1000L, "q271")})
+       |      AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS total FROM daily),
+       |pre AS (SELECT a.day, CAST(sum(b.x) AS BIGINT) AS s_d,
+       |    CAST(count(*) AS BIGINT) AS rank_d
+       |  FROM daily a JOIN daily b ON b.day <= a.day GROUP BY 1),
+       |c AS (SELECT day, tot.n,
+       |    ${pg("tot.n", "pre.s_d")} - ${pg("pre.rank_d", "tot.total")} AS c_d
+       |  FROM pre CROSS JOIN tot),
+       |r AS (SELECT n, day, abs(c_d) AS a_c,
+       |    row_number() OVER (ORDER BY abs(c_d) DESC, day) AS rn
+       |  FROM c)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       |  day AS change_day,
+       |  CAST(a_c AS DOUBLE) / CAST(n AS DOUBLE) / 1e3 AS cusum_max
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q271_cusum_changepoint" -> q271,
     "q264_length_quality_corr" -> q264,
     "q254_cramers_v" -> q254,
     "q249_daily_autocorr" -> q249,
@@ -1695,6 +1759,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q271_cusum_changepoint" -> q271Sql,
     "q264_length_quality_corr" -> q264Sql,
     "q254_cramers_v" -> q254Sql,
     "q249_daily_autocorr" -> q249Sql,
