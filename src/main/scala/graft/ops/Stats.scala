@@ -1732,7 +1732,98 @@ object Stats {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** q272 — pairwise distribution-shift matrix: the histogram-KS
+    * distance sup_x |F_a(x) − F_b(x)| between every pair of event
+    * types' value distributions, over the shared 1024-bucket global
+    * grid (q221's discretization) — the all-pairs generalization of
+    * q224's two-sample test: which producers' value regimes actually
+    * differ, the table read before per-type models are merged or
+    * split. Exactness discipline: bucket assignment is q221's integer
+    * arithmetic off the 1-row min/max broadcast; per-(type, grid-point)
+    * CDFs come from a bounded ≤1024² triangle join (the grid is a FIXED
+    * axis, never data-sized); the supremum compares exact
+    * cross-multiplied BIGINTs `|cum_a·n_b − cum_b·n_a|` (q224's rule —
+    * no float CDF ever ordered), and the one divide per pair happens at
+    * the end. Output: |types|²/2 rows.
+    */
+  private val q272: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value").as("v"))
+      .createOrReplaceTempView("vals_q272")
+    s.sql(
+      """WITH st AS (SELECT CAST(min(v) AS DOUBLE) AS lo,
+        |    CAST(max(v) AS DOUBLE) AS hi FROM vals_q272),
+        |b AS (SELECT event_type,
+        |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+        |    ELSE least(CAST(floor((v - st.lo) / (st.hi - st.lo) * 1024.0)
+        |      AS BIGINT), CAST(1023 AS BIGINT)) END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM vals_q272 CROSS JOIN st GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT bucket FROM b),
+        |nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b
+        |  GROUP BY 1),
+        |cdf AS (SELECT nt.event_type, g.bucket,
+        |    CAST(coalesce(sum(b.c), 0) AS BIGINT) AS cum
+        |  FROM grid g CROSS JOIN nt
+        |  LEFT JOIN b ON b.event_type = nt.event_type
+        |    AND b.bucket <= g.bucket
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type AS type_a, c2.event_type AS type_b,
+        |    max(abs((CASE WHEN CAST(a.cum AS DOUBLE) * CAST(nb.n AS DOUBLE) <= 9.0e18
+        |        THEN a.cum * nb.n ELSE CAST(raise_error('q272: KS cross-product may overflow; shard the pair') AS BIGINT) END)
+        |      - (CASE WHEN CAST(c2.cum AS DOUBLE) * CAST(na.n AS DOUBLE) <= 9.0e18
+        |        THEN c2.cum * na.n ELSE CAST(raise_error('q272: KS cross-product may overflow; shard the pair') AS BIGINT) END)))
+        |      AS sup_q,
+        |    max(na.n) AS n_a, max(nb.n) AS n_b
+        |  FROM cdf a JOIN cdf c2 ON c2.bucket = a.bucket
+        |    AND a.event_type < c2.event_type
+        |  JOIN nt na ON na.event_type = a.event_type
+        |  JOIN nt nb ON nb.event_type = c2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_a, n_b,
+        |  CAST(sup_q AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_distance
+        |FROM pairs ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  private val q272Sql =
+    """WITH st AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+      |    CAST(max(value) AS DOUBLE) AS hi FROM events),
+      |b AS (SELECT event_type,
+      |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+      |    ELSE least(CAST(floor((value - st.lo) / (st.hi - st.lo)
+      |      * 1024.0) AS BIGINT), CAST(1023 AS BIGINT)) END AS bucket,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events CROSS JOIN st GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT bucket FROM b),
+      |nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b
+      |  GROUP BY 1),
+      |cdf AS (SELECT nt.event_type, g.bucket,
+      |    CAST(coalesce(sum(b.c), 0) AS BIGINT) AS cum
+      |  FROM grid g CROSS JOIN nt
+      |  LEFT JOIN b ON b.event_type = nt.event_type
+      |    AND b.bucket <= g.bucket
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type AS type_a, c2.event_type AS type_b,
+      |    CAST(max(abs((CASE WHEN CAST(a.cum AS DOUBLE) * CAST(nb.n AS DOUBLE) <= 9.0e18
+      |        THEN a.cum * nb.n ELSE CAST(error('q272: KS cross-product may overflow; shard the pair') AS BIGINT) END)
+      |      - (CASE WHEN CAST(c2.cum AS DOUBLE) * CAST(na.n AS DOUBLE) <= 9.0e18
+      |        THEN c2.cum * na.n ELSE CAST(error('q272: KS cross-product may overflow; shard the pair') AS BIGINT) END)))
+      |      AS BIGINT) AS sup_q,
+      |    CAST(max(na.n) AS BIGINT) AS n_a,
+      |    CAST(max(nb.n) AS BIGINT) AS n_b
+      |  FROM cdf a JOIN cdf c2 ON c2.bucket = a.bucket
+      |    AND a.event_type < c2.event_type
+      |  JOIN nt na ON na.event_type = a.event_type
+      |  JOIN nt nb ON nb.event_type = c2.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  CAST(sup_q AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_distance
+      |FROM pairs ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q272_ks_matrix" -> q272,
     "q271_cusum_changepoint" -> q271,
     "q264_length_quality_corr" -> q264,
     "q254_cramers_v" -> q254,
@@ -1759,6 +1850,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q272_ks_matrix" -> q272Sql,
     "q271_cusum_changepoint" -> q271Sql,
     "q264_length_quality_corr" -> q264Sql,
     "q254_cramers_v" -> q254Sql,

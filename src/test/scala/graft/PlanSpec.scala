@@ -277,6 +277,7 @@ class PlanSpec extends AnyFunSuite {
       "q269_simhash_spectrum", // bounded <=33-row histogram triangle join, like q163
       "q270_result_redundancy", // q45's broadcast brute-force scan baseline, like q185
       "q271_cusum_changepoint", // bounded |days|^2 prefix triangle + 1-row totals, like q163
+      "q272_ks_matrix", // bounded 1024-grid x types CDF triangle + 1-row min/max cross, like q221
       "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
       "q174_ivfpq_search", "q175_ivfpq_recall",
       "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
