@@ -121,8 +121,12 @@ object Bench {
       val qs = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
         .mkString("{", ",", "}")
+      val totalAll = results.values.filter(_ >= 0).sum
+      val tcn =
+        if (calib > 0) s""","total_calib_norm":${"%.1f".formatLocal(java.util.Locale.ROOT, totalAll / calib)}"""
+        else ""
       val body =
-        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"calib":${"%.3f".formatLocal(java.util.Locale.ROOT, calib)},"queries":$qs}"""
+        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"calib":${"%.3f".formatLocal(java.util.Locale.ROOT, calib)}$tcn,"queries":$qs}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] full-dump write failed: ${e.getMessage}") }
@@ -204,7 +208,16 @@ object Bench {
     val nOk = results.values.count(_ >= 0)
     val nFail = results.size - nOk
     val failJson = if (nFail > 0) s""","nfail":$nFail""" else ""
-    val calibJson = if (calib >= 0) s""","calib":${ms3(calib)}""" else ""
+    // total / calib = "probe-units of work": dividing by the host-speed
+    // probe makes cross-round totals comparable without by-hand math
+    // (round-8 verdict item: two artifacts told different stories until
+    // each was divided by its own calib). Emitted only with a real probe
+    // sample; one decimal keeps the line-length contract comfortable.
+    val calibJson =
+      if (calib > 0)
+        s""","calib":${ms3(calib)},"total_calib_norm":${"%.1f".formatLocal(java.util.Locale.ROOT, total / calib)}"""
+      else if (calib >= 0) s""","calib":${ms3(calib)}"""
+      else ""
     s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson$calibJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 }

@@ -22,19 +22,24 @@ object Probe {
         s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
     // SPARK_GRAFT_PROBE_DRAIN=1 replicates the Bench protocol: caches are
     // drained between reps, so every rep re-pays persist/checkpoint builds
     // (what the round driver measures). Without it, reps 2+ are the
     // steady-state number a long-lived session would see.
     val drain = sys.env.get("SPARK_GRAFT_PROBE_DRAIN").contains("1")
+    // comma-separated names time a set (explain printed only for a single)
+    val names = name.split(',').toSeq
+    if (names.size == 1) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows" +
-        (if (drain) " (drained)" else ""))
-      if (drain) graft.util.QueryCaches.drain()
+      names.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        println(f"[probe] $n rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows" +
+          (if (drain) " (drained)" else ""))
+        if (drain) graft.util.QueryCaches.drain()
+      }
+      println(f"[probe] calib: ${Bench.calibrateOnce(spark)}%.3f s")
     }
     spark.stop()
   }

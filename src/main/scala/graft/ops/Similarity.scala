@@ -2649,6 +2649,20 @@ object Similarity {
         .distinct()
     }
 
+  /** Symmetrized (src, dst) view of [[undirectedKnnEdges]] — the union+
+    * distinct symmetrization is the relation every message-passing kernel
+    * iterates over, so it is keyed-shared: LPA (q267/q268) and the
+    * eigencentrality power iteration (q237) previously each built their
+    * own copy (round-8 verdict item 3) and a composed graph-health job
+    * paid the build per consumer. One build per undrained session now.
+    */
+  private[ops] def symKnnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"knn:sym:$dir") {
+      val und = undirectedKnnEdges(s, dir)
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    }
+
   /** q267 — label-propagation communities over the kNN graph: three
     * SYNCHRONOUS rounds of "adopt the most frequent neighbor label,
     * ties to the smallest" starting from self-labels — the community-
@@ -2673,20 +2687,19 @@ object Similarity {
     */
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"knn:lpa:$dir") {
-      val und = undirectedKnnEdges(s, dir)
-      val sym = graft.util.QueryCaches.tracked(
-        und.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+      val sym = symKnnEdges(s, dir)
       var labels = graft.util.Lineage.truncate(
         sym.select(col("src").as("v")).distinct()
           .withColumn("lbl", col("v")))
-      for (_ <- 1 to 3) {
-        labels = graft.util.Lineage.truncate(sym
+      // each round references `labels` exactly ONCE, so alternating
+      // truncation keeps the lazy tree ≤ 2 rounds deep (truncateEvery2)
+      for (i <- 1 to 3) {
+        labels = graft.util.Lineage.truncateEvery2(sym
           .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), "dst")
           .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
           .groupBy(col("src").as("v"))
           .agg(max_by(col("nl"),
-            struct(col("c"), (-col("nl")).as("t"))).as("lbl")))
+            struct(col("c"), (-col("nl")).as("t"))).as("lbl")), i)
       }
       labels
     }
@@ -2812,16 +2825,25 @@ object Similarity {
       val deg = edges.select(col("a").as("v"))
         .unionByName(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= 2).select("v")
-      // Eager lineage truncation per round (TextDedup.connectedComponents'
+      // keep is consumed THREE times per round (both semi-joins + the
+      // survivor count): persist it so the degree rollup runs once per
+      // round, not three times (round-9 tail measurement)
+      val keep = graft.util.QueryCaches.tracked(
+        deg.filter(col("deg") >= 2).select("v"))
+      // Eager lineage truncation EVERY round (TextDedup.connectedComponents'
       // discipline): the two semi-joins reference the previous round
       // TWICE, so a lazy chain — even persisted — carries a 2^rounds
       // logical tree through analysis/codegen (this OOM'd the driver
       // before truncation). The survivor edge set is bounded (≤3|V|),
       // so each round materializes a small relation and the next round
-      // plans against just it. Lineage.truncate honors the
-      // spark.graft.checkpointDir reliable-checkpoint escape on clusters
-      // (localCheckpoint blocks die with their executor).
+      // plans against just it. Note: q233 is the kernel that CANNOT use
+      // the alternating truncateEvery2 relaxation q237/LPA use — its
+      // per-round curve aggregates run their own actions against the
+      // current edge set, so an untruncated round is re-executed once
+      // per downstream count (measured 2.5× slower at sf0.1 when tried,
+      // round 9). Lineage.truncate honors the spark.graft.checkpointDir
+      // reliable-checkpoint escape on clusters (localCheckpoint blocks
+      // die with their executor).
       edges = graft.util.Lineage.truncate(edges
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
@@ -2875,17 +2897,22 @@ object Similarity {
     * (the q233 lesson); top-10 is TakeOrdered, never a window.
     */
   private val q237: Q = (s, dir) => {
-    val und = undirectedKnnEdges(s, dir)
-    val sym = graft.util.QueryCaches.tracked(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+    val sym = symKnnEdges(s, dir)
     var v = graft.util.Lineage.truncate(
       sym.select(col("src").as("v")).distinct()
         .withColumn("vq", lit(1000000L)))
-    for (_ <- 1 to 4) {
-      val av = sym
+    // av is referenced twice per round (sum + its max normalizer), so an
+    // untruncated round doubles the subtree — truncateEvery2 bounds that
+    // at one doubling (≤4 checkpoint-scan copies) while halving the
+    // per-round checkpoint jobs that dominate this kernel's cost
+    for (i <- 1 to 4) {
+      // av is consumed twice per round (its max normalizer rides a
+      // broadcast subquery of the same action): persist it so the
+      // edge-join + sum — the round's dominant cost at scale — runs
+      // once, not twice (round-9 tail measurement)
+      val av = graft.util.QueryCaches.tracked(sym
         .join(v.select(col("v").as("dst"), col("vq").as("dvq")), "dst")
-        .groupBy("src").agg(sum("dvq").as("av"))
+        .groupBy("src").agg(sum("dvq").as("av")))
       val mx = av.agg(max("av").as("mx"))
       v = graft.util.Lineage.truncate(av.crossJoin(broadcast(mx))
         .select(col("src").as("v"),

@@ -42,9 +42,12 @@ object Main {
     * then the four per-type syncs. Throws on precondition failure so the
     * scheduler's logged-and-continue contract applies.
     *
-    * @param queryTables returns the table names present in the target
-    *                    (reference O13, `src/db_utils.rs:63-81`)
-    * @param exec        DDL statement executor
+    * @param queryTables  returns the table names present in the target
+    *                     (reference O13, `src/db_utils.rs:63-81`)
+    * @param exec         DDL statement executor
+    * @param writeOptions V2 sink options (`url`/`user`/`password`/
+    *                     `dialect`/`connector`/`batchsize`) — the diff
+    *                     goes down the declarative default write path
     */
   def composedSync(spark: SparkSession,
                    cfg: Scheduler.Config,
@@ -53,7 +56,7 @@ object Main {
                    exec: String => Unit,
                    sourceFor: String => DataFrame,
                    snapshotFor: String => DataFrame,
-                   connect: () => (String => Unit, () => Unit),
+                   writeOptions: Map[String, String],
                    targetCount: String => Long,
                    sleep: Duration => Unit = d => Thread.sleep(d.toMillis)): Seq[SyncPipeline.SyncResult] = {
     checkBlazeConnection(cfg.blazeBaseUrl, cfg.blazeNumConnectionAttempts,
@@ -66,7 +69,7 @@ object Main {
     val existing = queryTables()
     if (!tables.forall(existing.contains))
       tables.flatMap(JdbcUpsert.ddl).foreach(exec)
-    SyncPipeline.runSync(spark, sourceFor, snapshotFor, connect, targetCount)
+    SyncPipeline.runSync(spark, sourceFor, snapshotFor, writeOptions, targetCount)
   }
 
   // ---- real-world bindings (exercised only by a live deployment) ----
@@ -124,14 +127,13 @@ object Main {
       names.toSet
     }
     val exec = (sql: String) => withConnection(cfg)(_.createStatement().execute(sql): Unit)
-    // executor-side write connections: one per partition, reused across batches
-    val connect = () => {
-      val conn = java.sql.DriverManager.getConnection(
-        Scheduler.Config.jdbcUrl(cfg), cfg.pgUsername, cfg.pgPassword)
-      val st = conn.createStatement()
-      ((sql: String) => { st.execute(sql); () },
-        () => { st.close(); conn.close() })
-    }
+    // V2 sink options: each write task opens its own connection through
+    // the DriverManagerConnector (one transaction per task attempt)
+    val writeOptions = Map(
+      "url" -> Scheduler.Config.jdbcUrl(cfg),
+      "user" -> cfg.pgUsername,
+      "password" -> cfg.pgPassword,
+      "dialect" -> "postgres")
     val targetCount = (table: String) => withConnection(cfg) { conn =>
       val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
       rs.next(); rs.getLong(1)
@@ -153,7 +155,7 @@ object Main {
           spark, cfg.blazeBaseUrl, cfg.blazePageResourceCount),
         snapshotFor = Snapshot.forJdbc(spark, Scheduler.Config.jdbcUrl(cfg),
           cfg.pgUsername, cfg.pgPassword),
-        connect = connect,
+        writeOptions = writeOptions,
         targetCount = targetCount)
       results.foreach { r =>
         val mark = if (r.reconciled) "ok" else "MISMATCH"

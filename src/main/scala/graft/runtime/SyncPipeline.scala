@@ -161,6 +161,13 @@ object SyncPipeline {
     * so the scan itself is pluggable — see [[blazeV2Source]] (the scale
     * default) and [[blazeDriverSource]] (parity/fixture path).
     *
+    * DEFAULT write path (round-9): the declarative DSv2 sink
+    * ([[syncOneV2]]) — one V2 write per type under Spark's commit/abort
+    * protocol, e2e-proven on Derby (sync/heal/truncate/task-abort,
+    * `DerbyE2ESpec`) and on the PG-semantics store (`SyncE2ESpec`). The
+    * imperative `foreachPartition` writers remain as the explicit
+    * fallback, [[runSyncLegacy]].
+    *
     * Keying contract: `sourceFor` receives the RESOURCE TYPE (it names a
     * search URL); `snapshotFor` and `targetCount` receive the mirror
     * TABLE name (lowercased — they name SQL identifiers). Passing the
@@ -171,8 +178,23 @@ object SyncPipeline {
   def runSync(spark: SparkSession,
               sourceFor: String => DataFrame,
               snapshotFor: String => DataFrame,
-              connect: () => (String => Unit, () => Unit),
+              writeOptions: Map[String, String],
               targetCount: String => Long): Seq[SyncResult] =
+    Schemas.resourceTypes.map { t =>
+      syncOneV2(spark, t, sourceFor(t), snapshotFor(Schemas.tableName(t)),
+        writeOptions, targetCount)
+    }
+
+  /** Explicit fallback: the imperative `foreachPartition` write path
+    * (three statement jobs per type). Same classify/count/reconcile
+    * skeleton; kept for deployments that need a custom statement
+    * transport the V2 connector model can't express.
+    */
+  def runSyncLegacy(spark: SparkSession,
+                    sourceFor: String => DataFrame,
+                    snapshotFor: String => DataFrame,
+                    connect: () => (String => Unit, () => Unit),
+                    targetCount: String => Long): Seq[SyncResult] =
     Schemas.resourceTypes.map { t =>
       syncOne(spark, t, sourceFor(t), snapshotFor(Schemas.tableName(t)),
         connect, targetCount)

@@ -48,6 +48,20 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!bare.contains("calib"))
   }
 
+  test("calib-normalized total rides the line: total / calib, mechanical") {
+    val line = Bench.summaryLine(
+      Map("qa" -> 2.0, "qb" -> 3.0),
+      scala.collection.mutable.LinkedHashMap.empty[String, String],
+      reps = 1, sfDir = "/sf", calib = 0.25)
+    val node = strictParse(line).getOrElse(fail(s"not strict JSON: $line"))
+    // 5.0 s of queries / 0.25 s probe = 20.0 probe-units
+    assert(math.abs(node.get("total_calib_norm").asDouble - 20.0) < 1e-9, line)
+    // no probe sample -> no normalized field either
+    val bare = Bench.summaryLine(Map("qa" -> 1.0),
+      scala.collection.mutable.LinkedHashMap.empty[String, String], 1, "/sf")
+    assert(!bare.contains("total_calib_norm"))
+  }
+
   test("failed queries (-1 sentinel) are excluded from the total AND nq") {
     val line = Bench.summaryLine(
       Map("qa" -> 2.0, "qb" -> -1.0),

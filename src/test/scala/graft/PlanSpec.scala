@@ -194,109 +194,165 @@ class PlanSpec extends AnyFunSuite {
       s"expected full outer join in:\n$p")
   }
 
-  test("no declared query plans a cartesian or nested-loop join (except the range join)") {
-    // Legitimate non-equi joins: q22 is a genuine range-theta join, q45 is
-    // the brute-force broadcast scan baseline, q11 crosses two single-row
-    // count aggregates (1×1), q53 crosses every vector with the 8-row
-    // broadcast quantizer, q70 crosses the 1-row corpus count into the
-    // tf⋈df relation. Everything else must stay equi/broadcast.
-    // (q75/q88/q103/q108/q110/q130 cross a 1-row corpus-stats aggregate,
-    // like q70.)
-    // (q124/q126/q127 cross every vector with the ≤8-row broadcast
-    // quantizer — the same deliberate shape as q53's assignment.)
-    // (q137/q138 cross a 1-row totals/count aggregate, like q70.)
-    // (q140 assigns via the ≤8-row broadcast quantizer like q124; q141
-    // scores codes against the 5-row broadcast distance tables like q45.)
-    // (q151 crosses the |sources|-row mixture with its 1-row totals
-    // aggregate, like q70; q152 is q45's broadcast brute-force scan shape
-    // with a second score column; q157 is q151's scalar-totals cross.)
-    // (q159 crosses the 256-row feature table with its 1-row totals
-    // aggregate, like q151.)
-    // (q163's running sum is a triangle join over the bounded 10-row
-    // decile relation plus a 1-row totals cross — never a corpus window.)
-    // (q167 crosses six 1-row aggregates into its single output row —
-    // all scalar broadcasts.)
-    // (q169 reads q91's prefix-sum relation, whose lang offsets broadcast;
-    // q171 crosses the candidate counts with the 1-row token total, like
-    // q70; q172 is q163's bounded 10-row triangle join + 1-row count
-    // cross; q174/q175 cross every vector with the <=8-row broadcast
-    // quantizer exactly like q126/q127, whose composition they are;
-    // q180 crosses the 1-row corpus token total, like q70.)
-    // (q181 crosses the 1-row node count into each rank iteration;
-    // q183 crosses the 1-row token total, like q70; q185 composes
-    // q45's broadcast brute-force ground truth and the ≤8-row broadcast
-    // quantizer across its three nprobe branches, like q125/q127.)
-    // (q186 crosses the 1-row broadcast bloom map onto the candidate
-    // scan — the pre-filter that REPLACES a corpus-wide join.)
-    // (q192 crosses the 1-row train vocabulary like q103; q193's
-    // remainder rank is q163's bounded |sources|² triangle join plus
-    // two 1-row broadcasts.)
-    val exempt = Set("q22_join_range", "q45_simsearch_topk", "q11_reconcile",
-      "q180_source_token_kl",
-      "q181_pagerank", "q183_filter_funnel", "q185_nprobe_sweep",
-      "q186_dedup_bloom", "q192_holdout_perplexity", "q193_budget_allocation",
-      "q198_knn_reciprocity", // crosses two 1-row count aggregates, like q11
-      "q202_ivf_cell_balance", // broadcast-quantizer assign + 1-row totals cross
-      "q203_retention_halflife", // crosses the 1-row user total, like q70
-      "q204_markov_stationary", // crosses the 1-row node count per iteration, like q181
-      "q205_triangle_count", // crosses two 1-row aggregates, like q11
-      "q210_split_stratification", // crosses the 10-row label and 1-row grand marginals
-      "q212_chunk_stitch", // crosses four 1-row audit aggregates, like q167
-      "q214_stream_state_budget", // crosses the 1-row watermark aggregate
-      "q215_degree_assortativity", // crosses the 1-row node-count aggregate, like q198
-      "q216_twohop_recall", // composes q45's broadcast brute-force ground truth, like q185
-      "q217_positional_drift", // crosses the 1-row front/back totals aggregate, like q70
-      "q219_salt_rebalance", // crosses per-family 1-row totals aggregates, like q70
-      "q221_histogram_quantiles", // crosses the 1-row min/max/exact aggregates, like q88
-      "q223_neyman_allocation", // crosses 1-row totals/shortfall broadcasts, like q193
-      "q224_ks_test", // crosses the 1-row sample-size and max aggregates, like q11
-      "q225_token_gini", // crosses the 1-row vocabulary totals, like q70
-      "q226_bloom_fpp", // crosses the 1-row broadcast bloom map + audit folds, like q186
-      "q227_late_event_curve", // crosses the bounded 4-row threshold broadcast
-      "q229_attribution_asof", // crosses two 1-row revenue aggregates, like q11
-      "q231_shard_uniformity", // crosses the 1-row doc total onto the 64-row grid, like q70
-      "q233_kcore_curve", // crosses per-round 1-row node/edge counts, like q181
-      "q234_token_burstiness", // crosses the 1-row doc-count aggregate, like q70
-      "q235_quota_sample", // crosses 1-row Neyman totals + the 5-row offset triangle, like q193
-      "q236_watermark_join_loss", // crosses the bounded 2-row threshold broadcast, like q227
-      "q237_eigen_centrality", // crosses the 1-row max normalizer per iteration, like q181
-      "q238_runtime_filter_gain", // crosses three 1-row audit counts, like q11
-      "q239_multiprobe_lsh", // composes q45's broadcast ground truth + 1-row candidate counts, like q185
-      "q240_dict_coverage", // crosses three 1-row dictionary folds, like q212
-      "q243_assoc_lift", // crosses the 1-row user count onto the bounded pair grid, like q70
-      "q244_negative_sampling", // crosses the 1-row total-mass aggregate, like q70
-      "q245_hill_tail", // crosses the 1-row reference order statistic, like q70
-      "q248_markov_entropy", // crosses the 1-row transition total, like q70
-      "q249_daily_autocorr", // crosses the 1-row pair-moment aggregate, like q11
-      "q250_spearman_sources", // two bounded |sources|^2 triangle-join rankings, like q193
-      "q251_admission_pipeline", // crosses the 1-row mixture-mass total, like q151
-      "q253_bigram_entropy", // crosses the 1-row bigram total, like q248
-      "q254_cramers_v", // crosses the 1-row contingency totals, like q137
-      "q260_gram_df_spectrum", // crosses the 1-row vocabulary total, like q70
-      "q268_modularity", // crosses the 1-row edge-count m, like q181
-      "q269_simhash_spectrum", // bounded <=33-row histogram triangle join, like q163
-      "q270_result_redundancy", // q45's broadcast brute-force scan baseline, like q185
-      "q271_cusum_changepoint", // bounded |days|^2 prefix triangle + 1-row totals, like q163
-      "q272_ks_matrix", // bounded 1024-grid x types CDF triangle + 1-row min/max cross, like q221
-      "q169_pack_efficiency", "q171_heavy_hitters", "q172_vocab_growth",
-      "q174_ivfpq_search", "q175_ivfpq_recall",
-      "q53_ann_ivf", "q70_tfidf", "q75_bm25", "q88_equidepth_buckets",
-      "q103_bigram_lm", "q108_pmi_colloc", "q110_vocab_build",
-      "q124_kmeans_step", "q125_ann_recall", "q126_ann_ivf_trained",
-      "q127_ann_recall_trained", "q128_quantizer_quality",
-      "q130_mixture_sample", "q137_token_drift", "q138_curriculum_order",
-      "q140_semdedup", "q141_pq_adc_topk", "q142_oov_audit",
-      "q151_temp_mixture", "q152_trunc_recall", "q157_epoch_plan",
-      "q159_dsir_weight", "q163_quality_token_curve", "q167_modal_agreement")
-    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
-      val p = planString(SparkEntry.queries(name)(spark, dir))
-      assert(!p.contains("CartesianProduct"),
-        s"$name degraded to CartesianProduct:\n$p")
-      withClue(s"$name: ") {
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name degraded to BroadcastNestedLoopJoin:\n$p")
-      }
+  // --- structural cartesian sweep (round-8 verdict item 2) -------------
+  //
+  // A CartesianProduct/BroadcastNestedLoopJoin is legitimate ONLY when one
+  // side is provably bounded. Rounds 3-8 policed this with a ~75-name
+  // exemption list whose boundedness claims lived in comments; an edit
+  // that turned a "1-row aggregate" into a data-sized relation would have
+  // been silently masked. Now the claim is checked structurally per join
+  // node, with an execute-and-count fallback for relations bounded by
+  // CONSTRUCTION (trained quantizers, fixed grids, literal query sets)
+  // rather than by plan shape.
+
+  /** Structural proof that a physical subtree produces a bounded (tiny)
+    * number of rows regardless of input scale: grouping-key-free
+    * aggregates (≤1 row), literal frames, bounded limits — composed
+    * through row-preserving/reducing operators, unions, and joins of
+    * tiny sides.
+    */
+  private def provablyTiny(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    p match {
+      // a final aggregate with no grouping keys is ≤1 row by definition;
+      // a grouped aggregate never has more rows than its input
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty || provablyTiny(a.child)
+      // literal frames are compiled into the program — bounded by author
+      case _: LocalTableScanExec => true
+      case l: GlobalLimitExec => l.limit <= 4096 || provablyTiny(l.child)
+      case l: LocalLimitExec => l.limit <= 4096 || provablyTiny(l.child)
+      case t: TakeOrderedAndProjectExec => t.limit <= 4096
+      case u: UnionExec => u.children.forall(provablyTiny)
+      // any join of two tiny sides is tiny (bounded product); an
+      // equi-join with one tiny side is ≤ tiny × max-multiplicity — not
+      // provable, so require both
+      case j: BroadcastHashJoinExec => provablyTiny(j.left) && provablyTiny(j.right)
+      case j: SortMergeJoinExec => provablyTiny(j.left) && provablyTiny(j.right)
+      case j: ShuffledHashJoinExec => provablyTiny(j.left) && provablyTiny(j.right)
+      case j: CartesianProductExec => provablyTiny(j.left) && provablyTiny(j.right)
+      case j: BroadcastNestedLoopJoinExec => provablyTiny(j.left) && provablyTiny(j.right)
+      // row-preserving / row-reducing unary wrappers
+      case x @ (_: ProjectExec | _: FilterExec | _: SortExec | _: Exchange |
+                _: WholeStageCodegenExec | _: InputAdapter | _: CoalesceExec |
+                _: AQEShuffleReadExec) => provablyTiny(x.children.head)
+      case r: ReusedExchangeExec => provablyTiny(r.child)
+      case q: QueryStageExec => provablyTiny(q.plan)
+      case a: AdaptiveSparkPlanExec => provablyTiny(a.executedPlan)
+      case i: InMemoryTableScanExec => provablyTiny(i.relation.cachedPlan)
+      case _ => false
     }
+  }
+
+  /** Every CartesianProduct / BroadcastNestedLoopJoin node in `plan`
+    * (recursing through AQE wrappers and cached relations) paired with
+    * whether some side is structurally tiny, for the sweep below and the
+    * negative self-test.
+    */
+  private def crossNodes(plan: SparkPlan): Seq[(SparkPlan, Boolean)] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    plan.collect {
+      case c: CartesianProductExec =>
+        Seq((c: SparkPlan, provablyTiny(c.left) || provablyTiny(c.right)))
+      case b: BroadcastNestedLoopJoinExec =>
+        Seq((b: SparkPlan, provablyTiny(b.left) || provablyTiny(b.right)))
+      case a: AdaptiveSparkPlanExec => crossNodes(a.executedPlan)
+      case i: InMemoryTableScanExec => crossNodes(i.relation.cachedPlan)
+    }.flatten
+  }
+
+  /** Rows a physical subtree actually produces, capped at `cap`+1 (the
+    * executed fallback for bounded-by-construction sides). Broadcast
+    * exchanges don't support the row-iterator code path — count their
+    * child instead (same row set).
+    */
+  private def executedRows(side: SparkPlan, cap: Int): Int = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    side match {
+      case b: BroadcastExchangeLike => executedRows(b.child, cap)
+      case r: ReusedExchangeExec => executedRows(r.child, cap)
+      case q: QueryStageExec => executedRows(q.plan, cap)
+      case _ =>
+        // a fragment ripped out of its parent loses the ColumnarToRow
+        // conversions the full plan had above its columnar scans —
+        // reinsert them wherever a subtree produces batches
+        import org.apache.spark.sql.execution.ColumnarToRowExec
+        def deColumnar(p: SparkPlan): SparkPlan = p match {
+          case c: ColumnarToRowExec => c
+          case s if s.supportsColumnar => ColumnarToRowExec(s)
+          case other => other.withNewChildren(other.children.map(deColumnar))
+        }
+        deColumnar(side).executeTake(cap + 1).length
+    }
+  }
+
+  test("cartesian/nested-loop joins appear only over provably bounded sides") {
+    // Genuinely special: q22's non-equi range predicate IS the operator
+    // under test — its sides are data-sized by design and the query's own
+    // Scaladoc documents the bucketed scale path (q73).
+    val special = Set("q22_join_range")
+    // Bounded by construction, not by plan shape: the sweep executes the
+    // non-tiny side(s) and fails if any exceeds the declared bound. K=256
+    // default; entries above it declare why.
+    val declaredBound: Map[String, Int] = Map(
+      // fixed 1024-bucket histogram grids: the distinct-bucket relation
+      // is capped by the grid constant, never by the corpus
+      "q221_histogram_quantiles" -> 1100,
+      "q272_ks_matrix" -> 9000 // fixed 1024-bucket grid × |event types| CDF triangle
+    )
+    val K = 256
+    val violations = Seq.newBuilder[String]
+    SparkEntry.queries.keys.filterNot(special).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val flagged = crossNodes(plan).filterNot(_._2)
+      val bound = declaredBound.getOrElse(name, K)
+      flagged.foreach { case (join, _) =>
+        // neither side is structurally tiny: one must execute to ≤ bound
+        // rows (trained quantizer, fixed grid, literal query set, …)
+        val sizes = join.children.map(c =>
+          try executedRows(c, bound)
+          catch { case e: Exception => Int.MaxValue })
+        if (!sizes.exists(_ <= bound))
+          violations += s"$name: cartesian/nested-loop join with no bounded " +
+            s"side (sides executed to " +
+            s"${sizes.map(s => if (s > bound) s">$bound" else s.toString).mkString("/")} rows, " +
+            s"bound $bound):\n$join"
+      }
+      graft.util.QueryCaches.drain()
+    }
+    val bad = violations.result()
+    assert(bad.isEmpty, bad.mkString("\n\n"))
+  }
+
+  test("the structural sweep actually rejects a data-sized cross (negative self-test)") {
+    // A deliberate all-pairs join over two data-sized relations must be
+    // flagged by crossNodes and fail the executed-count fallback — if
+    // this ever passes, the sweep has rotted.
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val crossed = docs.as("x").crossJoin(docs.as("y"))
+    val flagged = crossNodes(crossed.queryExecution.executedPlan)
+    assert(flagged.nonEmpty, "crossNodes failed to find the cartesian")
+    assert(flagged.forall(!_._2),
+      "a data-sized side must NOT be judged structurally tiny")
+    flagged.foreach { case (join, _) =>
+      val sizes = join.children.map(c => executedRows(c, 256))
+      assert(sizes.forall(_ > 256),
+        s"executed-count fallback must see both sides exceed the bound: $sizes")
+    }
+    // and a 1-row-aggregate cross IS structurally tiny (positive twin)
+    val total = Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val scalarCross = docs.crossJoin(broadcast(total))
+    val ok = crossNodes(scalarCross.queryExecution.executedPlan)
+    assert(ok.nonEmpty && ok.forall(_._2),
+      "the 1-row totals-broadcast shape must be structurally tiny")
   }
 
   test("q115: pair join sees scalar (label, dim, mean) rows, never vectors") {

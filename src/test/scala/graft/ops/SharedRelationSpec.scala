@@ -87,6 +87,25 @@ class SharedRelationSpec extends AnyFunSuite {
     QueryCaches.drain()
   }
 
+  test("symmetrized kNN edges build once across q237/q267/q268 (round-8 item 3)") {
+    QueryCaches.drain()
+    // Prime the way a composed graph-health job would: eigencentrality
+    // first, then the LPA consumers — all three iterate over the same
+    // symmetrized edge relation and must share ONE build of it.
+    val sym = Similarity.symKnnEdges(spark, dir)
+    graft.SparkEntry.queries("q237_eigen_centrality")(spark, dir).collect()
+    assert(sym eq Similarity.symKnnEdges(spark, dir),
+      "q237 must consume the primed symmetrized relation")
+    graft.SparkEntry.queries("q267_lpa_communities")(spark, dir).collect()
+    graft.SparkEntry.queries("q268_modularity")(spark, dir).collect()
+    assert(sym eq Similarity.symKnnEdges(spark, dir),
+      "LPA consumers must not rebuild the symmetrized relation")
+    QueryCaches.drain()
+    assert(!(sym eq Similarity.symKnnEdges(spark, dir)),
+      "drain must invalidate the keyed relation")
+    QueryCaches.drain()
+  }
+
   test("q167 composes the same shared relations q56/q129 would build") {
     QueryCaches.drain()
     // Prime the registry the way a composed pipeline would (q56 + q129

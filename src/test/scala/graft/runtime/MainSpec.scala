@@ -84,7 +84,7 @@ class MainSpec extends AnyFunSuite {
       exec = ddl += _,
       sourceFor = SyncPipeline.blazeDriverSource(spark, "http://b", 5000, fixtures.apply),
       snapshotFor = _ => emptySnapshot,
-      connect = () => ((s: String) => StmtCollector.add(s), () => ()),
+      writeOptions = Map("connector" -> classOf[StmtCollectorConnector].getName),
       targetCount = _ => 1L,
       sleep = _ => ())
 
@@ -110,7 +110,7 @@ class MainSpec extends AnyFunSuite {
       exec = ddl += _,
       sourceFor = SyncPipeline.blazeDriverSource(spark, "http://b", 5000, fixtures.apply),
       snapshotFor = _ => emptySnapshot,
-      connect = () => ((_: String) => (), () => ()),
+      writeOptions = Map("connector" -> classOf[StmtCollectorConnector].getName),
       targetCount = _ => 0L,
       sleep = _ => ())
     assert(ddl.isEmpty)
@@ -124,7 +124,7 @@ class MainSpec extends AnyFunSuite {
         exec = _ => (),
         sourceFor = _ => emptySnapshot,
         snapshotFor = _ => emptySnapshot,
-        connect = () => ((_: String) => (), () => ()),
+        writeOptions = Map.empty,
         targetCount = _ => 0L,
         sleep = _ => ())
     }
@@ -161,11 +161,37 @@ class MainSpec extends AnyFunSuite {
       sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
         classOf[graft.source.v2.FixtureFetcher].getName),
       snapshotFor = _ => emptySnapshot,
+      writeOptions = Map("connector" -> classOf[StmtCollectorConnector].getName),
+      targetCount = _ => 23L)
+    assert(results.size === 4)
+    assert(results.forall(r => r.inserts === 23 && r.deletes === 0 && r.reconciled))
+    // the default path really is the V2 sink: statements arrived through
+    // the class-name-instantiated connector, inside a task transaction
+    val stmts = StmtCollector.snapshot()
+    assert(stmts.contains("BEGIN") && stmts.contains("COMMIT"))
+    assert(Schemas4.types.forall(t =>
+      stmts.exists(_.startsWith(s"INSERT INTO ${t.toLowerCase}"))))
+  }
+
+  test("runSyncLegacy (explicit fallback) still drives the foreachPartition writers") {
+    StmtCollector.clear()
+    val results = SyncPipeline.runSyncLegacy(spark,
+      sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
+        classOf[graft.source.v2.FixtureFetcher].getName),
+      snapshotFor = _ => emptySnapshot,
       connect = () => ((s: String) => StmtCollector.add(s), () => ()),
       targetCount = _ => 23L)
     assert(results.size === 4)
     assert(results.forall(r => r.inserts === 23 && r.deletes === 0 && r.reconciled))
   }
+}
+
+/** V2 connector routing statements into [[StmtCollector]] (zero-arg,
+  * class-name-instantiated on local-mode executor threads).
+  */
+class StmtCollectorConnector extends graft.sink.v2.UpsertConnector {
+  override def connect(options: Map[String, String]): (String => Unit, () => Unit) =
+    ((s: String) => StmtCollector.add(s), () => ())
 }
 
 /** The reference's type universe, locally named to keep assertions readable. */

@@ -174,11 +174,13 @@ class SyncE2ESpec extends AnyFunSuite {
 
   private val spark = SparkTestSession.spark
 
+  // the DEFAULT sync path (V2 declarative sink, round-9): what
+  // Scheduler/Main route through in production
   private def sync() = SyncPipeline.runSync(spark,
     sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
       classOf[graft.source.v2.FixtureFetcher].getName),
     snapshotFor = PgLiteStore.snapshot(spark),
-    connect = () => PgLiteStore.connect(),
+    writeOptions = Map("connector" -> classOf[PgLiteConnector].getName),
     targetCount = PgLiteStore.count)
 
   test("sync -> re-sync is a no-op; a corrupted target heals in one run") {
@@ -232,29 +234,29 @@ class SyncE2ESpec extends AnyFunSuite {
     }
   }
 
-  test("V2 declarative write path: sync -> no-op re-sync -> heal, unchanged semantics") {
+  test("legacy foreachPartition path: sync -> no-op re-sync -> heal, unchanged semantics") {
     PgLiteStore.clear()
-    def syncV2() = graft.model.Schemas.resourceTypes.map { t =>
-      SyncPipeline.syncOneV2(spark, t,
-        SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
-          classOf[graft.source.v2.FixtureFetcher].getName)(t),
-        PgLiteStore.snapshot(spark)(graft.model.Schemas.tableName(t)),
-        Map("connector" -> classOf[PgLiteConnector].getName),
-        PgLiteStore.count)
-    }
+    // the explicit fallback (pre-round-9 default) must keep the exact
+    // same classify/write/heal semantics as the V2 default above
+    def syncLegacy() = SyncPipeline.runSyncLegacy(spark,
+      sourceFor = SyncPipeline.blazeV2Source(spark, "http://fixture", 10,
+        classOf[graft.source.v2.FixtureFetcher].getName),
+      snapshotFor = PgLiteStore.snapshot(spark),
+      connect = () => PgLiteStore.connect(),
+      targetCount = PgLiteStore.count)
 
-    val first = syncV2()
+    val first = syncLegacy()
     assert(first.size === 4)
     first.foreach { r =>
       assert(r.inserts === 23 && r.updates === 0 && r.deletes === 0, r)
       assert(r.reconciled, s"post-write count must equal source: $r")
     }
-    val second = syncV2()
+    val second = syncLegacy()
     second.foreach { r =>
       assert(r.inserts === 0 && r.updates === 0 && r.deletes === 0,
-        s"second V2 sync must be a no-op: $r")
+        s"second legacy sync must be a no-op: $r")
     }
-    // same three-way corruption as the foreachPartition path
+    // same three-way corruption as the V2 default path
     val byJson = PgLiteStore.rows("patient")
     val dropId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r3"""") => id }.get
     val staleId = byJson.collectFirst { case (id, j) if j.contains(""""id":"r5"""") => id }.get
@@ -263,10 +265,10 @@ class SyncE2ESpec extends AnyFunSuite {
       """{"id":"r5","meta":{"versionId":"999"},"resourceType":"Patient"}""")
     PgLiteStore.put("patient",
       """{"id":"zzz","meta":{"versionId":"1"},"resourceType":"Patient"}""")
-    val heal = syncV2()
+    val heal = syncLegacy()
     val patient = heal.find(_.resourceType == "Patient").get
     assert(patient.inserts === 1 && patient.updates === 1 && patient.deletes === 1,
-      s"one V2 healing run must fix all three corruptions: $patient")
+      s"one legacy healing run must fix all three corruptions: $patient")
     assert(patient.reconciled)
   }
 
