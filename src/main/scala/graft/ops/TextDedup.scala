@@ -969,6 +969,28 @@ object TextDedup {
       .agg(vote(1).as("v1"), (2 to bits).map(j => vote(j).as(s"v$j")): _*)
   }
 
+  /** 64 bit votes in ONE grouped aggregate, as two 32-vote families over
+    * the same per-word md5: `v1..v32` from each hex digit's high bit
+    * (the [[bitVotes]] rule), `u1..u32` from its second bit (digit ∈
+    * {4-7, c-f}) — two independent fair coin flips per digit. Two 32-bit
+    * WORDS rather than one 64-bit fingerprint because the oracle engine
+    * checks shifts into the BIGINT sign bit (the `<< 63` hazard); every
+    * shift here stays < 32 on both engines.
+    */
+  private def bitVotes64(s: SparkSession, dir: String): DataFrame = {
+    def voteHi(j: Int) = sum(when(substring(col("h"), j, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+    def voteLo(j: Int) = sum(when(substring(col("h"), j, 1)
+      .isin("4", "5", "6", "7", "c", "d", "e", "f"), 1).otherwise(-1))
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      .groupBy("doc_id")
+      .agg(voteHi(1).as("v1"),
+        ((2 to 32).map(j => voteHi(j).as(s"v$j")) ++
+         (1 to 32).map(j => voteLo(j).as(s"u$j"))): _*)
+  }
+
   private val q42: Q = (s, dir) =>
     bitVotes(s, dir, 16).select(col("doc_id"),
       concat((1 to 16).map(j =>
@@ -1001,38 +1023,56 @@ object TextDedup {
     * The df/rank/prefix stages shuffle only narrow (doc, token) rows.
     */
   /** q61 — SimHash near-duplicate PAIRS: the retrieval stage q42's
-    * fingerprints feed at scale (Charikar/Manku-style dedup). 32-bit
-    * fingerprints (wider than q42's 16 — pairing needs selectivity),
-    * banded into 4 bytes; by pigeonhole, any pair within Hamming
-    * distance 3 shares an identical byte in some band, so the banded
-    * equi-join is COMPLETE for the ≤2 threshold reported. Exact Hamming
-    * is counted on candidates only — same candidates-then-verify shape
-    * as q41b/q43, never all pairs.
+    * fingerprints feed at scale (Charikar/Manku-style dedup: 64-bit
+    * fingerprint, Hamming ≤ 3 — Manku et al., WWW'07). Banded into
+    * 4 × 16-bit pieces; by pigeonhole, any pair within Hamming distance
+    * 3 shares an identical 16-bit band, so the banded equi-join is
+    * COMPLETE for the ≤ 3 threshold reported. Exact Hamming is counted
+    * on candidates only — same candidates-then-verify shape as
+    * q41b/q43, never all pairs.
     */
-  /** Banded 32-bit simhash relation (doc_id, simhash, b, nib) —
+  /** Banded 64-bit simhash relation (doc_id, sh_hi, sh_lo, b, nib) —
     * keyed-shared by q61 (thresholded pairs) and q269 (the distance
     * spectrum), so a composed dedup-tuning job pays the fingerprint
-    * build once. Integer fingerprint (one BIGINT per doc): hamming is
-    * bit_count(xor), one machine instruction — the string-per-bit
-    * formulation shuffled 64 chars of fingerprint text per candidate
-    * and compared 32 substrings per pair (GC pressure measured at
-    * 50×+ query cost).
+    * build once. Integer fingerprint words: hamming is two bit_counts
+    * of xor — the string-per-bit formulation shuffled fingerprint text
+    * per candidate and compared substrings per pair (GC pressure
+    * measured at 50×+ query cost).
+    *
+    * Band width is the scale lever (round-9 sf1 measurement): the old
+    * 4 × 8-bit banding of a 32-bit fingerprint has a FIXED 256-bucket
+    * space per band, so per-bucket occupancy — and the candidate join —
+    * grows as n²/256 (q269 measured 37× cost at 10× corpus). 16-bit
+    * bands give 65 536 buckets per band: same pigeonhole completeness,
+    * 256× more headroom before saturation, and at genuinely larger
+    * corpora the fingerprint/band width grows with log₂(n) — the same
+    * discipline as the hyperplane family's `planesFor`.
     */
   private def simhashBands(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"simhash:bands:$dir") {
-      val fp = bitVotes(s, dir, 32).select(col("doc_id"),
-        (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
-          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-      fp.select(col("doc_id"), col("simhash"), explode(expr(
-          "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
+      def word(votes: Int => org.apache.spark.sql.Column) =
+        (1 to 32).map(j => when(votes(j) > 0, lit(1L << (32 - j)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val fp = bitVotes64(s, dir).select(col("doc_id"),
+        word(j => col(s"v$j")).as("sh_hi"),
+        word(j => col(s"u$j")).as("sh_lo"))
+      fp.select(col("doc_id"), col("sh_hi"), col("sh_lo"), explode(expr(
+          """transform(sequence(0,3), b -> struct(b AS b,
+            |  CASE WHEN b = 0 THEN shiftright(sh_hi, 16) & 65535
+            |       WHEN b = 1 THEN sh_hi & 65535
+            |       WHEN b = 2 THEN shiftright(sh_lo, 16) & 65535
+            |       ELSE sh_lo & 65535 END AS nib))""".stripMargin))
           .as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.b").as("b"),
-          col("band.nib").as("nib"))
+        .select(col("doc_id"), col("sh_hi"), col("sh_lo"),
+          col("band.b").as("b"), col("band.nib").as("nib"))
       // self-joined: fingerprints computed once. NOT pre-partitioned by
-      // (b, nib) — 4×256 = 1024 possible keys is a BOUNDED cardinality
-      // that would cap the cache's parallelism and bypass AQE
-      // skew-splitting on the join exchange (cf. q44/q57)
+      // (b, nib) — the bounded band-key cardinality would cap the
+      // cache's parallelism and bypass AQE skew-splitting on the join
+      // exchange (cf. q44/q57)
     }
+
+  private val hamming64 =
+    "CAST(bit_count(a.sh_hi ^ c.sh_hi) + bit_count(a.sh_lo ^ c.sh_lo) AS INT)"
 
   private val q61: Q = (s, dir) => {
     val bands = simhashBands(s, dir)
@@ -1042,28 +1082,49 @@ object TextDedup {
       // verify BEFORE dedup: the hamming test is a free codegen'd row op,
       // so the distinct shuffles only survivors, not every band collision
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ c.simhash) AS INT)").as("hamming"))
-      .filter(col("hamming") <= 2)
+        expr(hamming64).as("hamming"))
+      .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  private val q61Sql =
-    """WITH w AS (SELECT doc_id,
+  /** Shared oracle kernel for the banded 64-bit fingerprint — single-
+    * sourced into q61Sql/q269Sql so the definition cannot drift between
+    * consumers. Ends with `bands(doc_id, sh_hi, sh_lo, b, nib)`.
+    */
+  private val simhashBandCtes =
+    """w AS (SELECT doc_id,
       |  list_transform(string_split(text,' '), x -> md5(x)) AS hs FROM documents),
-      |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(1,32), j ->
-      |  CASE WHEN list_sum(list_transform(hs, h ->
-      |    CASE WHEN substr(h,j,1) IN ('8','9','a','b','c','d','e','f')
-      |    THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << (32-j)) ELSE 0 END))::BIGINT
-      |  AS simhash FROM w),
-      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS nib
-      |  FROM fp, unnest(generate_series(0, 3)) AS t(b))
+      |fp AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(1,32), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h ->
+      |      CASE WHEN substr(h,j,1) IN ('8','9','a','b','c','d','e','f')
+      |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << (32-j)) ELSE 0 END))
+      |    AS BIGINT) AS sh_hi,
+      |  CAST(list_sum(list_transform(generate_series(1,32), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h ->
+      |      CASE WHEN substr(h,j,1) IN ('4','5','6','7','c','d','e','f')
+      |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << (32-j)) ELSE 0 END))
+      |    AS BIGINT) AS sh_lo
+      |  FROM w),
+      |bands AS (SELECT doc_id, sh_hi, sh_lo, b,
+      |  CASE WHEN b = 0 THEN (sh_hi >> 16) & 65535
+      |       WHEN b = 1 THEN sh_hi & 65535
+      |       WHEN b = 2 THEN (sh_lo >> 16) & 65535
+      |       ELSE sh_lo & 65535 END AS nib
+      |  FROM fp, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+
+  private val duckHamming64 =
+    "CAST(bit_count(xor(a.sh_hi, c.sh_hi)) + bit_count(xor(a.sh_lo, c.sh_lo)) AS INTEGER)"
+
+  private val q61Sql =
+    s"""WITH $simhashBandCtes
       |SELECT DISTINCT doc_a, doc_b, hamming FROM (
       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-      |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+      |    $duckHamming64 AS hamming
       |  FROM bands a JOIN bands c
       |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id) t
-      |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** q269 — simhash Hamming-distance spectrum: the distribution of exact
     * Hamming distances over the banded candidate pairs — the
@@ -1075,7 +1136,7 @@ object TextDedup {
     * as q61 over the SHARED fingerprint relation (complete for ≤ 3 by
     * pigeonhole; higher distances appear only when band-lucky, which is
     * exactly the admission behavior being diagnosed), distances counted
-    * on candidates only, the ≤ 33-row histogram cumulated through a
+    * on candidates only, the ≤ 65-row histogram cumulated through a
     * bounded triangle join — never a window, never all pairs.
     */
   private val q269: Q = (s, dir) => {
@@ -1084,7 +1145,7 @@ object TextDedup {
         col("a.b") === col("c.b") && col("a.nib") === col("c.nib") &&
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ c.simhash) AS INT)").as("hamming"))
+        expr(hamming64).as("hamming"))
       .distinct()
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
       .transform(graft.util.QueryCaches.tracked)
@@ -1096,18 +1157,10 @@ object TextDedup {
   }
 
   private val q269Sql =
-    """WITH w AS (SELECT doc_id,
-      |  list_transform(string_split(text,' '), x -> md5(x)) AS hs FROM documents),
-      |fp AS (SELECT doc_id, list_sum(list_transform(generate_series(1,32), j ->
-      |  CASE WHEN list_sum(list_transform(hs, h ->
-      |    CASE WHEN substr(h,j,1) IN ('8','9','a','b','c','d','e','f')
-      |    THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << (32-j)) ELSE 0 END))::BIGINT
-      |  AS simhash FROM w),
-      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS nib
-      |  FROM fp, unnest(generate_series(0, 3)) AS t(b)),
+    s"""WITH $simhashBandCtes,
       |cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM (
       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-      |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+      |    $duckHamming64 AS hamming
       |  FROM bands a JOIN bands c
       |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id) t),
       |hist AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs

@@ -160,20 +160,31 @@ class SkewStressSpec extends AnyFunSuite {
   }
 
   test("q61 simhash bands: candidate volume bounded, correlated content notwithstanding") {
-    // Re-derive the 32-bit fingerprint exactly as q61 does (bitVotes is
-    // fully private): votes over per-word md5 nibble high-bits.
-    def vote(j: Int) = sum(when(substring(col("h"), j, 1)
+    // Re-derive the 64-bit two-word fingerprint exactly as q61 does
+    // (bitVotes64 is fully private): hi word votes on each md5 hex
+    // digit's high bit, lo word on its second bit; 4 × 16-bit bands.
+    def voteHi(j: Int) = sum(when(substring(col("h"), j, 1)
       .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+    def voteLo(j: Int) = sum(when(substring(col("h"), j, 1)
+      .isin("4", "5", "6", "7", "c", "d", "e", "f"), 1).otherwise(-1))
     val fp = spark.read.parquet(s"${SkewFixture.dir}/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", md5(col("w")))
       .groupBy("doc_id")
-      .agg(vote(1).as("v1"), (2 to 32).map(j => vote(j).as(s"v$j")): _*)
+      .agg(voteHi(1).as("v1"),
+        ((2 to 32).map(j => voteHi(j).as(s"v$j")) ++
+         (1 to 32).map(j => voteLo(j).as(s"u$j"))): _*)
       .select(col("doc_id"),
         (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (32 - j)))
-          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+          .otherwise(lit(0L))).reduce(_ + _).as("sh_hi"),
+        (1 to 32).map(j => when(col(s"u$j") > 0, lit(1L << (32 - j)))
+          .otherwise(lit(0L))).reduce(_ + _).as("sh_lo"))
     val bands = fp.select(col("doc_id"), explode(expr(
-        "transform(sequence(0,3), b -> struct(b AS b, shiftright(simhash, b*8) & 255 AS nib))"))
+        """transform(sequence(0,3), b -> struct(b AS b,
+          |  CASE WHEN b = 0 THEN shiftright(sh_hi, 16) & 65535
+          |       WHEN b = 1 THEN sh_hi & 65535
+          |       WHEN b = 2 THEN shiftright(sh_lo, 16) & 65535
+          |       ELSE sh_lo & 65535 END AS nib))""".stripMargin))
         .as("x"))
       .select(col("x.b").as("b"), col("x.nib").as("nib"))
     val perBucket = bands.groupBy("b", "nib").count()
