@@ -2914,10 +2914,10 @@ object Similarity {
         .join(v.select(col("v").as("dst"), col("vq").as("dvq")), "dst")
         .groupBy("src").agg(sum("dvq").as("av")))
       val mx = av.agg(max("av").as("mx"))
-      v = graft.util.Lineage.truncate(av.crossJoin(broadcast(mx))
+      v = graft.util.Lineage.truncateEvery2(av.crossJoin(broadcast(mx))
         .select(col("src").as("v"),
           expr("CAST(round(CAST(av AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6)" +
-            " AS BIGINT)").as("vq")))
+            " AS BIGINT)").as("vq")), i)
     }
     v.orderBy(col("vq").desc, col("v")).limit(10)
       .select(col("v").as("vec_id"), col("vq").as("score_q"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Replica discipline — a naive copy would DISTORT the workload, not
   * scale it:
-  *  - every primary/foreign key shifts by `replica × count(table)` with
+  *  - every primary/foreign key shifts by `replica × (max(key)+1)` with
   *    FK consistency (lineitem's orderkey/partkey/suppkey shift with
   *    orders/part/supplier), so join fan-outs stay constant per row;
   *  - `documents.text` gets a per-replica deterministic word SHUFFLE
@@ -58,12 +58,19 @@ object ScaleUp {
     // copied dimensions
     Seq("region", "nation").foreach(t => write(tbl(t), t))
 
-    val nCust = tbl("customer").count()
-    val nSupp = tbl("supplier").count()
-    val nPart = tbl("part").count()
-    val nOrd = tbl("orders").count()
-    val nEvt = tbl("events").count()
-    val nDoc = tbl("documents").count()
+    // Stride by max(key)+1, NOT count: count-based shifts are
+    // collision-free only when keys are dense 0..n-1 (true of the
+    // fixtures, but real TPC-H orderkeys are sparse — max ≫ count —
+    // and a count stride would silently collide PKs across replicas
+    // and break FK fan-outs). max+1 is safe for any key space.
+    def stride(t: String, key: String): Long =
+      tbl(t).agg(max(col(key))).head.getLong(0) + 1L
+    val nCust = stride("customer", "c_custkey")
+    val nSupp = stride("supplier", "s_suppkey")
+    val nPart = stride("part", "p_partkey")
+    val nOrd = stride("orders", "o_orderkey")
+    val nEvt = stride("events", "event_id")
+    val nDoc = stride("documents", "doc_id")
     val maxUser = tbl("events").agg(max("user_id")).head.getLong(0)
 
     write(replicate(tbl("customer"), factor) { (d, r) =>

@@ -363,6 +363,12 @@ class DerbyE2ESpec extends AnyFunSuite {
     // concurrency claim is provable here after all: four partition
     // writers, each on its own real connection/transaction, with a latch
     // asserting ≥2 transactions were OPEN simultaneously.
+    // The overlap assertion is a SCHEDULING property: with one executor
+    // core Spark runs the 4 write tasks sequentially and maxActive stays
+    // 1 even though the V2 path is correct — so skip (don't fail) when
+    // the session can't run 2 tasks at once (round-9 advice).
+    assume(spark.sparkContext.defaultParallelism >= 2,
+      "needs >=2 executor cores for tasks to overlap")
     try DerbyTarget.execute("DROP TABLE conc") catch { case _: Exception => () }
     DerbyTarget.execute("CREATE TABLE conc (resource VARCHAR(4000))")
     val spark2 = spark
