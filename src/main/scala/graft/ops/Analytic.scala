@@ -915,7 +915,161 @@ object Analytic {
       |    AS bytes_saved_est
       |FROM a CROSS JOIN b CROSS JOIN c""".stripMargin
 
+  /** q273 — HyperLogLog from FIRST PRINCIPLES with register-level set
+    * algebra: per event type, a 1024-register HLL sketch over `user_id`
+    * (p=10: the top 10 bits of a 32-bit md5-prefix hash pick the
+    * register, ρ = leading-zero rank of the 22-bit suffix, register =
+    * max ρ — Flajolet et al. 2007), then for every type PAIR the union
+    * sketch by register-wise max and the inclusion–exclusion
+    * intersection estimate |A∩B| ≈ E(A)+E(B)−E(A∪B), audited against
+    * the exact distinct counts. q34 leans on Spark's built-in HLL++ in
+    * its sparse-exact regime; THIS is the mergeable-sketch operator a
+    * 100 TB overlap matrix actually needs — register relations are
+    * m=1024 rows per group (a partial+final max aggregate, never a
+    * distinct-shuffle of users), union-by-max is an equi-join on
+    * (pair, idx), and the pair grid is bounded by the type cardinality.
+    * Cross-engine determinism: the harmonic sum Σ2^(−M_j) is kept as an
+    * EXACT BIGINT numerator Σ2^(23−M_j) over the 2^23 denominator
+    * (power-of-two terms, associative-exact in any shuffle order — the
+    * q112 integer-moments discipline applied to a float sketch), so the
+    * raw estimate αm²·2²³/S and the small-range linear-counting branch
+    * m·ln(m/V) are single IEEE expressions over identical integers on
+    * both engines. ρ itself is integer-exact via `length(bin(w))`
+    * (floor(log2)+1 with no float log), shifts stay < 32 bits.
+    */
+  private val q273: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // distinct (type, user) — exact baseline side only
+    val du = ev.select(col("event_type").as("et"), col("user_id").as("u"))
+      .distinct()
+      .transform(graft.util.QueryCaches.tracked)
+    val cnt = du.groupBy("et").agg(count(lit(1)).as("n"))
+    // sketch side: hash every event row (max ρ is idempotent — no
+    // distinct pass needed, the whole point of the sketch)
+    val reg = ev.select(col("event_type").as("et"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+      .withColumn("idx", expr("h div 4194304"))
+      .withColumn("rho", expr(
+        """CAST(CASE WHEN h % 4194304 = 0 THEN 23
+          |ELSE 23 - length(bin(h % 4194304)) END AS INT)""".stripMargin))
+      .groupBy("et", "idx").agg(max("rho").as("rho"))
+      .transform(graft.util.QueryCaches.tracked)
+    // exact-integer harmonic numerator → one shared IEEE finishing expr
+    val rawExpr =
+      """(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |  + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)))
+        |  * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)
+        |  * CAST(8388608.0 AS DOUBLE) / CAST(s_num AS DOUBLE)""".stripMargin
+    val corrExpr =
+      """CASE WHEN raw <= CAST(2560.0 AS DOUBLE) AND zeros > 0
+        |THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+        |ELSE raw END""".stripMargin
+    def estimate(r: DataFrame, keys: Seq[String]): DataFrame =
+      r.groupBy(keys.map(col): _*)
+        .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 23 - rho) AS BIGINT)"))
+            .as("s_present"),
+          count(lit(1)).as("n_present"))
+        .withColumn("s_num",
+          col("s_present") + (lit(1024L) - col("n_present")) * lit(8388608L))
+        .withColumn("zeros", lit(1024L) - col("n_present"))
+        .withColumn("raw", expr(rawExpr))
+        .withColumn("est", round(expr(corrExpr), 4))
+        .select(keys.map(col) :+ col("est"): _*)
+    val estT = estimate(reg, Seq("et"))
+    // bounded type-pair grid (executed-row-count sweep territory)
+    val pairs = cnt.select(col("et").as("ta"), col("n").as("exact_a"))
+      .join(cnt.select(col("et").as("tb"), col("n").as("exact_b")),
+        col("ta") < col("tb"))
+    val inter = du.as("x")
+      .join(du.as("y"),
+        col("x.u") === col("y.u") && col("x.et") < col("y.et"))
+      .groupBy(col("x.et").as("ta"), col("y.et").as("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // union sketch: register-wise max over the pair's two member types
+    val mem = pairs.select(col("ta"), col("tb"), col("ta").as("et"))
+      .unionByName(pairs.select(col("ta"), col("tb"), col("tb").as("et")))
+    val estU = estimate(
+      mem.join(reg, "et").groupBy("ta", "tb", "idx").agg(max("rho").as("rho")),
+      Seq("ta", "tb")).withColumnRenamed("est", "est_union")
+    pairs
+      .join(inter, Seq("ta", "tb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_inter"))
+      .join(estT.select(col("et").as("ta"), col("est").as("est_a")), "ta")
+      .join(estT.select(col("et").as("tb"), col("est").as("est_b")), "tb")
+      .join(estU, Seq("ta", "tb"))
+      .withColumn("est_inter",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+      .select(col("ta"), col("tb"), col("exact_a"), col("exact_b"),
+        col("exact_inter"), col("exact_union"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
+      .orderBy("ta", "tb")
+  }
+
+  private val q273Sql =
+    """WITH du AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+      |cnt AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY et),
+      |reg AS (SELECT et, h // 4194304 AS idx,
+      |    CAST(max(CASE WHEN h % 4194304 = 0 THEN 23
+      |             ELSE 23 - length(bin(h % 4194304)) END) AS INTEGER) AS rho
+      |  FROM (SELECT event_type AS et,
+      |          ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+      |        FROM events) h0
+      |  GROUP BY 1, 2),
+      |est_t AS (SELECT et,
+      |    CASE WHEN raw <= CAST(2560.0 AS DOUBLE) AND zeros > 0
+      |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |    ELSE raw END AS est0
+      |  FROM (SELECT et, zeros,
+      |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |        + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)))
+      |        * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)
+      |        * CAST(8388608.0 AS DOUBLE) / CAST(s_num AS DOUBLE) AS raw
+      |    FROM (SELECT et,
+      |        CAST(sum(CAST(1::BIGINT << (23 - rho) AS BIGINT)) AS BIGINT)
+      |          + (1024 - CAST(count(*) AS BIGINT)) * 8388608 AS s_num,
+      |        1024 - CAST(count(*) AS BIGINT) AS zeros
+      |      FROM reg GROUP BY et) s) r),
+      |pairs AS (SELECT a.et AS ta, b.et AS tb, a.n AS exact_a, b.n AS exact_b
+      |  FROM cnt a JOIN cnt b ON a.et < b.et),
+      |inter AS (SELECT x.et AS ta, y.et AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+      |  FROM du x JOIN du y ON x.u = y.u AND x.et < y.et GROUP BY 1, 2),
+      |mem AS (SELECT ta, tb, ta AS et FROM pairs
+      |        UNION ALL SELECT ta, tb, tb FROM pairs),
+      |regu AS (SELECT m.ta, m.tb, r.idx, max(r.rho) AS rho
+      |  FROM mem m JOIN reg r ON r.et = m.et GROUP BY 1, 2, 3),
+      |est_u AS (SELECT ta, tb,
+      |    CASE WHEN raw <= CAST(2560.0 AS DOUBLE) AND zeros > 0
+      |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |    ELSE raw END AS estu0
+      |  FROM (SELECT ta, tb, zeros,
+      |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |        + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE)))
+      |        * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)
+      |        * CAST(8388608.0 AS DOUBLE) / CAST(s_num AS DOUBLE) AS raw
+      |    FROM (SELECT ta, tb,
+      |        CAST(sum(CAST(1::BIGINT << (23 - rho) AS BIGINT)) AS BIGINT)
+      |          + (1024 - CAST(count(*) AS BIGINT)) * 8388608 AS s_num,
+      |        1024 - CAST(count(*) AS BIGINT) AS zeros
+      |      FROM regu GROUP BY 1, 2) s) r)
+      |SELECT p.ta, p.tb, p.exact_a, p.exact_b,
+      |  coalesce(i.exact_inter, 0) AS exact_inter,
+      |  p.exact_a + p.exact_b - coalesce(i.exact_inter, 0) AS exact_union,
+      |  round(ea.est0, 4) AS est_a, round(eb.est0, 4) AS est_b,
+      |  round(eu.estu0, 4) AS est_union,
+      |  round(round(ea.est0, 4) + round(eb.est0, 4) - round(eu.estu0, 4), 4)
+      |    AS est_inter
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+      |JOIN est_t ea ON ea.et = p.ta
+      |JOIN est_t eb ON eb.et = p.tb
+      |JOIN est_u eu ON eu.ta = p.ta AND eu.tb = p.tb
+      |ORDER BY p.ta, p.tb""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q273_hll_set_algebra" -> q273,
     "q211_join_card_est" -> q211,
     "q222_table_stats" -> q222,
     "q228_partition_sizing" -> q228,
@@ -940,6 +1094,7 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q273_hll_set_algebra" -> q273Sql,
     "q211_join_card_est" -> q211Sql,
     "q222_table_stats" -> q222Sql,
     "q228_partition_sizing" -> q228Sql,

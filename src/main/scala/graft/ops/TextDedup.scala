@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.source.Tables
 
@@ -1468,7 +1468,80 @@ object TextDedup {
        |  CAST(sum(chars - canon_chars) AS BIGINT) AS reclaimed_chars
        |FROM pc GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  /** q274 — sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    * the classic THIRD blocking family next to LSH bands (q41) and gram
+    * postings (q109) — sort the corpus by a discriminating key, compare
+    * only records within a sliding window of w=5 ranks, multi-pass with
+    * complementary keys so an edit near either end of a document cannot
+    * hide a pair from both passes (forward pass: first 16 chars of the
+    * space-stripped text; reverse pass: first 16 of its reversal).
+    * Candidates from both passes union-distinct, then exact shingle-
+    * Jaccard verification ≥ 0.5 on CANDIDATES ONLY ([[jaccardScored]],
+    * the q41b stage). Scale shape: each pass is a range-partitioned
+    * total sort ranked by [[GlobalRank.rowNumber]] (partition-count
+    * metadata only — no global window, no single-reducer stage), and
+    * the w-window pair join is an EQUI-join on adjacent rank blocks
+    * (`blk = (rk−1) div w`, left side exploded to {blk, blk+1}) —
+    * candidate volume is exactly n·w per pass regardless of data skew,
+    * the property LSH blocking cannot promise when a band bucket runs
+    * hot. The trade is inverse: SN bounds candidates structurally but
+    * can miss pairs whose keys diverge; LSH bounds misses
+    * probabilistically but needs the band-width discipline (q269).
+    */
+  private val q274: Q = (s, dir) => {
+    val w = 5
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("t0"))
+    def pass(key: Column): DataFrame = {
+      val ranked = GlobalRank.rowNumber(
+        docs.select(col("doc_id"), key.as("k")), "rk",
+        Seq(col("k"), col("doc_id")))
+      val r = ranked.select(col("doc_id"), col("rk"))
+        .withColumn("blk", expr(s"(rk - 1) div $w"))
+      r.select(col("doc_id").as("da"), col("rk").as("ra"),
+          explode(array(col("blk"), col("blk") + 1)).as("jb"))
+        .join(r.select(col("doc_id").as("db"), col("rk").as("rb"),
+          col("blk").as("jb")), Seq("jb"))
+        .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w)
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+    }
+    val cand = pass(substring(col("t0"), 1, 16))
+      .unionByName(pass(substring(reverse(col("t0")), 1, 16)))
+      .distinct()
+    jaccardScored(cand, shingleSets(s, dir))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q274Sql =
+    s"""WITH $minhashCtes,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+       |d AS (SELECT doc_id, replace(text, ' ', '') AS t0 FROM documents),
+       |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY substr(t0, 1, 16), doc_id) AS rk
+       |  FROM d),
+       |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY substr(reverse(t0), 1, 16), doc_id) AS rk
+       |  FROM d),
+       |c1 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+       |c2 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+       |  (SELECT * FROM c1 UNION ALL SELECT * FROM c2) u)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+       |            JOIN sets sb ON sb.doc_id = cand.doc_b) v
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q274_sorted_neighborhood" -> q274,
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
     "q41b_dedup_lsh_verified" -> q41b,
@@ -1492,6 +1565,7 @@ object TextDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q274_sorted_neighborhood" -> q274Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,
     "q41b_dedup_lsh_verified" -> q41bSql,

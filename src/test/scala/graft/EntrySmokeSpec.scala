@@ -28,7 +28,8 @@ class EntrySmokeSpec extends AnyFunSuite {
       ops.TextDedup.all, ops.Similarity.all, ops.TextStats.all,
       ops.Multimodal.all, ops.AsOf.all, ops.Analytic.all, ops.Corpus.all,
       ops.Behavioral.all, ops.Quality.all, ops.Layout.all,
-      ops.MerkleDiff.all, ops.CorpusPrep.all, ops.Stats.all)
+      ops.MerkleDiff.all, ops.CorpusPrep.all, ops.Stats.all,
+      ops.Retrieval.all)
     val total = fromModules.map(_.size).sum
     assert(total === SparkEntry.queries.size,
       "a suite map shadowed another's query name during ++ merge")

