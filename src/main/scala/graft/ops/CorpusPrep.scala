@@ -1144,7 +1144,109 @@ object CorpusPrep {
       |FROM pairs p JOIN tot t ON t.source = p.source_a
       |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  /** q279 — one distributed BPE merge-training step (Sennrich et al.,
+    * ACL'16): count every adjacent token pair over the corpus, pick the
+    * most frequent as the merge rule, APPLY it corpus-wide, and report
+    * the before/after accounting a tokenizer-training loop monitors
+    * (token count, merge applications, vocabulary size). The pieces:
+    *  - pair counting is one explode + partial+final groupBy — the same
+    *    shuffle shape at 100 TB, keyed on the pair;
+    *  - the winner is (count desc, pair asc) via a max-count aggregate +
+    *    min-struct tie-break, broadcast back as a 1-row rule — never a
+    *    global sort;
+    *  - the REWRITE is the interesting part: classic BPE applies merges
+    *    left-to-right, which is a sequential scan. Restricting the rule
+    *    to pairs with A ≠ B (the argmax runs over those only) makes
+    *    matches provably non-overlapping — a position can't be both the
+    *    B of one match and the A of the next, which would need A = B —
+    *    so the leftmost-greedy result equals the closed-form "rewrite
+    *    every match site" and each document transforms in one map-side
+    *    higher-order-function pass, order-free on both engines. (An
+    *    A = A rule needs the sequential parity scan; a production loop
+    *    alternates cheap closed-form steps with the rare same-token
+    *    step. The restriction is declared, not hidden.)
+    * Spark guard: `sequence(1, n-1)` DESCENDS when n = 1 (DuckDB's
+    * generate_series is empty) — the n < 2 branch is pinned on both
+    * sides.
+    */
+  private val q279: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .transform(graft.util.QueryCaches.tracked)
+    val pairs = docs
+      .select(explode(expr(
+        """CASE WHEN size(w) < 2 THEN array()
+          |ELSE filter(transform(sequence(1, size(w) - 1), i ->
+          |  struct(element_at(w, i) AS a, element_at(w, i + 1) AS b)),
+          |  p -> p.a <> p.b) END""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.util.QueryCaches.tracked)
+    val best = pairs
+      .crossJoin(broadcast(pairs.agg(max("c").as("mx"))))
+      .filter(col("c") === col("mx"))
+      .agg(min(struct(col("a"), col("b"))).as("m"), max("mx").as("pair_count"))
+      .select(col("m.a").as("pa"), col("m.b").as("pb"), col("pair_count"))
+    val rewritten = docs.crossJoin(broadcast(best))
+      .withColumn("nw", expr(
+        """filter(transform(sequence(1, size(w)), i ->
+          |  CASE WHEN i > 1 AND element_at(w, i - 1) = pa
+          |            AND element_at(w, i) = pb THEN NULL
+          |       WHEN element_at(w, i) = pa AND i < size(w)
+          |            AND element_at(w, i + 1) = pb
+          |       THEN concat(pa, '_', pb)
+          |       ELSE element_at(w, i) END), x -> x IS NOT NULL)""".stripMargin))
+      .transform(graft.util.QueryCaches.tracked)
+    val vocabBefore = docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct("t").as("vocab_before"))
+    val vocabAfter = rewritten.select(explode(col("nw")).as("t"))
+      .agg(countDistinct("t").as("vocab_after"))
+    rewritten
+      .agg(sum(size(col("w"))).as("n_tokens_before"),
+        sum(size(col("nw"))).as("n_tokens_after"),
+        max(col("pa")).as("pa"), max(col("pb")).as("pb"),
+        max(col("pair_count")).as("pair_count"))
+      .crossJoin(broadcast(vocabBefore))
+      .crossJoin(broadcast(vocabAfter))
+      .select(col("pa"), col("pb"), col("pair_count"),
+        col("n_tokens_before"), col("n_tokens_after"),
+        (col("n_tokens_before") - col("n_tokens_after")).as("n_merges"),
+        col("vocab_before"), col("vocab_after"))
+  }
+
+  private val q279Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pr AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c FROM (
+      |  SELECT unnest(CASE WHEN len(w) < 2 THEN [] ELSE
+      |    list_filter(list_transform(generate_series(1, len(w) - 1), i ->
+      |      {'a': w[i], 'b': w[i + 1]}), p -> p.a <> p.b) END) AS p
+      |  FROM d) t GROUP BY 1, 2),
+      |best AS (SELECT m['a'] AS pa, m['b'] AS pb, mx AS pair_count FROM (
+      |  SELECT min({'a': a, 'b': b}) AS m, max(c) AS mx
+      |  FROM pr WHERE c = (SELECT max(c) FROM pr)) t),
+      |rw AS (SELECT d.doc_id, d.w,
+      |    list_filter(list_transform(generate_series(1, len(d.w)), i ->
+      |      CASE WHEN i > 1 AND d.w[i - 1] = best.pa AND d.w[i] = best.pb
+      |           THEN NULL
+      |           WHEN d.w[i] = best.pa AND i < len(d.w)
+      |                AND d.w[i + 1] = best.pb
+      |           THEN best.pa || '_' || best.pb
+      |           ELSE d.w[i] END), x -> x IS NOT NULL) AS nw
+      |  FROM d, best),
+      |vb AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_before FROM
+      |  (SELECT unnest(w) AS t FROM d) x),
+      |va AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_after FROM
+      |  (SELECT unnest(nw) AS t FROM rw) x),
+      |agg AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens_before,
+      |    CAST(sum(len(nw)) AS BIGINT) AS n_tokens_after FROM rw)
+      |SELECT best.pa, best.pb, best.pair_count,
+      |  agg.n_tokens_before, agg.n_tokens_after,
+      |  agg.n_tokens_before - agg.n_tokens_after AS n_merges,
+      |  vb.vocab_before, va.vocab_after
+      |FROM best, agg, vb, va""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q279_bpe_merge_step" -> q279,
     "q262_source_containment" -> q262,
     "q240_dict_coverage" -> q240,
     "q212_chunk_stitch" -> q212,
@@ -1166,6 +1268,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q279_bpe_merge_step" -> q279Sql,
     "q262_source_containment" -> q262Sql,
     "q240_dict_coverage" -> q240Sql,
     "q212_chunk_stitch" -> q212Sql,

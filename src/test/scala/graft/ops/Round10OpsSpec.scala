@@ -149,6 +149,27 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q279: picks the modal A<>B pair and rewrites every match site") {
+    // pairs: (a,b) x3 (winner), (b,a), (b,c), (c,a), (b,d), (b,b) is
+    // filtered (A = B needs the sequential scan the operator declares
+    // out of scope). Rewrites: "a_b a_b c" (5->3), "c a_b d" (4->3),
+    // "a_b b a_b" (5->3... no: 'a b b a b' -> a_b, b, a_b = 3).
+    val dir = docsDir(Seq(
+      (0L, "a b a b c"), (1L, "c a b d"), (2L, "a b b a b")))
+    val r = graft.SparkEntry.queries("q279_bpe_merge_step")(spark, dir).collect()
+    graft.util.QueryCaches.drain()
+    assert(r.length === 1)
+    val row = r(0)
+    def l(n: String) = row.getLong(row.fieldIndex(n))
+    assert(row.getString(0) === "a" && row.getString(1) === "b")
+    // (a,b) occurs 2 + 1 + 2 = 5 times
+    assert(l("pair_count") === 5L)
+    assert(l("n_tokens_before") === 14L && l("n_tokens_after") === 9L)
+    assert(l("n_merges") === 5L)
+    // vocab {a,b,c,d} -> {a_b,b,c,d} (b survives in doc 2)
+    assert(l("vocab_before") === 4L && l("vocab_after") === 4L)
+  }
+
   test("q276: round 2 trades relevance for diversity") {
     // Query 0 = (1,0,0,0); vecs 1–4 are low-relevance fillers (cos ≈ .1,
     // also the other query ids — their own result sets are irrelevant
