@@ -1138,6 +1138,82 @@ object Similarity {
        |FROM r5 ORDER BY vec_id""".stripMargin
   }
 
+  /** q280 — PERSONALIZED PageRank from the query seed set (vec_id < 5):
+    * teleport mass returns to the SEEDS instead of spreading uniformly,
+    * so the stationary mass ranks nodes by multi-hop relatedness to the
+    * query set — the graph-walk retrieval expansion that finds relevant
+    * nodes the direct cosine legs (q45/q275) never score highly, and
+    * the standard candidate generator for graph-based recommenders.
+    * Same exact-integer discipline as q181 (ranks in 10⁻¹² units, 85/100
+    * damping via integer floor-division — any shuffle order sums to the
+    * same BIGINT), same shape (5 bounded edge-join + partial-sum rounds
+    * declared in one lazy plan over the persisted ≤3-out-degree edges;
+    * each round references its predecessor ONCE, the case that needs no
+    * eager truncation). Output is the top-20 by mass via
+    * TakeOrderedAndProject — at 100 TB the full rank vector never sorts
+    * globally, the bounded head does.
+    */
+  private val q280: Q = (s, dir) => {
+    val S = 1000000000000L
+    val edges = knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = graft.util.QueryCaches.tracked(edges.join(deg, "src"))
+    val nodes = graft.util.QueryCaches.tracked(
+      edges.select(col("src").as("vec_id")).distinct())
+    val ns = nodes.filter(col("vec_id") < 5).agg(count(lit(1)).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(ns))
+      .select(col("vec_id"), expr(
+        s"CAST(CASE WHEN vec_id < 5 THEN ${S}L div ns ELSE 0L END AS BIGINT)")
+        .as("r"))
+    for (_ <- 1 to 5) {
+      val inc = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst").as("vec_id"),
+          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("inc"))
+      ranks = nodes.crossJoin(broadcast(ns))
+        .join(inc, Seq("vec_id"), "left")
+        .select(col("vec_id"), expr(
+          s"""CAST(CASE WHEN vec_id < 5 THEN (15L * ${S}L) div (100L * ns)
+             |ELSE 0L END + coalesce(inc, 0L) AS BIGINT)""".stripMargin)
+          .as("r"))
+    }
+    ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
+      .select(col("vec_id"), (col("vec_id") < 5).as("is_seed"),
+        col("r").as("ppr_q"), (col("r").cast("double") / lit(1e12)).as("ppr"))
+  }
+
+  private val q280Sql = {
+    val S = "1000000000000"
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT nodes.vec_id,
+         |    CASE WHEN nodes.vec_id < 5 THEN (15 * $S) // (100 * ns.ns)
+         |         ELSE 0 END + coalesce(inc.s, 0) AS r
+         |  FROM nodes CROSS JOIN ns LEFT JOIN (
+         |    SELECT ed.dst AS vec_id,
+         |      CAST(sum((85 * p.r) // (100 * deg.outdeg)) AS BIGINT) AS s
+         |    FROM ed JOIN p${i - 1} p ON ed.src = p.vec_id
+         |    JOIN deg ON deg.src = ed.src
+         |    GROUP BY 1) inc ON inc.vec_id = nodes.vec_id)""".stripMargin
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS vec_id FROM ed),
+       |ns AS (SELECT count(*) AS ns FROM nodes WHERE vec_id < 5),
+       |p0 AS (SELECT nodes.vec_id,
+       |    CASE WHEN nodes.vec_id < 5 THEN $S // ns.ns ELSE 0 END AS r
+       |  FROM nodes CROSS JOIN ns),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT vec_id, vec_id < 5 AS is_seed, r AS ppr_q,
+       |  CAST(r AS DOUBLE) / 1e12 AS ppr
+       |FROM p5 ORDER BY ppr_q DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** q191 — hubness audit of the kNN graph: the in-degree histogram of
     * q136's bounded edges. High-dimensional embedding spaces famously
     * grow HUBS — points that appear in many other points' neighbor
@@ -3193,6 +3269,7 @@ object Similarity {
     "q140_semdedup" -> q140,
     "q136_knn_graph" -> q136,
     "q181_pagerank" -> q181,
+    "q280_personalized_pagerank" -> q280,
     "q184_hard_negatives" -> q184,
     "q185_nprobe_sweep" -> q185,
     "q188_centroid_drift" -> q188,
@@ -3238,6 +3315,7 @@ object Similarity {
     "q140_semdedup" -> q140Sql,
     "q136_knn_graph" -> q136Sql,
     "q181_pagerank" -> q181Sql,
+    "q280_personalized_pagerank" -> q280Sql,
     "q184_hard_negatives" -> q184Sql,
     "q185_nprobe_sweep" -> q185Sql,
     "q188_centroid_drift" -> q188Sql,

@@ -170,6 +170,24 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(l("vocab_before") === 4L && l("vocab_after") === 4L)
   }
 
+  test("q280: teleport mass stays on seeds yet expands to related non-seeds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q280_personalized_pagerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    graft.util.QueryCaches.drain()
+    assert(rows.length === 20)
+    // mass conservation: total <= S (floor-division + dangling edges leak)
+    assert(rows.map(_._3).sum <= 1000000000000L)
+    assert(rows.forall { case (id, seed, q) => seed === (id < 5) && q >= 0L })
+    // sorted by mass desc (ties by id)
+    val masses = rows.map(_._3)
+    assert(masses.zip(masses.tail).forall { case (a, b) => a >= b })
+    // the walk must EXPAND: some non-seed carries positive mass
+    assert(rows.exists { case (_, seed, q) => !seed && q > 0L },
+      "personalization must propagate mass beyond the seed set")
+  }
+
   test("q276: round 2 trades relevance for diversity") {
     // Query 0 = (1,0,0,0); vecs 1–4 are low-relevance fillers (cos ≈ .1,
     // also the other query ids — their own result sets are irrelevant
