@@ -1062,7 +1062,90 @@ object Behavioral {
       |    AS info_gain_bits
       |FROM nn CROSS JOIN cond CROSS JOIN marg""".stripMargin
 
+  /** q282 — Kaplan–Meier survival estimator over user lifetimes (Kaplan
+    * & Meier 1958): per user, lifetime = days between first and last
+    * event; users still active in the study window's final 7 days are
+    * RIGHT-CENSORED (their true lifetime is only known to exceed the
+    * observed one — dropping them, as a naive churn average does, biases
+    * survival down). Per distinct lifetime day d: d_i churn events, the
+    * at-risk count n_i = users with lifetime ≥ d (an exclusive prefix
+    * sum over the ≤|days| day relation — the window rides a
+    * provably-bounded key space, ~hundreds of rows at any corpus scale,
+    * so this is NOT a data-sized window), and
+    * S(d) = Π_{d'≤d} (1 − d_{d'}/n_{d'}). The product is computed as
+    * exp(Σ ln) with each per-day ln-factor INTEGER-QUANTIZED (1e-9)
+    * before the prefix sum — summation order cannot perturb it, and
+    * both engines exponentiate the same exact integer. The
+    * degenerate last-day factor 0 (everyone churns) uses a −100·1e9
+    * sentinel (exp(−100) rounds to 0) because Spark's ln(0) is NULL
+    * where DuckDB's is −inf. Heavy lifting is one user-level
+    * aggregate (partial+final) — the day-level K-M table is metadata-
+    * sized at any scale. Complements q203 (retention half-life fit):
+    * q203 assumes an exponential form, K-M is the non-parametric
+    * ground truth it should be checked against.
+    */
+  private val q282: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .crossJoin(broadcast(ev.agg(max("ts").as("wend"))))
+      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("d"),
+        (col("last_ts") > expr("wend - INTERVAL 7 DAYS")).as("censored"))
+      .transform(graft.util.QueryCaches.tracked)
+    val total = users.agg(count(lit(1)).as("n_total"))
+    val days = users.groupBy("d")
+      .agg(count(lit(1)).as("n_leave"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    days.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum("n_leave").over(w), lit(0L)))
+      .withColumn("lnf_q", expr(
+        """CASE WHEN n_churn >= n_at_risk THEN CAST(-100000000000 AS BIGINT)
+          |ELSE CAST(round(ln(CAST(n_at_risk - n_churn AS DOUBLE)
+          |  / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) END""".stripMargin))
+      .withColumn("s_q", sum("lnf_q").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("d").as("day"), col("n_at_risk"), col("n_churn"),
+        (col("n_leave") - col("n_churn")).as("n_censored"),
+        round(exp(col("s_q").cast("double") / expr("CAST(1e9 AS DOUBLE)")), 6)
+          .as("survival"))
+      .orderBy("day")
+  }
+
+  private val q282Sql =
+    """WITH u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM events GROUP BY 1),
+      |we AS (SELECT max(ts) AS wend FROM events),
+      |ud AS (SELECT
+      |    CAST(date_diff('day', first_ts::DATE, last_ts::DATE) AS BIGINT) AS d,
+      |    last_ts > we.wend - INTERVAL 7 DAY AS censored
+      |  FROM u, we),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ud),
+      |days AS (SELECT d, CAST(count(*) AS BIGINT) AS n_leave,
+      |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_churn
+      |  FROM ud GROUP BY 1),
+      |r AS (SELECT d, n_leave, n_churn,
+      |    tot.n_total - coalesce(CAST(sum(n_leave) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS n_at_risk
+      |  FROM days, tot),
+      |q AS (SELECT d, n_leave, n_churn, n_at_risk,
+      |    CASE WHEN n_churn >= n_at_risk THEN CAST(-100000000000 AS BIGINT)
+      |    ELSE CAST(round(ln(CAST(n_at_risk - n_churn AS DOUBLE)
+      |      / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS lnf_q
+      |  FROM r)
+      |SELECT d AS day, n_at_risk, n_churn,
+      |  n_leave - n_churn AS n_censored,
+      |  round(exp(CAST(CAST(sum(lnf_q) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE) / CAST(1e9 AS DOUBLE)), 6) AS survival
+      |FROM q ORDER BY day""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q282_kaplan_meier" -> q282,
     "q248_markov_entropy" -> q248,
     "q246_gap_fill" -> q246,
     "q241_scd2_history" -> q241,
@@ -1083,6 +1166,7 @@ object Behavioral {
     "q120_churn" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q282_kaplan_meier" -> q282Sql,
     "q248_markov_entropy" -> q248Sql,
     "q246_gap_fill" -> q246Sql,
     "q241_scd2_history" -> q241Sql,

@@ -1214,6 +1214,107 @@ object Similarity {
        |FROM p5 ORDER BY ppr_q DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** q281 — SEMI-SUPERVISED label propagation with a holdout audit:
+    * 80 % of the kNN graph's nodes keep their true `label` as anchors
+    * (vec_id % 5 ≠ 0), the held-out 20 % start unlabeled, and three
+    * synchronous rounds let every non-anchor adopt its neighbors'
+    * majority label ((count desc, label asc) argmax — the q267
+    * determinism discipline); the output is the per-class confusion
+    * accounting on the holdout (n_holdout / n_predicted / n_correct /
+    * accuracy). Distinct from q267's LPA: that discovers unsupervised
+    * communities, this PROPAGATES ground-truth classes and measures
+    * them — the transductive classifier a labeling pipeline runs to
+    * pre-label new data from a labeled core, and the audit that says
+    * whether the embedding space supports it (on this near-uniform
+    * corpus accuracy sits near chance — the audit's honest verdict,
+    * same epistemics as q278's recall). Monotonicity makes carry-over
+    * unnecessary: a node labeled in round r has a labeled neighbor in
+    * r−1 that stays labeled, so it ALWAYS receives votes in r+1 —
+    * each round therefore references its predecessor exactly ONCE
+    * (votes join), the case [[graft.util.Lineage.truncateEvery2]]
+    * covers. Per round: one edge⋈label equi-join, a (node, label)
+    * partial+final count, a struct-max argmax, an anti-join against
+    * the anchor set — no window, no collect.
+    */
+  private val q281: Q = (s, dir) => {
+    val sym = symKnnEdges(s, dir)
+    val nodes = graft.util.QueryCaches.tracked(
+      sym.select(col("src").as("v")).distinct())
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("v"), col("label").cast("long").as("lab"))
+    val seeds = graft.util.QueryCaches.tracked(
+      nodes.join(labels, "v").filter(col("v") % 5 =!= 0))
+    var cur = graft.util.Lineage.truncate(seeds)
+    for (i <- 1 to 3) {
+      val votes = sym.join(cur.select(col("v").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+      val guesses = votes
+        .join(seeds.select(col("v").as("src")), Seq("src"), "left_anti")
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"),
+          col("lab").as("lab"))).as("m"))
+        .select(col("src").as("v"), col("m.lab").as("lab"))
+      cur = graft.util.Lineage.truncateEvery2(seeds.unionByName(guesses), i)
+    }
+    nodes.filter(col("v") % 5 === 0).join(labels, "v")
+      .select(col("v"), col("lab").as("true_lab"))
+      .join(cur.filter(col("v") % 5 === 0)
+        .select(col("v"), col("lab").as("pred_lab")), Seq("v"), "left")
+      .groupBy(col("true_lab").as("label"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(when(col("pred_lab").isNotNull, 1L).otherwise(0L)).as("n_predicted"),
+        sum(when(col("pred_lab") === col("true_lab"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy", expr(
+        """CASE WHEN n_predicted = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(n_correct AS DOUBLE) / CAST(n_predicted AS DOUBLE) END"""
+          .stripMargin))
+      .orderBy("label")
+  }
+
+  private val q281Sql = {
+    def round(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT * FROM seeds UNION ALL
+         |  SELECT t.src AS v, t.m[3] AS lab FROM (
+         |    SELECT votes.src, max(ROW(votes.c, -votes.lab, votes.lab)) AS m
+         |    FROM (SELECT sym.src, p.lab, CAST(count(*) AS BIGINT) AS c
+         |          FROM sym JOIN c${i - 1} p ON p.v = sym.dst
+         |          GROUP BY 1, 2) votes
+         |    WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.v = votes.src)
+         |    GROUP BY votes.src) t)""".stripMargin
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b FROM knn),
+       |sym AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |nodes AS (SELECT DISTINCT src AS v FROM sym),
+       |labs AS (SELECT vec_id AS v, CAST(label AS BIGINT) AS lab
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (SELECT n.v, l.lab FROM nodes n
+       |  JOIN labs l ON l.v = n.v WHERE n.v % 5 <> 0),
+       |c0 AS MATERIALIZED (SELECT * FROM seeds),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT h.true_lab AS label, CAST(count(*) AS BIGINT) AS n_holdout,
+       |  CAST(sum(CASE WHEN g.lab IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_predicted,
+       |  CAST(sum(CASE WHEN g.lab = h.true_lab THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CASE WHEN sum(CASE WHEN g.lab IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |  THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(sum(CASE WHEN g.lab = h.true_lab THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN g.lab IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |  END AS accuracy
+       |FROM (SELECT n.v, l.lab AS true_lab FROM nodes n
+       |      JOIN labs l ON l.v = n.v WHERE n.v % 5 = 0) h
+       |LEFT JOIN (SELECT v, lab FROM c3 WHERE v % 5 = 0) g ON g.v = h.v
+       |GROUP BY h.true_lab
+       |ORDER BY label""".stripMargin
+  }
+
   /** q191 — hubness audit of the kNN graph: the in-degree histogram of
     * q136's bounded edges. High-dimensional embedding spaces famously
     * grow HUBS — points that appear in many other points' neighbor
@@ -3270,6 +3371,7 @@ object Similarity {
     "q136_knn_graph" -> q136,
     "q181_pagerank" -> q181,
     "q280_personalized_pagerank" -> q280,
+    "q281_label_propagation_ssl" -> q281,
     "q184_hard_negatives" -> q184,
     "q185_nprobe_sweep" -> q185,
     "q188_centroid_drift" -> q188,
@@ -3316,6 +3418,7 @@ object Similarity {
     "q136_knn_graph" -> q136Sql,
     "q181_pagerank" -> q181Sql,
     "q280_personalized_pagerank" -> q280Sql,
+    "q281_label_propagation_ssl" -> q281Sql,
     "q184_hard_negatives" -> q184Sql,
     "q185_nprobe_sweep" -> q185Sql,
     "q188_centroid_drift" -> q188Sql,

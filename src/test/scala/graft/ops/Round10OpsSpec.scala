@@ -188,6 +188,55 @@ class Round10OpsSpec extends AnyFunSuite {
       "personalization must propagate mass beyond the seed set")
   }
 
+  test("q281: holdout confusion accounting is internally consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q281_label_propagation_ssl")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nH = r.getLong(r.fieldIndex("n_holdout"))
+      val nP = r.getLong(r.fieldIndex("n_predicted"))
+      val nC = r.getLong(r.fieldIndex("n_correct"))
+      val acc = r.getDouble(r.fieldIndex("accuracy"))
+      assert(nC <= nP && nP <= nH && nH > 0)
+      assert(acc === (if (nP == 0) 0.0 else nC.toDouble / nP))
+    }
+    // the graph is connected enough that SOME holdout node gets a label
+    assert(rows.map(_.getLong(2)).sum > 0, "propagation must reach the holdout")
+  }
+
+  test("q282: textbook K-M trace — censored users leave the risk set without a churn event") {
+    // Window end = day 20; censor threshold = day 13 (end − 7 d):
+    //  u1/u2: lifetime 2, churned   u3: lifetime 5, churned
+    //  u4: day 2→20, lifetime 18, ACTIVE at end (censored)
+    //  u5: day 20 only, lifetime 0, censored
+    // K-M: S(0)=1 (no churn, u5 leaves censored); S(2)=1·(1−2/4)=.5;
+    // S(5)=.5·(1−1/2)=.25; day 18 censored only → factor 1 → S=.25.
+    def ev(id: Long, uid: Long, day: Int): (Long, Timestamp, Long, String, Double, String) =
+      (id, Timestamp.valueOf(java.time.LocalDate.of(2024, 3, 1)
+        .plusDays(day).atTime(12, 0)), uid, "a", 1.0, "{}")
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-km")
+    Seq(
+      ev(1, 1, 0), ev(2, 1, 2),
+      ev(3, 2, 0), ev(4, 2, 2),
+      ev(5, 3, 0), ev(6, 3, 5),
+      ev(7, 4, 2), ev(8, 4, 20),
+      ev(9, 5, 20)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.SparkEntry.queries("q282_kaplan_meier")(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    graft.util.QueryCaches.drain()
+    assert(rows(0L) === ((5L, 0L, 1L, 1.0)))    // u5 censored at 0, no churn
+    assert(rows(2L) === ((4L, 2L, 0L, 0.5)))
+    assert(rows(5L) === ((2L, 1L, 0L, 0.25)))
+    assert(rows(18L) === ((1L, 0L, 1L, 0.25)))  // u4 censored, S unchanged
+  }
+
   test("q276: round 2 trades relevance for diversity") {
     // Query 0 = (1,0,0,0); vecs 1–4 are low-relevance fillers (cos ≈ .1,
     // also the other query ids — their own result sets are irrelevant
