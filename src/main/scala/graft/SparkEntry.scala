@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Multimodal.all ++ ops.AsOf.all ++ ops.Analytic.all ++
       ops.Corpus.all ++ ops.Behavioral.all ++ ops.Quality.all ++
       ops.Layout.all ++ ops.MerkleDiff.all ++ ops.CorpusPrep.all ++
-      ops.Stats.all ++ ops.Retrieval.all
+      ops.Stats.all ++ ops.Retrieval.all ++ ops.Sketches.all ++
+      ops.Evaluation.all
 
   /** DuckDB oracle SQL, keyed identically to [[queries]]. */
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.TextStats.oracle ++ ops.Multimodal.oracle ++ ops.AsOf.oracle ++
       ops.Analytic.oracle ++ ops.Corpus.oracle ++ ops.Behavioral.oracle ++
       ops.Quality.oracle ++ ops.Layout.oracle ++ ops.MerkleDiff.oracle ++
-      ops.CorpusPrep.oracle ++ ops.Stats.oracle ++ ops.Retrieval.oracle
+      ops.CorpusPrep.oracle ++ ops.Stats.oracle ++ ops.Retrieval.oracle ++
+      ops.Sketches.oracle ++ ops.Evaluation.oracle
 }

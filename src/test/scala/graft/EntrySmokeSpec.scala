@@ -29,7 +29,7 @@ class EntrySmokeSpec extends AnyFunSuite {
       ops.Multimodal.all, ops.AsOf.all, ops.Analytic.all, ops.Corpus.all,
       ops.Behavioral.all, ops.Quality.all, ops.Layout.all,
       ops.MerkleDiff.all, ops.CorpusPrep.all, ops.Stats.all,
-      ops.Retrieval.all)
+      ops.Retrieval.all, ops.Sketches.all, ops.Evaluation.all)
     val total = fromModules.map(_.size).sum
     assert(total === SparkEntry.queries.size,
       "a suite map shadowed another's query name during ++ merge")

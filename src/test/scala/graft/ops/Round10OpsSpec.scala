@@ -269,4 +269,63 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(picks.distinct.length === 5, s"query $qid repicked: $picks")
     }
   }
+
+  test("q283: CM estimates are exact on a collision-free vocabulary and never undercount") {
+    // 3-token vocabulary in 4×1024 cells: md5-collision-free in every
+    // row (deterministic given the fixed hash), so est == exact and the
+    // top-30 ordering is (count desc, token asc).
+    val dir = docsDir(Seq(
+      1L -> "alpha alpha alpha beta", 2L -> "alpha beta gamma",
+      3L -> "beta gamma gamma gamma gamma"))
+    val r = graft.SparkEntry.queries("q283_cms_frequency")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(r.map(_.getString(0)).toSeq === Seq("gamma", "alpha", "beta"))
+    r.foreach { row =>
+      val (exact, est, over) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(est >= exact, s"CM must never undercount: $row")
+      assert(over === 0L, s"collision-free input must be exact: $row")
+      assert(row.getLong(5) === 12L, "n_stream is the full token stream")
+    }
+    assert(r.map(_.getLong(1)).toSeq === Seq(5L, 4L, 3L))
+  }
+
+  private def embLabDir(vecs: Seq[(Long, Seq[Float], Int)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-emblab")
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def e64(head: Float*): Seq[Float] =
+    head ++ Seq.fill(64 - head.length)(0f)
+
+  test("q284: AUC is 1 on separable scores, 0.5 on all-ties, 0.75 on a known 3-of-4 ordering") {
+    def auc(vecs: Seq[(Long, Seq[Float], Int)]): (Long, Long, Double) = {
+      val dir = embLabDir(vecs)
+      val r = graft.SparkEntry.queries("q284_auc_centroid")(spark, dir).collect()
+      graft.util.QueryCaches.drain()
+      assert(r.length === 1)
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(3))
+    }
+    // class 0 along +e1, class 1 along -e1: every positive outscores
+    // every negative against the class-0 centroid.
+    val (p1, n1, a1) = auc(Seq(
+      (0L, e64(1f), 0), (1L, e64(0.5f), 0),
+      (2L, e64(-0.5f), 1), (3L, e64(-1f), 1)))
+    assert((p1, n1) === ((2L, 2L)) && a1 === 1.0)
+    // identical vectors: one 4-way tie, midrank credit → exactly 0.5
+    val (_, _, a2) = auc(Seq(
+      (0L, e64(1f), 0), (1L, e64(1f), 0),
+      (2L, e64(1f), 1), (3L, e64(1f), 1)))
+    assert(a2 === 0.5)
+    // scores ∝ e1-component: pos {1.0, 0.25}, neg {0.5, 0.0} →
+    // 3 of the 4 (pos, neg) pairs rank correctly → AUC 0.75
+    val (_, _, a3) = auc(Seq(
+      (0L, e64(1f), 0), (1L, e64(0.25f), 0),
+      (2L, e64(0.5f), 1), (3L, e64(0f), 1)))
+    assert(a3 === 0.75)
+  }
 }
