@@ -3345,7 +3345,140 @@ object Similarity {
       |    / CAST(count(*) AS DOUBLE) AS mean_pairwise_cos
       |FROM pw GROUP BY 1 ORDER BY query_id""".stripMargin
 
+  /** q285 — one Borůvka round over the weighted kNN graph: every node
+    * selects its minimum-weight incident edge (weight = integer cosine
+    * distance 10⁶·(1−cos), the exact-grid discipline), ties broken by
+    * the total edge order (dist, a, b). Borůvka's per-node min pick is
+    * THE parallel MST primitive (each round halves the component count,
+    * so log n rounds build the full MST; single-link dendrograms cut
+    * from it) — and one round is a pure pair of keyed shuffles: a
+    * groupBy-min of `struct(dist, a, b)` per node (map-side combinable,
+    * never a ranking window) and a (a,b,dist) re-group that counts how
+    * many endpoints picked each edge. With a strict total order on
+    * edges, the picked directed graph's only cycles are mutual picks,
+    * so the deduped pick set is a FOREST — components = nodes − edges
+    * closed-form, no iteration (the unit spec asserts it). Output: the
+    * picked edge relation with its pick multiplicity.
+    */
+  private val q285: Q = (s, dir) => {
+    val und = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir).select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"),
+        (lit(1000000L) - expr("CAST(round(cos_sim * 1e6) AS BIGINT)"))
+          .as("dist_q"))
+        .distinct())
+    val sym = und.select(col("a").as("v"), col("a"), col("b"), col("dist_q"))
+      .unionByName(
+        und.select(col("b").as("v"), col("a"), col("b"), col("dist_q")))
+    sym.groupBy("v")
+      .agg(min(struct(col("dist_q"), col("a"), col("b"))).as("m"))
+      .groupBy(col("m.a").as("a"), col("m.b").as("b"),
+        col("m.dist_q").as("dist_q"))
+      .agg(count(lit(1)).cast("int").as("picked_by"))
+      .orderBy("a", "b")
+  }
+
+  private val q285Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b,
+       |    1000000 - CAST(round(cos_sim * 1e6) AS BIGINT) AS dist_q
+       |  FROM knn),
+       |sym AS (SELECT a AS v, a, b, dist_q FROM und
+       |        UNION ALL SELECT b, a, b, dist_q FROM und),
+       |picked AS (SELECT v, min(ROW(dist_q, a, b)) AS m FROM sym GROUP BY v)
+       |SELECT m[2] AS a, m[3] AS b, m[1] AS dist_q,
+       |  CAST(count(*) AS INTEGER) AS picked_by
+       |FROM picked GROUP BY 1, 2, 3 ORDER BY a, b""".stripMargin
+
+  /** q287 — local outlier factor (Breunig et al., SIGMOD'00) at k = 3
+    * over the SHARED kNN relation: reach-dist(a→b) = max(kdist(b),
+    * dist(a,b)), lrd(a) = deg(a)/Σ reach, LOF(a) = mean(lrd(b)/lrd(a))
+    * — the density-ratio outlier score that flags a vector whose
+    * neighborhood is sparser than its neighbors' own neighborhoods
+    * (embedding-space junk detection, the geometric complement of
+    * q112's value outliers and q135's MAD). Exact-arithmetic shape:
+    * distances on the 10⁻⁶ cosine grid (BIGINT), each lrd RATIO kept as
+    * the integer pair (deg, Σreach) so lrd(b)/lrd(a) is one
+    * correctly-rounded double division of exact <2⁵³ BIGINT products,
+    * re-quantized to 10⁻⁶ before the per-node sum — float accumulation
+    * order can never flip a hash. A zero distance (duplicate vector) is
+    * floored to one quantum — the standard LOF degeneracy guard, or
+    * lrd would divide by zero. Scale: three keyed equi-joins and three
+    * map-side-combinable groupBys over the bounded (≤3-out-degree)
+    * edge relation; never a window, never all-pairs.
+    */
+  private val q287: Q = (s, dir) => {
+    val knn = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir).select(col("vec_id"), col("neighbor_id"),
+        greatest(lit(1000000L) -
+          expr("CAST(round(cos_sim * 1e6) AS BIGINT)"), lit(1L))
+          .as("dist_q")))
+    val kd = graft.util.QueryCaches.tracked(
+      knn.groupBy("vec_id")
+        .agg(max("dist_q").as("kdist_q"), count(lit(1)).as("deg")))
+    // Every neighbor_id is itself a kNN source (it shares a bucket with
+    // its picker, so it has >=1 in-bucket neighbor) — inner joins below
+    // drop nothing.
+    val lrd = graft.util.QueryCaches.tracked(
+      knn.join(kd.select(col("vec_id").as("neighbor_id"),
+          col("kdist_q").as("nb_kdist")), "neighbor_id")
+        .groupBy("vec_id")
+        .agg(sum(greatest(col("dist_q"), col("nb_kdist")))
+          .as("sum_reach_q"), count(lit(1)).as("deg")))
+    knn.join(lrd.select(col("vec_id"), col("sum_reach_q").as("sra"),
+        col("deg").as("dega")), "vec_id")
+      .join(lrd.select(col("vec_id").as("neighbor_id"),
+        col("sum_reach_q").as("srb"), col("deg").as("degb")), "neighbor_id")
+      .select(col("vec_id"), expr(
+        """CAST(round(CAST(1000000L * degb * sra AS DOUBLE)
+          |  / CAST(srb * dega AS DOUBLE)) AS BIGINT)""".stripMargin)
+        .as("t_q"))
+      .groupBy("vec_id").agg(sum("t_q").as("t_sum"))
+      .join(lrd, "vec_id")
+      .join(kd.select(col("vec_id"), col("kdist_q")), "vec_id")
+      .select(col("vec_id"), col("deg"), col("kdist_q"), col("sum_reach_q"),
+        round(col("t_sum").cast("double") /
+          (col("deg").cast("double") * lit(1e6)), 6).as("lof"))
+      .orderBy("vec_id")
+  }
+
+  private val q287Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id,
+       |    GREATEST(1000000 - CAST(round(cos_sim * 1e6) AS BIGINT),
+       |      1) AS dist_q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |kd AS (SELECT vec_id, CAST(max(dist_q) AS BIGINT) AS kdist_q,
+       |    CAST(count(*) AS BIGINT) AS deg FROM knn GROUP BY 1),
+       |lrd AS (SELECT k.vec_id,
+       |    CAST(sum(GREATEST(k.dist_q, kb.kdist_q)) AS BIGINT)
+       |      AS sum_reach_q,
+       |    CAST(count(*) AS BIGINT) AS deg
+       |  FROM knn k JOIN kd kb ON kb.vec_id = k.neighbor_id
+       |  GROUP BY 1),
+       |terms AS (SELECT k.vec_id,
+       |    CAST(round(CAST(1000000 * lb.deg * la.sum_reach_q AS DOUBLE)
+       |      / CAST(lb.sum_reach_q * la.deg AS DOUBLE)) AS BIGINT) AS t_q
+       |  FROM knn k JOIN lrd la ON la.vec_id = k.vec_id
+       |  JOIN lrd lb ON lb.vec_id = k.neighbor_id)
+       |SELECT t.vec_id, la.deg, kd.kdist_q, la.sum_reach_q,
+       |  round(CAST(CAST(sum(t.t_q) AS BIGINT) AS DOUBLE)
+       |    / (CAST(la.deg AS DOUBLE) * 1e6), 6) AS lof
+       |FROM terms t JOIN lrd la ON la.vec_id = t.vec_id
+       |JOIN kd ON kd.vec_id = t.vec_id
+       |GROUP BY 1, 2, 3, 4 ORDER BY t.vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q285_boruvka_step" -> q285,
+    "q287_lof_outliers" -> q287,
     "q270_result_redundancy" -> q270,
     "q256_norm_audit" -> q256,
     "q267_lpa_communities" -> q267,
@@ -3399,6 +3532,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q285_boruvka_step" -> q285Sql,
+    "q287_lof_outliers" -> q287Sql,
     "q270_result_redundancy" -> q270Sql,
     "q256_norm_audit" -> q256Sql,
     "q267_lpa_communities" -> q267Sql,

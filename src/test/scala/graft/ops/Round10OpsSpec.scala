@@ -328,4 +328,45 @@ class Round10OpsSpec extends AnyFunSuite {
       (2L, e64(0.5f), 1), (3L, e64(0f), 1)))
     assert(a3 === 0.75)
   }
+
+  // Two exact-duplicate triples on +e1 / −e1: the sign flip complements
+  // every hyperplane bit (plane·e1 = ±1, never 0), so the two triples are
+  // guaranteed distinct LSH buckets and the kNN graph is two disjoint
+  // 3-cliques at cos = 1 — closed-form geometry with no dependence on
+  // the seeded plane pattern.
+  private def twoCliqueDir(): String = embDir(Seq(
+    0L -> e64(1f), 1L -> e64(1f), 2L -> e64(1f),
+    3L -> e64(-1f), 4L -> e64(-1f), 5L -> e64(-1f)))
+
+  test("q285: Boruvka picks form the exact min-forest on two duplicate cliques") {
+    val dir = twoCliqueDir()
+    val r = graft.SparkEntry.queries("q285_boruvka_step")(spark, dir)
+      .collect().map(row => (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getInt(3)))
+    graft.util.QueryCaches.drain()
+    // Per clique {x, x+1, x+2} at distance 0: nodes x and x+1 both pick
+    // (x, x+1) — mutual, picked_by 2; node x+2's min edge by the
+    // (dist, a, b) total order is (x, x+2) — picked_by 1.
+    assert(r.toSeq === Seq((0L, 1L, 0L, 2), (0L, 2L, 0L, 1),
+      (3L, 4L, 0L, 2), (3L, 5L, 0L, 1)))
+    // Forest closed form: 6 nodes − 4 picked edges = 2 trees.
+    val nodes = r.flatMap(e => Seq(e._1, e._2)).distinct.length
+    assert(nodes - r.length === 2)
+  }
+
+  test("q287: LOF is exactly 1 everywhere on uniform-density cliques") {
+    val dir = twoCliqueDir()
+    val r = graft.SparkEntry.queries("q287_lof_outliers")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(r.length === 6)
+    r.foreach { row =>
+      // deg 2, duplicate distances floored to 1 quantum → kdist 1,
+      // sum_reach 2, every lrd equal → LOF exactly 1.0.
+      assert(row.getLong(1) === 2L, s"deg: $row")
+      assert(row.getLong(2) === 1L, s"kdist_q: $row")
+      assert(row.getLong(3) === 2L, s"sum_reach_q: $row")
+      assert(row.getDouble(4) === 1.0, s"uniform density must give LOF 1: $row")
+    }
+  }
 }
