@@ -1245,7 +1245,58 @@ object CorpusPrep {
       |  vb.vocab_before, va.vocab_after
       |FROM best, agg, vb, va""".stripMargin
 
+  /** q288 — Pareto skyline of the corpus on (length, lexical richness):
+    * the documents no other document weakly dominates on both
+    * n_chars and distinct-word count — the multi-objective frontier a
+    * curation pass keeps when "long" and "lexically rich" both matter
+    * and no scalar weighting is agreed (Börzsönyi et al., ICDE'01
+    * skyline operator). Scale shape — NO pairwise dominance join: for
+    * 2-D the skyline is exactly the strict-prefix-max scan of the
+    * per-x maxima in descending-x order, so it decomposes into (1) a
+    * (x,y)-cell groupBy with counts, (2) a per-x max — both map-side
+    * combinable — and (3) [[GlobalRank.prefixMax]] over the DISTINCT-x
+    * relation (range partition + P-long driver metadata, no
+    * single-partition window). A cell survives iff its y is its x's
+    * maximum and strictly exceeds every larger-x maximum. Dominance is
+    * weak (≥ on both axes, > on one): an equal-(x,y) cell keeps all
+    * its documents — the count says how many ride at that frontier
+    * point.
+    */
+  private val q288: Q = (s, dir) => {
+    val cells = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("n_chars").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_docs")))
+    val xs = cells.groupBy("x").agg(max("y").as("maxy"))
+    val pm = GlobalRank.prefixMax(xs, "pmax", col("maxy"),
+      Seq(col("x").desc))
+    cells.join(pm, "x")
+      .filter(col("y") === col("maxy") &&
+        (col("pmax").isNull || col("pmax") < col("y")))
+      .select(col("x").as("n_chars"), col("y").as("n_words_distinct"),
+        col("n_docs"))
+      .orderBy("n_chars")
+  }
+
+  private val q288Sql =
+    """WITH w AS (SELECT n_chars AS x,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      |  FROM documents),
+      |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM w GROUP BY 1, 2),
+      |xs AS (SELECT x, CAST(max(y) AS BIGINT) AS maxy
+      |  FROM cells GROUP BY 1),
+      |pm AS (SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM xs)
+      |SELECT c.x AS n_chars, c.y AS n_words_distinct, c.n_docs
+      |FROM cells c JOIN pm ON pm.x = c.x
+      |WHERE c.y = pm.maxy AND (pm.pmax IS NULL OR pm.pmax < c.y)
+      |ORDER BY n_chars""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q288_pareto_skyline" -> q288,
     "q279_bpe_merge_step" -> q279,
     "q262_source_containment" -> q262,
     "q240_dict_coverage" -> q240,
@@ -1268,6 +1319,7 @@ object CorpusPrep {
     "q165_leakage_pairs" -> q165)
 
   val oracle: Map[String, String] = Map(
+    "q288_pareto_skyline" -> q288Sql,
     "q279_bpe_merge_step" -> q279Sql,
     "q262_source_containment" -> q262Sql,
     "q240_dict_coverage" -> q240Sql,

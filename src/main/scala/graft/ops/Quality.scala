@@ -278,7 +278,85 @@ object Quality {
       |  (CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / 1e7) / count(*) AS avg_logp
       |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q286 — Kneser–Ney smoothed bigram LM scoring (Kneser & Ney,
+    * ICASSP'95; the interpolated form of Chen & Goodman'98), the
+    * production-grade upgrade of q103's add-one baseline: the backoff
+    * distribution is the CONTINUATION probability (how many distinct
+    * left contexts a word follows — "Francisco" is frequent but only
+    * ever follows "San", so its continuation mass is tiny), which is
+    * what makes KN the standard n-gram smoother for perplexity-based
+    * corpus filtering. With discount d = 3/4 kept as ×4 integers,
+    *   P(w2|w1) = [(4c−3)·T + 3·N1⁺(w1•)·N1⁺(•w2)] / (4·c(w1•)·T)
+    * — one exact-BIGINT numerator/denominator pair per scored bigram
+    * (every factor < 2⁵³, so the single double division is correctly
+    * rounded on both engines), log2-quantized to 10⁻⁷ before the
+    * per-document sum, q103's discipline exactly. Model build: one
+    * (w1,w2) type-count groupBy and three narrow re-aggregations of
+    * it (left marginal, fan-out, fan-in) — all map-side combinable;
+    * scoring re-joins the exploded doc-bigram relation on the same
+    * keys. Interpolated KN sums to exactly 1 over the vocabulary — the
+    * unit spec asserts Σ P(·|w1) = 1 in closed form on a 2-word corpus.
+    */
+  private val q286: Q = (s, dir) => {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", split(col("text"), " "))
+    val bg = docs.select(col("doc_id"),
+        explode(expr(TextDedup.shinglesExpr(2))).as("bg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .transform(graft.util.QueryCaches.tracked)
+    val tc = graft.util.QueryCaches.tracked(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+    val left = tc.groupBy("w1")
+      .agg(sum("c").as("cw1"), count(lit(1)).as("n1f"))
+    val fanIn = tc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = tc.agg(count(lit(1)).as("t"))
+    bg.join(tc, Seq("w1", "w2"))
+      .join(left, "w1")
+      .join(fanIn, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("lp_q", expr(
+        """CAST(round(log2(
+          |  CAST((4 * c - 3) * t + 3 * n1f * n1b AS DOUBLE)
+          |  / CAST(4 * cw1 * t AS DOUBLE)) * 1e7) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_q").as("lpq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("lpq").cast("double") / lit(1e7)) / col("n_bigrams"))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val q286Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(CASE WHEN len(words) < 2 THEN [] ELSE
+      |      list_transform(generate_series(1, len(words)-1), i ->
+      |        words[i] || ' ' || words[i+1]) END) AS bgs
+      |  FROM w),
+      |b2 AS (SELECT doc_id, string_split(bgs, ' ')[1] AS w1,
+      |    string_split(bgs, ' ')[2] AS w2 FROM bg),
+      |tc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM b2 GROUP BY 1, 2),
+      |lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+      |    CAST(count(*) AS BIGINT) AS n1f FROM tc GROUP BY 1),
+      |fi AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |  FROM tc GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tc),
+      |scored AS (SELECT b2.doc_id,
+      |    CAST(round(log2(
+      |      CAST((4 * tc.c - 3) * ty.t + 3 * lft.n1f * fi.n1b AS DOUBLE)
+      |      / CAST(4 * lft.cw1 * ty.t AS DOUBLE)) * 1e7) AS BIGINT) AS lp_q
+      |  FROM b2 JOIN tc USING (w1, w2)
+      |  JOIN lft USING (w1) JOIN fi USING (w2) CROSS JOIN ty)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  (CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / 1e7) / count(*)
+      |    AS avg_logp
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q286_kneser_ney" -> q286,
     "q192_holdout_perplexity" -> q192,
     "q98_topk_per_group" -> q98,
     "q99_word_entropy" -> q99,
@@ -287,6 +365,7 @@ object Quality {
     "q103_bigram_lm" -> q103)
 
   val oracle: Map[String, String] = Map(
+    "q286_kneser_ney" -> q286Sql,
     "q192_holdout_perplexity" -> q192Sql,
     "q98_topk_per_group" -> q98Sql,
     "q99_word_entropy" -> q99Sql,

@@ -354,6 +354,42 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(nodes - r.length === 2)
   }
 
+  test("q286: interpolated Kneser-Ney matches hand-computed probabilities on a 2-word corpus") {
+    // Corpus over vocabulary {a, b}: doc 1 = "a a b b" (bigrams aa, ab,
+    // bb), doc 2 = "b a b a" (ba, ab, ba). Type counts aa:1 ab:2 bb:1
+    // ba:2, T = 4 types, left marginals c(a•) = c(b•) = 3, every fan-in/
+    // fan-out = 2. With d = 3/4:
+    //   P(a|a) = 1/12 + (3·2/12)(2/4) = 1/3,  P(b|a) = 5/12 + 3/12 = 2/3
+    // and symmetrically P(b|b) = 1/3, P(a|b) = 2/3 — each context's
+    // probabilities sum to exactly 1 (the interpolated-KN invariant).
+    val dir = docsDir(Seq(1L -> "a a b b", 2L -> "b a b a"))
+    val r = graft.SparkEntry.queries("q286_kneser_ney")(spark, dir)
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getDouble(2))).toMap
+    graft.util.QueryCaches.drain()
+    val l13 = math.round(math.log(1.0 / 3) / math.log(2) * 1e7) / 1e7
+    val l23 = math.round(math.log(2.0 / 3) / math.log(2) * 1e7) / 1e7
+    assert(r(1L)._1 === 3L && r(2L)._1 === 3L)
+    assert(math.abs(r(1L)._2 - (2 * l13 + l23) / 3) < 1e-9,
+      s"doc 1 scores P(aa)·P(ab)·P(bb): ${r(1L)}")
+    assert(math.abs(r(2L)._2 - l23) < 1e-9,
+      s"doc 2 scores P(ba)·P(ab)·P(ba) = (2/3)^3: ${r(2L)}")
+  }
+
+  test("q288: skyline keeps exactly the non-dominated (length, richness) cells") {
+    val dir = docsDir(Seq(
+      1L -> "x y z",          // (5, 3)  dominated by (14, 3)
+      2L -> "x x x x",        // (7, 1)  dominated by (9, 5)
+      3L -> "ab cd",          // (5, 2)  dominated by (5, 3) same-x
+      4L -> "aaaa bbbb cccc", // (14, 3) frontier: longest
+      5L -> "q w e r t",      // (9, 5)  frontier: richest
+      6L -> "q w e r t"))     // duplicate cell rides the frontier point
+    val r = graft.SparkEntry.queries("q288_pareto_skyline")(spark, dir)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    graft.util.QueryCaches.drain()
+    assert(r.toSeq === Seq((9L, 5L, 2L), (14L, 3L, 1L)))
+  }
+
   test("q287: LOF is exactly 1 everywhere on uniform-density cliques") {
     val dir = twoCliqueDir()
     val r = graft.SparkEntry.queries("q287_lof_outliers")(spark, dir)
