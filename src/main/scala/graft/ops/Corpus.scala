@@ -1236,6 +1236,59 @@ object Corpus {
       |    / CAST(sum(cell_n) AS DOUBLE) AS risky_share
       |FROM cells""".stripMargin
 
+  /** q290 — distinct l-diversity audit (Machanavajjhala et al.,
+    * ICDE'06), the companion k-anonymity (q255) needs: a quasi-
+    * identifier cell can be large (k-anonymous) yet still leak if all
+    * its rows share one sensitive value. Here the QI is the publishable
+    * behavioral fingerprint (event_type, hour-of-day) and the sensitive
+    * attribute is user identity: a cell whose events come from fewer
+    * than l = 5 distinct users links "what happened when" to "who" —
+    * the audit a telemetry-release pipeline runs before publishing
+    * event aggregates. Emits the q255-shaped summary: cells, risky
+    * cells, event mass at risk, min/max diversity, risky-mass share.
+    *
+    * Scale shape: two stacked groupBys — (QI, user) then QI — both
+    * partial+final over unbounded keys (never count_distinct's OOM-prone
+    * single-pass form at this width), folded to one row; exact BIGINTs
+    * end-to-end, one IEEE divide for the share.
+    */
+  private val q290: Q = (s, dir) => {
+    val cu = Tables.spread(Tables.events(s, dir))
+      .select(col("event_type"), hour(col("ts")).as("hh"), col("user_id"))
+      .groupBy("event_type", "hh", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val cells = cu.groupBy("event_type", "hh")
+      .agg(count(lit(1)).as("du"), sum("cnt").as("ne"))
+    cells.agg(count(lit(1)).as("n_cells"),
+        sum(when(col("du") < 5, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("du") < 5, col("ne")).otherwise(0L))
+          .as("n_events_risky"),
+        min("du").as("min_diversity"), max("du").as("max_diversity"),
+        sum("ne").as("n_events"))
+      .select(col("n_cells"), col("n_risky_cells"), col("n_events_risky"),
+        col("min_diversity"), col("max_diversity"),
+        (col("n_events_risky").cast("double") /
+          col("n_events").cast("double")).as("risky_share"))
+  }
+
+  private val q290Sql =
+    """WITH cu AS (SELECT event_type, hour(ts) AS hh, user_id,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |cells AS (SELECT event_type, hh, CAST(count(*) AS BIGINT) AS du,
+      |    CAST(sum(cnt) AS BIGINT) AS ne
+      |  FROM cu GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN du < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risky_cells,
+      |  CAST(sum(CASE WHEN du < 5 THEN ne ELSE 0 END) AS BIGINT)
+      |    AS n_events_risky,
+      |  CAST(min(du) AS BIGINT) AS min_diversity,
+      |  CAST(max(du) AS BIGINT) AS max_diversity,
+      |  CAST(sum(CASE WHEN du < 5 THEN ne ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(ne) AS DOUBLE) AS risky_share
+      |FROM cells""".stripMargin
+
   /** q260 — shingle document-frequency spectrum: the distinct 3-gram
     * vocabulary bucketed by ⌊log₂ df⌋ — the ONE histogram that sizes
     * every gram-keyed operator in this inventory: where the df-caps of
@@ -1338,6 +1391,7 @@ object Corpus {
        |ORDER BY key_q DESC, doc_id""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q290_l_diversity" -> q290,
     "q266_weighted_reservoir" -> q266,
     "q260_gram_df_spectrum" -> q260,
     "q255_k_anonymity" -> q255,
@@ -1368,6 +1422,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q290_l_diversity" -> q290Sql,
     "q266_weighted_reservoir" -> q266Sql,
     "q260_gram_df_spectrum" -> q260Sql,
     "q255_k_anonymity" -> q255Sql,

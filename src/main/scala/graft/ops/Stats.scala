@@ -1822,7 +1822,92 @@ object Stats {
       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_distance
       |FROM pairs ORDER BY type_a, type_b""".stripMargin
 
+  /** q292 — population stability index (PSI) of each source's document-
+    * length distribution against the dominant source: the monitoring
+    * metric scorecard pipelines run between a reference window and
+    * production to decide "has the input distribution shifted enough to
+    * retrain?" (PSI = Σ_b (p_b−q_b)·log(p_b/q_b), the symmetrized
+    * bin-level relative of q180's KL — PSI ≥ 0, 0 iff identical; the
+    * folk thresholds 0.1/0.25 assume ~10 bins, which div-64 length
+    * buckets give this corpus). Reference = the largest source (ties to
+    * the lexicographically smallest, picked by one min(struct) — no
+    * window). Laplace-smoothed (c+1)/(n+B) over the GLOBAL bin list so
+    * empty bins contribute finite mass on both sides; each bin term is
+    * quantized round(·1e7)::BIGINT before the per-source sum (q180's
+    * log2 discipline — PSI here is in bits). Scale: one (source, bin)
+    * groupBy; the grid is |sources| × |bins| via a cross join whose
+    * source side is sources-bounded (the PlanSpec sweep's executed-row
+    * fallback proves it); the reference row joins back per-bin. The
+    * reference source reports itself at exactly 0.0 — a built-in
+    * self-check.
+    */
+  private val q292: Q = (s, dir) => {
+    val d = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"),
+        expr(graft.util.SqlArith.floorDiv("n_chars", 64L)).as("lb"))
+    val sb = graft.util.QueryCaches.tracked(
+      d.groupBy("source", "lb").agg(count(lit(1)).as("c")))
+    val ns = graft.util.QueryCaches.tracked(
+      sb.groupBy("source").agg(sum("c").as("ns")))
+    val bins = sb.select("lb").distinct()
+    val nb = bins.agg(count(lit(1)).as("b"))
+    val refSrc = ns
+      .agg(min(struct((-col("ns")).as("neg"), col("source").as("src")))
+        .as("m"))
+      .select(col("m.src").as("ref_source"))
+    val grid = ns.crossJoin(bins)
+      .join(sb, Seq("source", "lb"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val ref = grid
+      .join(broadcast(refSrc), col("source") === col("ref_source"))
+      .select(col("lb"), col("c").as("cr"), col("ns").as("nr"))
+    grid.join(ref, "lb").crossJoin(broadcast(nb))
+      .withColumn("termq", expr(
+        """CAST(round(
+          |  (CAST(c + 1 AS DOUBLE) / CAST(ns + b AS DOUBLE)
+          |   - CAST(cr + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE))
+          |  * log2((CAST(c + 1 AS DOUBLE) * CAST(nr + b AS DOUBLE))
+          |         / (CAST(ns + b AS DOUBLE) * CAST(cr + 1 AS DOUBLE)))
+          |  * 1e7) AS BIGINT)""".stripMargin))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"), max("b").as("n_bins"),
+        sum("termq").as("sq"))
+      .select(col("source"), col("n_docs"), col("n_bins"),
+        (col("sq").cast("double") / lit(1e7)).as("psi_bits"))
+      .orderBy("source")
+  }
+
+  private val q292Sql =
+    """WITH d AS (SELECT source, n_chars // 64 AS lb FROM documents),
+      |sb AS (SELECT source, lb, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+      |  FROM sb GROUP BY 1),
+      |bins AS (SELECT DISTINCT lb FROM sb),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bins),
+      |rs AS (SELECT min(ROW(-ns, source)) AS m FROM ns),
+      |grid AS (SELECT ns.source, bins.lb, ns.ns,
+      |    CAST(coalesce(sb.c, 0) AS BIGINT) AS c
+      |  FROM ns CROSS JOIN bins
+      |  LEFT JOIN sb ON sb.source = ns.source AND sb.lb = bins.lb),
+      |ref AS (SELECT g.lb, g.c AS cr, g.ns AS nr
+      |  FROM grid g CROSS JOIN rs WHERE g.source = rs.m[2]),
+      |terms AS (SELECT g.source, g.ns, nb.b,
+      |    CAST(round(
+      |      (CAST(g.c + 1 AS DOUBLE) / CAST(g.ns + nb.b AS DOUBLE)
+      |       - CAST(ref.cr + 1 AS DOUBLE) / CAST(ref.nr + nb.b AS DOUBLE))
+      |      * log2((CAST(g.c + 1 AS DOUBLE) * CAST(ref.nr + nb.b AS DOUBLE))
+      |             / (CAST(g.ns + nb.b AS DOUBLE)
+      |                * CAST(ref.cr + 1 AS DOUBLE)))
+      |      * 1e7) AS BIGINT) AS termq
+      |  FROM grid g JOIN ref USING (lb) CROSS JOIN nb)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+      |  CAST(max(b) AS BIGINT) AS n_bins,
+      |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS psi_bits
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q292_psi_drift" -> q292,
     "q272_ks_matrix" -> q272,
     "q271_cusum_changepoint" -> q271,
     "q264_length_quality_corr" -> q264,
@@ -1850,6 +1935,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q292_psi_drift" -> q292Sql,
     "q272_ks_matrix" -> q272Sql,
     "q271_cusum_changepoint" -> q271Sql,
     "q264_length_quality_corr" -> q264Sql,

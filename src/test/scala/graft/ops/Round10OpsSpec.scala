@@ -329,6 +329,102 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(a3 === 0.75)
   }
 
+  test("q291: AP is 1 when separable, 0.5 on all-ties, 5/6 on a known 3-of-4 ordering") {
+    def ap(vecs: Seq[(Long, Seq[Float], Int)]): Double = {
+      val dir = embLabDir(vecs)
+      val r = graft.SparkEntry.queries("q291_avg_precision")(spark, dir)
+        .collect()
+      graft.util.QueryCaches.drain()
+      assert(r.length === 1)
+      r(0).getDouble(3)
+    }
+    assert(ap(Seq((0L, e64(1f), 0), (1L, e64(0.5f), 0),
+      (2L, e64(-0.5f), 1), (3L, e64(-1f), 1))) === 1.0)
+    // one 4-block tie: P = 2/4 at the single threshold → AP 0.5
+    assert(ap(Seq((0L, e64(1f), 0), (1L, e64(1f), 0),
+      (2L, e64(1f), 1), (3L, e64(1f), 1))) === 0.5)
+    // blocks desc: pos(P=1/1), neg, pos(P=2/3), neg → AP = (1 + 2/3)/2
+    val a = ap(Seq((0L, e64(1f), 0), (1L, e64(0.25f), 0),
+      (2L, e64(0.5f), 1), (3L, e64(0f), 1)))
+    assert(math.abs(a - 5.0 / 6) < 1e-6, s"AP: $a")
+  }
+
+  test("q289: ECE is 0 when score bins match label rates, 0.2 on a known miscalibration") {
+    def bins(vecs: Seq[(Long, Seq[Float], Int)]) = {
+      val dir = embLabDir(vecs)
+      val r = graft.SparkEntry.queries("q289_ece_calibration")(spark, dir)
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          row.getDouble(2), row.getDouble(3), row.getDouble(4)))
+      graft.util.QueryCaches.drain()
+      r.toSeq
+    }
+    // 5 class-0 at score s > 0, 5 class-1 at score 0: bin 9 is all
+    // positive at conf 1, bin 0 all negative at conf 0 — ECE exactly 0.
+    val calibrated = bins(
+      (0 until 5).map(i => (i.toLong, e64(1f), 0)) ++
+        (5 until 10).map(i => (i.toLong, e64(0f), 1)))
+    assert(calibrated === Seq((0L, 5L, 0.0, 0.0, 0.0),
+      (9L, 5L, 1.0, 1.0, 0.0)))
+    // Move 2 of the 5 zero-score vectors to class 0: bin 0 now claims
+    // conf 0 but delivers 2/5 → ECE = (5·|0.4−0|)/10 = 0.2.
+    val off = bins(
+      (0 until 5).map(i => (i.toLong, e64(1f), 0)) ++
+        (5 until 7).map(i => (i.toLong, e64(0f), 0)) ++
+        (7 until 10).map(i => (i.toLong, e64(0f), 1)))
+    assert(off === Seq((0L, 5L, 0.0, 0.4, 0.2), (9L, 5L, 1.0, 1.0, 0.2)))
+  }
+
+  test("q290: l-diversity flags exactly the cells below 5 distinct users") {
+    // One event per user per type, single hour: cell "many" has 10
+    // distinct users (safe), cell "few" has 3 (risky).
+    val dir = eventsDir(Map("many" -> (1 to 10), "few" -> (11 to 13)))
+    val r = graft.SparkEntry.queries("q290_l_diversity")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((2L, 1L, 3L, 3L, 10L)))
+    assert(math.abs(row.getDouble(5) - 3.0 / 13) < 1e-9)
+  }
+
+  private def docsSrcDir(docs: Seq[(Long, String, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("graft-r10-docsrc")
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q292: PSI is exactly 0 for a same-shape source and matches the closed form for a shifted one") {
+    // Bins are n_chars div 64. Source R (reference, 12 docs): 6 short +
+    // 6 long. Source S (6 docs): 3 + 3 — identical smoothed shape
+    // (7/14, 7/14) vs (4/8, 4/8) → PSI exactly 0. Source T (4 docs):
+    // all short → smoothed (5/6, 1/6) vs (1/2, 1/2).
+    val short = "x" * 10
+    val long = "y" * 70
+    val dir = docsSrcDir(
+      (0 until 6).map(i => (i.toLong, short, "r")) ++
+        (6 until 12).map(i => (i.toLong, long, "r")) ++
+        (12 until 15).map(i => (i.toLong, short, "s")) ++
+        (15 until 18).map(i => (i.toLong, long, "s")) ++
+        (18 until 22).map(i => (i.toLong, short, "t")))
+    val r = graft.SparkEntry.queries("q292_psi_drift")(spark, dir)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    graft.util.QueryCaches.drain()
+    assert(r("r") === ((12L, 2L, 0.0)), "reference scores itself at 0")
+    assert(r("s") === ((6L, 2L, 0.0)), "same shape after smoothing is 0")
+    def log2(x: Double) = math.log(x) / math.log(2)
+    def q7(x: Double) = math.round(x * 1e7) / 1e7
+    val expected = q7((5.0 / 6 - 0.5) * log2((5.0 / 6) / 0.5)) +
+      q7((1.0 / 6 - 0.5) * log2((1.0 / 6) / 0.5))
+    assert(r("t")._1 === 4L)
+    assert(math.abs(r("t")._3 - expected) < 1e-6, s"t PSI: ${r("t")._3} vs $expected")
+  }
+
   // Two exact-duplicate triples on +e1 / −e1: the sign flip complements
   // every hyperplane bit (plane·e1 = ±1, never 0), so the two triples are
   // guaranteed distinct LSH buckets and the kNN graph is two disjoint
