@@ -3476,9 +3476,187 @@ object Similarity {
        |JOIN kd ON kd.vec_id = t.vec_id
        |GROUP BY 1, 2, 3, 4 ORDER BY t.vec_id""".stripMargin
 
+  /** q293 — dominant principal direction of the embedding cloud by
+    * MATRIX-FREE power iteration on the second-moment matrix M = Σ vvᵀ:
+    * six rounds of x ← Σᵢ vᵢ·(vᵢᵀx) with integer renormalization — the
+    * 100 TB-shaped PCA step. M is never materialized (64×64 would be
+    * cheap, but the per-row outer-product AGGREGATION to build it
+    * shuffles 4096 columns; the matrix-free form is one broadcast of 64
+    * longs + one 64-column map-side-combinable aggregate per round,
+    * Spark's natural shape for x ← Mx). All arithmetic is exact BIGINT:
+    * embeddings on the 2²⁰ grid, per-row projections sv = vqᵀx
+    * (|sv| ≤ 2⁴⁶) floor-scaled by 2²⁴ before the y-accumulation
+    * (|y_j| ≤ n·2⁴² — exact to n ≈ 2·10⁶ rows; widen the shift for
+    * more), and x renormalized to max-component 2²⁰ by floor division —
+    * the per-round 64-long y vector is GlobalRank-style driver metadata
+    * (bounded, like its P-long offsets), NOT a data collect. Output:
+    * the converged direction (j, xj) plus the corpus-level diagnostics
+    * (n, xᵀx, and the 2⁻⁴⁰-scaled Rayleigh numerator Σ round(sv²/2⁴⁰),
+    * quantized per row before summing — the float-order discipline).
+    */
+  private val q293: Q = (s, dir) => {
+    val eq = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.embeddings(s, dir))
+        .select(expr(s"transform($vd, x -> CAST(round(x * 1048576) AS BIGINT))")
+          .as("vq")))
+    var x = Array.tabulate(64)(j => if (j == 0) 1048576L else 0L)
+    val dot = "aggregate(zip_with(vq, xv, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (a, t) -> a + t)"
+    for (_ <- 1 to 6) {
+      val xl = array(x.toIndexedSeq.map(lit): _*)
+      val sums = (0 until 64).map(j => sum(expr(s"sp * vq[$j]")).as(s"y$j"))
+      val y = eq.withColumn("xv", xl)
+        .select(expr(graft.util.SqlArith.floorDiv(dot, 16777216L)).as("sp"),
+          col("vq"))
+        .agg(sums.head, sums.tail: _*)
+        .collect()(0)
+      val yv = Array.tabulate(64)(j => y.getLong(j))
+      val m = yv.map(math.abs).max
+      val d = math.max(m >> 20, 1L)
+      // Math.floorDiv == SqlArith.floorDiv == the oracle's
+      // floorDivDuck form — one FLOOR definition on all three surfaces
+      // (bare DuckDB `//` would truncate the negative components).
+      x = yv.map(v => Math.floorDiv(v, d))
+    }
+    val xl = array(x.toIndexedSeq.map(lit): _*)
+    val xtx = x.map(v => v * v).sum
+    val fin = eq.withColumn("xv", xl)
+      .select(expr("""CAST(aggregate(zip_with(vq, xv, (a, b) -> a * b),
+                     |  CAST(0 AS BIGINT), (a, t) -> a + t) AS DOUBLE)"""
+        .stripMargin).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(sv * sv / 1099511627776.0) AS BIGINT)"))
+          .as("rayleigh_q40"))
+    s.range(64).select(col("id").cast("int").as("j"))
+      .withColumn("xj", element_at(xl, col("j") + 1))
+      .crossJoin(broadcast(fin))
+      .select(col("j"), col("xj"), col("n"), lit(xtx).as("xtx"),
+        col("rayleigh_q40"))
+      .orderBy("j")
+  }
+
+  private val q293Sql: String = {
+    // sp and the renormalized components can be NEGATIVE: DuckDB's
+    // integer `//` truncates toward zero there (Spark's floorDiv
+    // floors), so both divisions go through the positive-mod floor form
+    // — see SqlArith.floorDivDuck. The m// is positive-only and safe.
+    import graft.util.SqlArith.floorDivDuck
+    def round(i: Int): String =
+      s"""ys$i AS MATERIALIZED (SELECT u.j,
+         |    CAST(sum(sp * vq[u.j]) AS BIGINT) AS y
+         |  FROM (SELECT vq, ${floorDivDuck("dd", "16777216")} AS sp
+         |    FROM (SELECT vq, CAST(list_sum(list_transform(
+         |        generate_series(1, 64), k -> vq[k] * x[k])) AS BIGINT)
+         |        AS dd
+         |      FROM eq CROSS JOIN x${i - 1}) t0) t1
+         |  CROSS JOIN unnest(generate_series(1, 64)) AS u(j)
+         |  GROUP BY u.j),
+         |m$i AS (SELECT GREATEST(CAST(max(abs(y)) AS BIGINT) // 1048576,
+         |    1) AS d FROM ys$i),
+         |x$i AS MATERIALIZED (SELECT list(${floorDivDuck("y", "d")}
+         |    ORDER BY j) AS x
+         |  FROM ys$i CROSS JOIN m$i)""".stripMargin
+    s"""WITH eq AS MATERIALIZED (SELECT list_transform(embedding::DOUBLE[],
+       |    v -> CAST(round(v * 1048576) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |x0 AS (SELECT list_transform(generate_series(1, 64),
+       |    j -> CASE WHEN j = 1 THEN CAST(1048576 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END) AS x),
+       |${(1 to 6).map(round).mkString(",\n")},
+       |fin AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(sv * sv / 1099511627776.0) AS BIGINT))
+       |      AS BIGINT) AS rayleigh_q40
+       |  FROM (SELECT CAST(CAST(list_sum(list_transform(
+       |      generate_series(1, 64), k -> vq[k] * x[k])) AS BIGINT)
+       |      AS DOUBLE) AS sv FROM eq CROSS JOIN x6) t),
+       |xtx AS (SELECT CAST(list_sum(list_transform(x,
+       |    v -> v * v)) AS BIGINT) AS xtx FROM x6)
+       |SELECT CAST(u.j - 1 AS INTEGER) AS j, x6.x[u.j] AS xj,
+       |  fin.n, xtx.xtx, fin.rayleigh_q40
+       |FROM x6 CROSS JOIN unnest(generate_series(1, 64)) AS u(j)
+       |CROSS JOIN fin CROSS JOIN xtx
+       |ORDER BY j""".stripMargin
+  }
+
+  /** q294 — k-center coreset selection by Gonzalez's farthest-point
+    * traversal (Gonzalez, TCS'85 — the 2-approximation every
+    * distributed k-center/coreset pipeline bootstraps from): seed with
+    * vec 0, then four rounds of "add the point farthest from its
+    * nearest chosen center". The audit answer is the coverage
+    * geometry — per center its assigned population and radius — i.e.
+    * how well 5 exemplars summarize the corpus (the coreset the
+    * GPU-expensive stages run on instead of the full data). Scale
+    * shape per round: ONE broadcast of the ≤5-row center relation
+    * against the persisted quantized vectors (the PlanSpec sweep's
+    * executed-row fallback proves the nested-loop side is the bounded
+    * one), a per-vector min, and a grouping-free max(struct) argmax —
+    * no window, no driver collect; distances are exact BIGINT
+    * 2⁴⁰ − vqᵀcv on the 2²⁰ grid, ties broken (dist desc, vec_id asc)
+    * by integer struct order on both engines.
+    */
+  private val q294: Q = (s, dir) => {
+    val base = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          expr(s"transform($vd, x -> CAST(round(x * 1048576) AS BIGINT))")
+            .as("vq")))
+    val dotCC = "aggregate(zip_with(vq, cv, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (a, t) -> a + t)"
+    var centers = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("cid"), col("vq").as("cv"))
+    for (_ <- 1 to 4) {
+      val dmin = base.crossJoin(broadcast(centers))
+        .select(col("vec_id"),
+          (lit(1099511627776L) - expr(dotCC)).as("dist_q"))
+        .groupBy("vec_id").agg(min("dist_q").as("dmin"))
+      val far = dmin
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nv"))).as("m"))
+        .select((-col("m.nv")).as("fid"))
+      val newC = base.join(broadcast(far), col("vec_id") === col("fid"))
+        .select(col("vec_id").as("cid"), col("vq").as("cv"))
+      centers = centers.unionByName(newC)
+    }
+    val cset = graft.util.QueryCaches.tracked(centers)
+    base.crossJoin(broadcast(cset))
+      .select(col("vec_id"),
+        struct((lit(1099511627776L) - expr(dotCC)).as("d"), col("cid"))
+          .as("p"))
+      .groupBy("vec_id").agg(min("p").as("p"))
+      .groupBy(col("p.cid").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("p.d")).as("radius_q"))
+      .orderBy("center_id")
+  }
+
+  private val q294Sql: String = {
+    val dot = "CAST(list_sum(list_transform(generate_series(1, 64), " +
+      "k -> e.vq[k] * c.cv[k])) AS BIGINT)"
+    def round(i: Int): String =
+      s"""f$i AS (SELECT max(ROW(dmin, -vec_id)) AS m FROM (
+         |    SELECT e.vec_id, min(1099511627776 - $dot) AS dmin
+         |    FROM eqv e CROSS JOIN c${i - 1} c GROUP BY e.vec_id) t),
+         |c$i AS MATERIALIZED (SELECT * FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT vec_id AS cid, vq AS cv FROM eqv CROSS JOIN f$i
+         |  WHERE vec_id = -(f$i.m[2]))""".stripMargin
+    s"""WITH eqv AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> CAST(round(v * 1048576) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, vq AS cv FROM eqv
+       |  WHERE vec_id = 0),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |asg AS (SELECT e.vec_id, min(ROW(1099511627776 - $dot, c.cid)) AS p
+       |  FROM eqv e CROSS JOIN c4 c GROUP BY e.vec_id)
+       |SELECT p[2] AS center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+       |  CAST(max(p[1]) AS BIGINT) AS radius_q
+       |FROM asg GROUP BY 1 ORDER BY center_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q285_boruvka_step" -> q285,
     "q287_lof_outliers" -> q287,
+    "q293_pca_power" -> q293,
+    "q294_kcenter_coreset" -> q294,
     "q270_result_redundancy" -> q270,
     "q256_norm_audit" -> q256,
     "q267_lpa_communities" -> q267,
@@ -3534,6 +3712,8 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q285_boruvka_step" -> q285Sql,
     "q287_lof_outliers" -> q287Sql,
+    "q293_pca_power" -> q293Sql,
+    "q294_kcenter_coreset" -> q294Sql,
     "q270_result_redundancy" -> q270Sql,
     "q256_norm_audit" -> q256Sql,
     "q267_lpa_communities" -> q267Sql,

@@ -486,6 +486,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r.toSeq === Seq((9L, 5L, 2L), (14L, 3L, 1L)))
   }
 
+  test("q293: power iteration locks onto the dominant axis with exact integer fixpoint") {
+    // 5 vectors on e1, 3 on e2: M = diag(5, 3)·2⁴⁰ and x0 = e1·2²⁰ is
+    // already the exact eigendirection — every round reproduces
+    // x = (2²⁰, 0, …) bit-for-bit (y = 5·2³⁶ = d·2²⁰ exactly), and the
+    // Rayleigh numerator is 5 rows × round((2⁴⁰)²/2⁴⁰) = 5·2⁴⁰.
+    val dir = embDir(
+      (0 until 5).map(i => i.toLong -> e64(1f)) ++
+        (5 until 8).map(i => i.toLong -> e64(0f, 1f)))
+    val r = graft.SparkEntry.queries("q293_pca_power")(spark, dir)
+      .collect()
+    graft.util.QueryCaches.drain()
+    assert(r.length === 64)
+    r.foreach { row =>
+      val (j, xj) = (row.getInt(0), row.getLong(1))
+      assert(xj === (if (j == 0) 1048576L else 0L), s"x[$j] = $xj")
+      assert(row.getLong(2) === 8L)
+      assert(row.getLong(3) === 1099511627776L, "xtx = 2^40")
+      assert(row.getLong(4) === 5L * 1099511627776L, "rayleigh = 5*2^40")
+    }
+  }
+
+  test("q294: farthest-point traversal picks the 5 orthogonal exemplars in id order") {
+    // ids 0..4 on axes e1..e5, ids 5..7 duplicating e1..e3: every
+    // uncovered axis sits at the same distance 2⁴⁰, so the (dist desc,
+    // id asc) tie-break must add centers 1, 2, 3, 4 in order; the
+    // duplicates then assign at radius 0.
+    def axis(k: Int): Seq[Float] = e64(Seq.fill(k)(0f) :+ 1f: _*)
+    val dir = embDir(Seq(
+      0L -> axis(0), 1L -> axis(1), 2L -> axis(2), 3L -> axis(3),
+      4L -> axis(4), 5L -> axis(0), 6L -> axis(1), 7L -> axis(2)))
+    val r = graft.SparkEntry.queries("q294_kcenter_coreset")(spark, dir)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    graft.util.QueryCaches.drain()
+    assert(r.toSeq === Seq((0L, 2L, 0L), (1L, 2L, 0L), (2L, 2L, 0L),
+      (3L, 1L, 0L), (4L, 1L, 0L)))
+  }
+
   test("q287: LOF is exactly 1 everywhere on uniform-density cliques") {
     val dir = twoCliqueDir()
     val r = graft.SparkEntry.queries("q287_lof_outliers")(spark, dir)
