@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Protocol (VERDICT round-1 item 4 — measurement
-  * hygiene on a noisy shared host, see also `graft.Probe`):
+  * hygiene on a noisy shared host, see also `graft.tools.Probe`):
   *
   *  - one UNTIMED warmup execution per query: materializes the shared
   *    parity/dedup caches and lets HotSpot compile the generated code, so
@@ -86,10 +86,18 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - wall0) / 1e9
     // Warmup pass: caches + JIT, untimed — but ALSO budget-bounded: on a
     // slow host phase a full cold pass over the whole inventory can eat
-    // the entire wall-clock before a single timed pass starts. Past 40%
-    // of the budget the remaining queries skip warmup (they run cold in
-    // the timed pass — a noisier number beats an external timeout).
-    names.foreach { n => if (elapsed < budgetSec * 0.4) { once(n, timed = false); () } }
+    // the entire wall-clock before a single timed pass starts. Past the
+    // warmup fraction of the budget the remaining queries skip warmup
+    // (they run cold in the timed pass — a noisier number beats an
+    // external timeout). At reps=1 there is no median to decorrelate a
+    // cold first sample, so the warmup allowance widens and any query
+    // that still missed warmup is stamped "cold" in the artifacts —
+    // three rounds of phantom regressions (r8 q251, r9 q20, r10 q05)
+    // came from exactly this reps=1 × skipped-warmup interaction.
+    val warmed = scala.collection.mutable.Set[String]()
+    names.foreach { n =>
+      if (elapsed < budgetSec * warmupFraction(reps)) { once(n, timed = false); warmed += n }
+    }
     // Calibration samples bracket the timed passes (first one also JIT-warms
     // the probe) so phase drift across the run is captured, not just the
     // phase at one instant.
@@ -109,6 +117,10 @@ object Bench {
     val results = names.map { n =>
       n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
     }.toMap
+    // Queries whose only timed sample ran without a prior warmup: their
+    // number carries first-touch cache/JIT cost and must not be read as a
+    // regression. With 2+ timed passes the median decorrelates it.
+    val coldQs = if (pass <= 1) names.filterNot(warmed) else Seq.empty[String]
 
     // Per-round artifact: ALL per-query medians to a file, always (the
     // stdout line fits only the headline subset in the driver's 2000-char
@@ -125,13 +137,16 @@ object Bench {
       val tcn =
         if (calib > 0) s""","total_calib_norm":${"%.1f".formatLocal(java.util.Locale.ROOT, totalAll / calib)}"""
         else ""
+      val coldJson =
+        if (coldQs.isEmpty) ""
+        else coldQs.map(n => s""""$n"""").mkString(""","cold":[""", ",", "]")
       val body =
-        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"calib":${"%.3f".formatLocal(java.util.Locale.ROOT, calib)}$tcn,"queries":$qs}"""
+        s"""{"sf":"$sfDir","reps":$pass,"nq":${results.values.count(_ >= 0)},"calib":${"%.3f".formatLocal(java.util.Locale.ROOT, calib)}$tcn$coldJson,"queries":$qs}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] full-dump write failed: ${e.getMessage}") }
     }
-    val line = summaryLine(results, errors, pass, sfDir, calib)
+    val line = summaryLine(results, errors, pass, sfDir, calib, coldQs.size)
     // Stop Spark FIRST, then emit: the summary must be the process's last
     // stdout so it sits raw and final in the driver's 2000-char tail (with
     // build.sbt's StdoutOutput + showSuccess=false nothing trails it).
@@ -172,10 +187,19 @@ object Bench {
     "q56_dedup_clusters", "q70_tfidf", "q75_bm25", "q91_sequence_pack",
     "q94_cohort_retention", "q96_funnel", "q104_zorder")
 
+  /** Warmup wall-clock allowance, as a fraction of the bench budget. A
+    * single timed pass (reps=1) has no median to absorb a cold first
+    * sample, so most of the budget should buy warm samples; with 3 passes
+    * the timed medians self-correct and warmup yields earlier.
+    */
+  private[graft] def warmupFraction(reps: Int): Double =
+    if (reps <= 1) 0.7 else 0.4
+
   private[graft] def summaryLine(results: Map[String, Double],
                                  errors: collection.Map[String, String],
                                  reps: Int, sfDir: String,
-                                 calib: Double = -1.0): String = {
+                                 calib: Double = -1.0,
+                                 nCold: Int = 0): String = {
     def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${ms3(v)}"))
       .mkString("{", ",", "}")
@@ -208,6 +232,9 @@ object Bench {
     val nOk = results.values.count(_ >= 0)
     val nFail = results.size - nOk
     val failJson = if (nFail > 0) s""","nfail":$nFail""" else ""
+    // How many single-sample (reps=1) timings ran without warmup — their
+    // medians carry first-touch cost; the full list is in BENCH_FULL.json.
+    val coldJson = if (nCold > 0) s""","ncold":$nCold""" else ""
     // total / calib = "probe-units of work": dividing by the host-speed
     // probe makes cross-round totals comparable without by-hand math
     // (round-8 verdict item: two artifacts told different stories until
@@ -218,6 +245,6 @@ object Bench {
         s""","calib":${ms3(calib)},"total_calib_norm":${"%.1f".formatLocal(java.util.Locale.ROOT, total / calib)}"""
       else if (calib >= 0) s""","calib":${ms3(calib)}"""
       else ""
-    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson$calibJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,"nq":$nOk$failJson$coldJson$calibJson,"queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 }

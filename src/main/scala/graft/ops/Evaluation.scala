@@ -63,6 +63,13 @@ object Evaluation {
       val cent = eq.filter(col("label") === 0)
         .agg(count(lit(1)).as("n0"),
           (0 until 64).map(i => sum(expr(s"vq[$i]")).as(s"c$i")): _*)
+        // Loud precondition: with zero label=0 rows the centroid sums are
+        // NULL and every downstream metric (AUC/ECE/AP) would silently
+        // null out on both engines instead of failing. assert_true
+        // returns NULL when the guard holds, so the filter keeps the one
+        // centroid row and throws on an empty class.
+        .filter(expr(
+          "assert_true(n0 > 0, 'centroidScores: no label=0 rows') IS NULL"))
       val cm = cent.select(array((0 until 64).map(i =>
         expr(s"(c$i + 2097152L * n0) div n0 - 2097152L")): _*).as("cv"))
       eq.crossJoin(broadcast(cm))

@@ -74,7 +74,12 @@ object Retrieval {
     * × postings — linear in corpus size, the map-side-only shape an
     * inverted index serves at 100 TB.
     */
-  private val q275: Q = (s, dir) => {
+  /** The fused (query_id, rank, doc_id, rrf) top-10 relation — q275's
+    * body, keyed-shared so the composed pipeline (q295) consumes the
+    * same build instead of re-paying both legs.
+    */
+  private[ops] def rrfFused(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"retr:rrf:$dir") {
     val topkL = udaf(new graft.functions.TopKByScore(20))
     val topkF = udaf(new graft.functions.TopKByScore(10))
     val sets = TextDedup.shingleSetsFor(Tables.spread(Tables.documents(s, dir)))
@@ -100,15 +105,17 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("rrf"))
-      .orderBy("query_id", "rank")
   }
 
+  private val q275: Q = (s, dir) => rrfFused(s, dir).orderBy("query_id", "rank")
+
   /** The dense-leg oracle CTE chain (q45's formula at k=20) — shared by
-    * q275Sql and q276Sql so the candidate definition cannot drift.
+    * q275Sql and q276Sql so the candidate definition cannot drift. Split
+    * in two: q295's composed oracle already gets `e0` from
+    * [[Similarity.knnScoredCtes]] and must not redefine it.
     */
-  private val denseCtes =
-    """e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |qv AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 5),
+  private val denseCtesAfterE0 =
+    """qv AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 5),
       |ds AS (SELECT qv.query_id, e0.vec_id AS doc_id,
       |    round(list_dot_product(qv.qv, e0.v)
       |      / (sqrt(list_dot_product(qv.qv, qv.qv))
@@ -119,32 +126,45 @@ object Retrieval {
       |      ORDER BY cs DESC, doc_id) AS INTEGER) AS rd
       |  FROM ds)""".stripMargin
 
+  private val denseCtes =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$denseCtesAfterE0""".stripMargin
+
+  /** RRF fusion oracle chain (lexical leg + full-outer fuse + per-query
+    * top-10 re-rank as `fr`) — shared by q275Sql and the composed
+    * pipeline q295Sql so the fused-list definition cannot drift.
+    * Requires [[TextDedup.minhashCtes]] (`sh`) and the dense chain
+    * (`dr`) earlier in the WITH list.
+    */
+  private val fusionCtes =
+    """sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+      |post AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+      |qp AS (SELECT doc_id AS query_id, g FROM post WHERE doc_id < 5),
+      |ls AS (SELECT qp.query_id, post.doc_id, CAST(count(*) AS BIGINT) AS shared
+      |  FROM qp JOIN post ON post.g = qp.g
+      |  WHERE post.doc_id <> qp.query_id GROUP BY 1, 2),
+      |lr AS (SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(shared AS DOUBLE) DESC, doc_id) AS INTEGER) AS rl
+      |  FROM ls),
+      |f AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+      |    coalesce(d.doc_id, l.doc_id) AS doc_id,
+      |    round(coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + d.rd AS DOUBLE), CAST(0.0 AS DOUBLE))
+      |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.rl AS DOUBLE), CAST(0.0 AS DOUBLE)), 6)
+      |      AS rrf
+      |  FROM (SELECT * FROM dr WHERE rd <= 20) d
+      |  FULL JOIN (SELECT * FROM lr WHERE rl <= 20) l
+      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      |fr AS (SELECT query_id, doc_id, rrf,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+      |  FROM f)""".stripMargin
+
   private val q275Sql =
     s"""WITH ${TextDedup.minhashCtes},
        |$denseCtes,
-       |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
-       |post AS (SELECT doc_id, unnest(sh) AS g FROM sets),
-       |qp AS (SELECT doc_id AS query_id, g FROM post WHERE doc_id < 5),
-       |ls AS (SELECT qp.query_id, post.doc_id, CAST(count(*) AS BIGINT) AS shared
-       |  FROM qp JOIN post ON post.g = qp.g
-       |  WHERE post.doc_id <> qp.query_id GROUP BY 1, 2),
-       |lr AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY CAST(shared AS DOUBLE) DESC, doc_id) AS INTEGER) AS rl
-       |  FROM ls),
-       |f AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
-       |    coalesce(d.doc_id, l.doc_id) AS doc_id,
-       |    round(coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + d.rd AS DOUBLE), CAST(0.0 AS DOUBLE))
-       |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.rl AS DOUBLE), CAST(0.0 AS DOUBLE)), 6)
-       |      AS rrf
-       |  FROM (SELECT * FROM dr WHERE rd <= 20) d
-       |  FULL JOIN (SELECT * FROM lr WHERE rl <= 20) l
-       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
-       |SELECT query_id, rank, doc_id, rrf FROM (
-       |  SELECT query_id, doc_id, rrf,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
-       |  FROM f) t
+       |$fusionCtes
+       |SELECT query_id, rank, doc_id, rrf FROM fr
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
@@ -168,12 +188,12 @@ object Retrieval {
     * round — [[graft.util.Lineage]]) and the oracle's rounds are
     * `AS MATERIALIZED` for the same reason.
     */
-  private val q276: Q = (s, dir) => {
-    val cand = graft.util.QueryCaches.tracked(
-      denseTop(s, dir).select(col("query_id"), col("doc_id"),
-        expr("CAST(round(cs * 1e6) AS BIGINT)").as("rel_q")))
-    val e = embRel(s, dir)
-    val sims = graft.util.QueryCaches.tracked(
+  /** Candidate-pair cosine sims (query_id, ca, cb, sim_q) for a
+    * per-query candidate relation — MMR's penalty input, bounded at
+    * |cand/query|² directed pairs per query. Shared by q276 and q295.
+    */
+  private def candPairSims(cand: DataFrame, e: DataFrame): DataFrame =
+    graft.util.QueryCaches.tracked(
       cand.as("a")
         .join(cand.as("b"),
           col("a.query_id") === col("b.query_id") &&
@@ -186,6 +206,16 @@ object Retrieval {
           col("b.doc_id").as("cb"),
           expr("CAST(round(round(cosine_sim(va, vb), 6) * 1e6) AS BIGINT)")
             .as("sim_q")))
+
+  /** Greedy MMR rounds shared by q276 (dense candidates, k=5) and q295
+    * (fused candidates, k=3): per round one bounded penalty equi-join +
+    * anti-join + struct-max argmax per query, every query advancing in
+    * the same round concurrently; the selected set is referenced twice
+    * per round so lineage truncates eagerly ([[graft.util.Lineage]]).
+    * Returns (query_id, doc_id, score_q, r) with score_q = 7·rel − 3·pen
+    * in integer quanta.
+    */
+  private def mmrGreedy(cand: DataFrame, sims: DataFrame, k: Int): DataFrame = {
     def argmax(df: DataFrame, scoreQ: Column, r: Int): DataFrame =
       df.groupBy("query_id")
         .agg(max(struct(scoreQ.as("sq"), (-col("doc_id")).as("nd"),
@@ -194,7 +224,7 @@ object Retrieval {
           col("m.sq").as("score_q"), lit(r).as("r"))
     var sel = graft.util.Lineage.truncate(
       argmax(cand, col("rel_q") * 7, 1))
-    for (i <- 2 to 5) {
+    for (i <- 2 to k) {
       val pen = sims
         .join(sel.select(col("query_id"), col("doc_id").as("cb")),
           Seq("query_id", "cb"))
@@ -208,7 +238,16 @@ object Retrieval {
         col("rel_q") * 7 - col("ms") * 3, i)
       sel = graft.util.Lineage.truncate(sel.unionByName(next))
     }
-    sel.select(col("query_id"), col("r"), col("doc_id"),
+    sel
+  }
+
+  private val q276: Q = (s, dir) => {
+    val cand = graft.util.QueryCaches.tracked(
+      denseTop(s, dir).select(col("query_id"), col("doc_id"),
+        expr("CAST(round(cs * 1e6) AS BIGINT)").as("rel_q")))
+    val sims = candPairSims(cand, embRel(s, dir))
+    mmrGreedy(cand, sims, 5)
+      .select(col("query_id"), col("r"), col("doc_id"),
         (col("score_q").cast("double") / expr("CAST(1e7 AS DOUBLE)")).as("score"))
       .orderBy("query_id", "r")
   }
@@ -257,6 +296,141 @@ object Retrieval {
        |  UNION ALL SELECT * FROM s_3 UNION ALL SELECT * FROM s_4
        |  UNION ALL SELECT * FROM s_5) u
        |ORDER BY query_id, r""".stripMargin
+  }
+
+  /** q295 — END-TO-END retrieval serving job, the composition the three
+    * stages exist for: (1) hybrid RRF fusion (q275's shared fused top-10
+    * per query), (2) MMR diversification of the fused list down to 3
+    * picks per query (λ=0.7; relevance = rank-based integer quanta
+    * (11−rank)·10⁵, the same 0..10⁶ scale as the cosine-sim penalty, so
+    * the λ-combination weighs comparable magnitudes), (3) personalized-
+    * PageRank expansion over the shared kNN graph teleporting to the
+    * picked set — the graph walk that surfaces multi-hop-related docs
+    * neither leg scored directly (q280's kernel with a DATA-dependent
+    * seed relation instead of the literal vec_id<5 predicate). Output:
+    * the top-20 expansion by stationary mass, picks flagged.
+    *
+    * The composition is the point: every shared relation arrives through
+    * the keyed registry — `retr:dense` (built once for the fusion leg and
+    * the MMR sims), `retr:rrf`, `retr:emb`, `knn:neighbors` — so the
+    * composed job pays each expensive build exactly once per session
+    * (pinned by SharedRelationSpec). Same exact-integer discipline as
+    * q280 (10⁻¹² rank units, 85/100 damping by BIGINT floor-division);
+    * the seed count is a 1-row broadcast, never a collect of data rows.
+    */
+  private val q295: Q = (s, dir) => {
+    val S = 1000000000000L
+    val cand = graft.util.QueryCaches.tracked(
+      rrfFused(s, dir).select(col("query_id"), col("doc_id"),
+        expr("CAST((11 - rank) * 100000 AS BIGINT)").as("rel_q")))
+    val picks = mmrGreedy(cand, candPairSims(cand, embRel(s, dir)), 3)
+    val seeds = picks.select(col("doc_id").as("vec_id")).distinct()
+    val edges = Similarity.knnNeighbors(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = graft.util.QueryCaches.tracked(edges.join(deg, "src"))
+    val nodes = graft.util.QueryCaches.tracked(
+      edges.select(col("src").as("vec_id")).distinct()
+        .join(seeds.withColumn("is_seed", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("is_seed"), lit(0)).as("is_seed")))
+    // 1-row seed count; ANSI div-by-zero makes an empty seed∩graph set
+    // loud rather than silently all-zero mass.
+    val ns = nodes.filter(col("is_seed") === 1).agg(count(lit(1)).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(ns))
+      .select(col("vec_id"), col("is_seed"), expr(
+        s"CAST(CASE WHEN is_seed = 1 THEN ${S}L div ns ELSE 0L END AS BIGINT)")
+        .as("r"))
+    for (_ <- 1 to 5) {
+      val inc = ed.join(ranks.select(col("vec_id").as("src"), col("r")), "src")
+        .select(col("dst").as("vec_id"),
+          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("inc"))
+      ranks = nodes.crossJoin(broadcast(ns))
+        .join(inc, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("is_seed"), expr(
+          s"""CAST(CASE WHEN is_seed = 1 THEN (15L * ${S}L) div (100L * ns)
+             |ELSE 0L END + coalesce(inc, 0L) AS BIGINT)""".stripMargin)
+          .as("r"))
+    }
+    ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
+      .select(col("vec_id"), (col("is_seed") === 1).as("is_pick"),
+        col("r").as("ppr_q"), (col("r").cast("double") / lit(1e12)).as("ppr"))
+  }
+
+  private val q295Sql: String = {
+    val S = "1000000000000"
+    def mmrRound(i: Int): String = {
+      val selUnion = (1 until i).map(j => s"SELECT * FROM s_$j")
+        .mkString(" UNION ALL ")
+      s"""sel_$i AS MATERIALIZED ($selUnion),
+         |s_$i AS MATERIALIZED (
+         |  SELECT query_id, m[3] AS doc_id, $i AS r FROM (
+         |    SELECT c.query_id,
+         |      max(ROW(7 * c.rel_q - 3 * p.ms, -c.doc_id, c.doc_id)) AS m
+         |    FROM cand c
+         |    JOIN (SELECT cs2.query_id, cs2.ca, max(cs2.sim_q) AS ms
+         |          FROM cs2 JOIN sel_$i s ON s.query_id = cs2.query_id
+         |                                AND s.doc_id = cs2.cb
+         |          GROUP BY 1, 2) p
+         |      ON p.query_id = c.query_id AND p.ca = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel_$i s2
+         |                      WHERE s2.query_id = c.query_id
+         |                        AND s2.doc_id = c.doc_id)
+         |    GROUP BY c.query_id) t)""".stripMargin
+    }
+    def pprRound(i: Int): String =
+      s"""p$i AS (
+         |  SELECT nodes.vec_id, nodes.is_seed,
+         |    CASE WHEN nodes.is_seed = 1 THEN (15 * $S) // (100 * ns.ns)
+         |         ELSE 0 END + coalesce(inc.s, 0) AS r
+         |  FROM nodes CROSS JOIN ns LEFT JOIN (
+         |    SELECT ed.dst AS vec_id,
+         |      CAST(sum((85 * p.r) // (100 * deg.outdeg)) AS BIGINT) AS s
+         |    FROM ed JOIN p${i - 1} p ON ed.src = p.vec_id
+         |    JOIN deg ON deg.src = ed.src
+         |    GROUP BY 1) inc ON inc.vec_id = nodes.vec_id)""".stripMargin
+    s"""WITH ${TextDedup.minhashCtes},
+       |${Similarity.knnScoredCtes},
+       |$denseCtesAfterE0,
+       |$fusionCtes,
+       |cand AS MATERIALIZED (SELECT query_id, doc_id,
+       |    CAST((11 - rank) * 100000 AS BIGINT) AS rel_q
+       |  FROM fr WHERE rank <= 10),
+       |cs2 AS MATERIALIZED (SELECT a.query_id, a.doc_id AS ca, b.doc_id AS cb,
+       |    CAST(round(round(list_dot_product(va.v, vb.v)
+       |      / (sqrt(list_dot_product(va.v, va.v))
+       |         * sqrt(list_dot_product(vb.v, vb.v))), 6) * 1e6) AS BIGINT)
+       |      AS sim_q
+       |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+       |                         AND b.doc_id <> a.doc_id
+       |  JOIN e0 va ON va.vec_id = a.doc_id
+       |  JOIN e0 vb ON vb.vec_id = b.doc_id),
+       |s_1 AS MATERIALIZED (
+       |  SELECT query_id, m[3] AS doc_id, 1 AS r FROM (
+       |    SELECT query_id, max(ROW(7 * rel_q, -doc_id, doc_id)) AS m
+       |    FROM cand GROUP BY query_id) t),
+       |${(2 to 3).map(mmrRound).mkString(",\n")},
+       |picks AS (SELECT * FROM s_1 UNION ALL SELECT * FROM s_2
+       |  UNION ALL SELECT * FROM s_3),
+       |seeds AS (SELECT DISTINCT doc_id AS vec_id FROM picks),
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored) t
+       |  WHERE rnk <= 3),
+       |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |nodes AS (SELECT n.vec_id,
+       |    CASE WHEN sd.vec_id IS NULL THEN 0 ELSE 1 END AS is_seed
+       |  FROM (SELECT DISTINCT src AS vec_id FROM ed) n
+       |  LEFT JOIN seeds sd ON sd.vec_id = n.vec_id),
+       |ns AS (SELECT count(*) AS ns FROM nodes WHERE is_seed = 1),
+       |p0 AS (SELECT nodes.vec_id, nodes.is_seed,
+       |    CASE WHEN nodes.is_seed = 1 THEN $S // ns.ns ELSE 0 END AS r
+       |  FROM nodes CROSS JOIN ns),
+       |${(1 to 5).map(pprRound).mkString(",\n")}
+       |SELECT vec_id, is_seed = 1 AS is_pick, r AS ppr_q,
+       |  CAST(r AS DOUBLE) / 1e12 AS ppr
+       |FROM p5 ORDER BY ppr_q DESC, vec_id LIMIT 20""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -497,13 +671,15 @@ object Retrieval {
     "q275_rrf_fusion" -> q275,
     "q276_mmr_diversify" -> q276,
     "q277_jl_distortion" -> q277,
-    "q278_jl_ann_recall" -> q278
+    "q278_jl_ann_recall" -> q278,
+    "q295_retrieval_pipeline" -> q295
   )
 
   val oracle: Map[String, String] = Map(
     "q275_rrf_fusion" -> q275Sql,
     "q276_mmr_diversify" -> q276Sql,
     "q277_jl_distortion" -> q277Sql,
-    "q278_jl_ann_recall" -> q278Sql
+    "q278_jl_ann_recall" -> q278Sql,
+    "q295_retrieval_pipeline" -> q295Sql
   )
 }

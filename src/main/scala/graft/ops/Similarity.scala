@@ -78,9 +78,13 @@ object Similarity {
        |e AS (SELECT e0.vec_id, e0.v, b.bucket FROM e0 JOIN buckets b USING (vec_id))""".stripMargin
 
   /** In-bucket all-directed-pairs scoring CTE shared by q136Sql and
-    * q160Sql — one definition of the kNN candidate set.
+    * q160Sql — one definition of the kNN candidate set. `private[ops]`:
+    * Retrieval's composed pipeline (q295) seeds its PPR expansion over
+    * the same graph, so its oracle must share this chain verbatim.
+    * NOTE: the chain defines `e0 AS (SELECT vec_id, embedding::DOUBLE[]
+    * AS v FROM embeddings)` — a consumer WITH-list must not redefine it.
     */
-  private val knnScoredCtes =
+  private[ops] val knnScoredCtes =
     s"""$bucketPairCtes,
        |scored AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id, round($duckCos, 6) AS cos_sim

@@ -128,6 +128,26 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(strictParse(s"[info] $line").isEmpty)
   }
 
+  test("reps=1 warms with a wider budget fraction; unwarmed queries are stamped cold") {
+    // A single timed pass has no median to absorb a cold first sample, so
+    // the warmup allowance must widen (the r8/r9/r10 phantom-regression
+    // pattern: reps=1 capture + skipped warmup = 2-3x ghost readings)...
+    assert(Bench.warmupFraction(1) > Bench.warmupFraction(3))
+    assert(Bench.warmupFraction(1) >= 0.7 && Bench.warmupFraction(3) <= 0.4)
+    // ...and any query that STILL ran its only timed sample cold must be
+    // marked so judges stop re-adjudicating phantom regressions.
+    val line = Bench.summaryLine(Map("qa" -> 1.0),
+      scala.collection.mutable.LinkedHashMap.empty[String, String],
+      reps = 1, sfDir = "/sf", calib = 0.1, nCold = 3)
+    val node = strictParse(line).getOrElse(fail(s"not strict JSON: $line"))
+    assert(node.get("ncold").asInt == 3)
+    // fully-warmed runs carry no cold field at all
+    val warm = Bench.summaryLine(Map("qa" -> 1.0),
+      scala.collection.mutable.LinkedHashMap.empty[String, String],
+      reps = 1, sfDir = "/sf")
+    assert(!warm.contains("ncold"))
+  }
+
   test("error messages are escaped and truncated; overflow is counted") {
     val errors = scala.collection.mutable.LinkedHashMap(
       (1 to 6).map(i => s"q$i" -> ("a\"b\n" + "x" * 100)): _*)

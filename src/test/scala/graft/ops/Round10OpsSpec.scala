@@ -538,4 +538,23 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(row.getDouble(4) === 1.0, s"uniform density must give LOF 1: $row")
     }
   }
+
+  test("q287 precondition: every kNN neighbor_id is itself a kNN source") {
+    // q287's lrd/kd joins are INNER on the neighbor side: they rely on
+    // every neighbor being a source row of the kNN relation (it shares a
+    // bucket with its picker, so it has >=1 in-bucket neighbor). If
+    // knnNeighbors ever gains a degree/score filter, the joins would
+    // silently drop reach-dist terms and skew LOF instead of failing —
+    // this pins the invariant loudly (ADVICE round-10).
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.util.QueryCaches.drain()
+    val knn = Similarity.knnNeighbors(spark, dir)
+    val orphans = knn.select(col("neighbor_id").as("vec_id")).distinct()
+      .join(knn.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .count()
+    graft.util.QueryCaches.drain()
+    assert(orphans === 0L,
+      s"$orphans neighbor ids are not kNN sources — q287's inner joins would drop their reach terms")
+  }
 }

@@ -106,6 +106,33 @@ class SharedRelationSpec extends AnyFunSuite {
     QueryCaches.drain()
   }
 
+  test("q295 retrieval pipeline composes the shared fused/dense/kNN relations (built once)") {
+    QueryCaches.drain()
+    // Prime the way a composed serving job would: the fusion stage runs
+    // first (building retr:dense, retr:emb and retr:rrf), then the full
+    // fuse→MMR→PPR chain — it must consume the primed relations, not
+    // re-pay the dense scoring pass, the lexical postings or the kNN
+    // bucket join.
+    val fused = Retrieval.rrfFused(spark, dir)
+    val knn = Similarity.knnNeighbors(spark, dir)
+    val before = QueryCaches.pending
+    val rows = graft.SparkEntry.queries("q295_retrieval_pipeline")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(1)), "picked seeds must appear in the top-20 mass")
+    assert(fused eq Retrieval.rrfFused(spark, dir),
+      "q295 must reuse the primed fused relation")
+    assert(knn eq Similarity.knnNeighbors(spark, dir),
+      "q295 must reuse the primed kNN relation")
+    // q295's own caches: candidates, pair sims, PPR edges + nodes — but
+    // never a rebuild of the primed dense/rrf/kNN pipelines (each build
+    // registers its own tracked caches and would blow this bound).
+    assert(QueryCaches.pending <= before + 4,
+      s"q295 registered ${QueryCaches.pending - before} new caches — " +
+      "did it rebuild a primed relation?")
+    QueryCaches.drain()
+  }
+
   test("q167 composes the same shared relations q56/q129 would build") {
     QueryCaches.drain()
     // Prime the registry the way a composed pipeline would (q56 + q129
