@@ -40,7 +40,7 @@ object Retrieval {
     * vectors broadcast, q45's brute kernel at k=20) — (query_id, doc_id,
     * cs, rd). Shared by q275 (fusion leg) and q276 (candidate pool).
     */
-  private def denseTop(s: SparkSession, dir: String): DataFrame =
+  private[ops] def denseTop(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:dense:$dir") {
       val topk = udaf(new graft.functions.TopKByScore(20))
       val e = embRel(s, dir)
@@ -78,23 +78,32 @@ object Retrieval {
     * body, keyed-shared so the composed pipeline (q295) consumes the
     * same build instead of re-paying both legs.
     */
+  /** Lexical leg: shared-3-shingle overlap top-20 per query —
+    * (query_id, doc_id, rl). Keyed-shared: consumed by the fusion
+    * (inside [[rrfFused]]) and as q296's relevance ground truth.
+    */
+  private[ops] def lexicalTop(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"retr:lex:$dir") {
+      val topkL = udaf(new graft.functions.TopKByScore(20))
+      val sets = TextDedup.shingleSetsFor(Tables.spread(Tables.documents(s, dir)))
+      val post = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+        .transform(graft.util.QueryCaches.tracked)
+      val qp = post.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("g"))
+      post.join(broadcast(qp), Seq("g"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+        .groupBy("query_id")
+        .agg(topkL(col("shared").cast("double"), col("doc_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rl"))
+    }
+
   private[ops] def rrfFused(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:rrf:$dir") {
-    val topkL = udaf(new graft.functions.TopKByScore(20))
     val topkF = udaf(new graft.functions.TopKByScore(10))
-    val sets = TextDedup.shingleSetsFor(Tables.spread(Tables.documents(s, dir)))
-    val post = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-      .transform(graft.util.QueryCaches.tracked)
-    val qp = post.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("g"))
-    val lex = post.join(broadcast(qp), Seq("g"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
-      .groupBy("query_id")
-      .agg(topkL(col("shared").cast("double"), col("doc_id")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(col("query_id"), col("col.id").as("doc_id"),
-        (col("pos") + 1).cast("int").as("rl"))
+    val lex = lexicalTop(s, dir)
     val den = denseTop(s, dir).select(col("query_id"), col("doc_id"), col("rd"))
     den.join(lex, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(expr(
@@ -667,12 +676,151 @@ object Retrieval {
        |LEFT JOIN sh ON sh.query_id = ne.query_id
        |ORDER BY ne.query_id""".stripMargin
 
+  /** q296 — tie-free nDCG@10 of the fused hybrid list against
+    * lexical-graded relevance: grade 3 for the lexical leg's top-3,
+    * 2 for ranks 4–10, 1 for 11–20, 0 otherwise, so nDCG measures how
+    * much of the exact-overlap signal survives RRF fusion (q284's AUC
+    * and q291's AP grade a SCORER; this grades a RANKING — the metric
+    * retrieval training pipelines gate checkpoint promotion on).
+    * Exact-arithmetic shape: the rank discounts 1/log2(i+1) are the ten
+    * precomputed BIGINT quanta ⌊10⁹/log2(i+1)⌋ shared VERBATIM with the
+    * oracle (no runtime log on either engine — the one cross-engine
+    * transcendental risk is compiled away), so DCG is an exact BIGINT
+    * dot product. IDCG needs no per-query sort: with graded relevance
+    * the ideal list is "all 3s, then all 2s, then all 1s", so IDCG is a
+    * CLOSED FORM over the per-query grade counts (n3, n2, n1) and the
+    * cumulative discount table C — three map-side-combinable counts
+    * replace the canonical sort-per-query, the shape that matters when
+    * the eval set is 10⁸ queries, not 5. One double division per query
+    * at the end.
+    */
+  private[ops] val NdcgDisc: Seq[Long] = Seq(1000000000L, 630929753L,
+    500000000L, 430676558L, 386852807L, 356207187L, 333333333L,
+    315464876L, 301029995L, 289064826L)
+  private[ops] val NdcgCum: Seq[Long] = Seq(0L, 1000000000L, 1630929753L,
+    2130929753L, 2561606311L, 2948459118L, 3304666305L, 3637999638L,
+    3953464514L, 4254494509L, 4543559335L)
+
+  private val q296: Q = (s, dir) => {
+    val grades = lexicalTop(s, dir).select(col("query_id"), col("doc_id"),
+      when(col("rl") <= 3, 3L).when(col("rl") <= 10, 2L).otherwise(1L).as("g"))
+    val discArr = array(NdcgDisc.map(lit): _*)
+    val cumArr = array(NdcgCum.map(lit): _*)
+    def cum(c: Column): Column = element_at(cumArr, (c + 1).cast("int"))
+    val dcg = rrfFused(s, dir)
+      .join(grades, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("g"), lit(0L)) *
+        element_at(discArr, col("rank"))).as("dcg_q"))
+    val m3 = least(col("n3"), lit(10L))
+    val m2 = least(col("n3") + col("n2"), lit(10L))
+    val m1 = least(col("n3") + col("n2") + col("n1"), lit(10L))
+    val ideal = grades.groupBy("query_id")
+      .agg(sum(when(col("g") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("query_id"),
+        (lit(3L) * cum(m3) + lit(2L) * (cum(m2) - cum(m3)) +
+          (cum(m1) - cum(m2))).as("idcg_q"))
+    dcg.join(ideal, "query_id")
+      .select(col("query_id"), col("dcg_q"), col("idcg_q"),
+        round(col("dcg_q").cast("double") / col("idcg_q").cast("double"), 6)
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  private val q296Sql = {
+    val disc = NdcgDisc.mkString("[", ", ", "]")
+    val cum = NdcgCum.mkString("[", ", ", "]")
+    s"""WITH ${TextDedup.minhashCtes},
+       |$denseCtes,
+       |$fusionCtes,
+       |g AS (SELECT query_id, doc_id,
+       |    CASE WHEN rl <= 3 THEN 3 WHEN rl <= 10 THEN 2 ELSE 1 END AS g
+       |  FROM lr WHERE rl <= 20),
+       |dc AS (SELECT fr.query_id,
+       |    CAST(sum(CAST(coalesce(g.g, 0) AS BIGINT)
+       |      * CAST(($disc)[fr.rank] AS BIGINT)) AS BIGINT) AS dcg_q
+       |  FROM fr LEFT JOIN g ON g.query_id = fr.query_id
+       |                     AND g.doc_id = fr.doc_id
+       |  WHERE fr.rank <= 10 GROUP BY 1),
+       |cc AS (SELECT $cum AS c),
+       |gc AS (SELECT query_id,
+       |    CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM g GROUP BY 1),
+       |id AS (SELECT query_id, CAST(
+       |    3::BIGINT * c[least(n3, 10) + 1]
+       |    + 2::BIGINT * (c[least(n3 + n2, 10) + 1] - c[least(n3, 10) + 1])
+       |    + (c[least(n3 + n2 + n1, 10) + 1] - c[least(n3 + n2, 10) + 1])
+       |  AS BIGINT) AS idcg_q FROM gc, cc)
+       |SELECT dc.query_id, dc.dcg_q, id.idcg_q,
+       |  round(CAST(dc.dcg_q AS DOUBLE) / CAST(id.idcg_q AS DOUBLE), 6) AS ndcg
+       |FROM dc JOIN id ON id.query_id = dc.query_id
+       |ORDER BY dc.query_id""".stripMargin
+  }
+
+  /** q297 — MRR and recall@10 of the fused hybrid list against the
+    * dense leg's exact top-3 as the gold set: the complementary ranking
+    * audit to q296 (graded position quality) — MRR answers "how deep
+    * must a consumer read to hit a gold doc", recall@10 "how much of
+    * the gold set survives fusion at all". Both are exact rationals
+    * (1/rank with rank ≤ 10, hits/3) — IEEE division of small exact
+    * integers, bit-identical cross-engine with no quantization needed.
+    * Scale shape: one left join of two ≤10-row-per-query relations and
+    * one grouped aggregate; first-relevant-rank is min(rank) under a
+    * gold flag, never a sort.
+    */
+  private val q297: Q = (s, dir) => {
+    val gold = denseTop(s, dir).filter(col("rd") <= 3)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("is_gold"))
+    rrfFused(s, dir)
+      .join(gold, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(min(when(col("is_gold") === 1L, col("rank"))), lit(0))
+          .cast("long").as("first_rel_rank"),
+        sum(when(col("is_gold") === 1L, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("first_rel_rank"),
+        round(when(col("first_rel_rank") > 0,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rr"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
+  private val q297Sql =
+    s"""WITH ${TextDedup.minhashCtes},
+       |$denseCtes,
+       |$fusionCtes,
+       |gold AS (SELECT query_id, doc_id FROM dr WHERE rd <= 3),
+       |j AS (SELECT fr.query_id, fr.rank,
+       |    CASE WHEN gold.doc_id IS NULL THEN 0 ELSE 1 END AS is_gold
+       |  FROM fr LEFT JOIN gold ON gold.query_id = fr.query_id
+       |                        AND gold.doc_id = fr.doc_id
+       |  WHERE fr.rank <= 10),
+       |a AS (SELECT query_id,
+       |    CAST(coalesce(min(CASE WHEN is_gold = 1 THEN rank END), 0)
+       |      AS BIGINT) AS first_rel_rank,
+       |    CAST(sum(is_gold) AS BIGINT) AS n_hits
+       |  FROM j GROUP BY 1)
+       |SELECT query_id, first_rel_rank,
+       |  round(CASE WHEN first_rel_rank > 0
+       |    THEN CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS rr,
+       |  n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / CAST(3.0 AS DOUBLE), 6) AS recall_at_10
+       |FROM a ORDER BY query_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q275_rrf_fusion" -> q275,
     "q276_mmr_diversify" -> q276,
     "q277_jl_distortion" -> q277,
     "q278_jl_ann_recall" -> q278,
-    "q295_retrieval_pipeline" -> q295
+    "q295_retrieval_pipeline" -> q295,
+    "q296_ndcg_fused" -> q296,
+    "q297_mrr_recall" -> q297
   )
 
   val oracle: Map[String, String] = Map(
@@ -680,6 +828,8 @@ object Retrieval {
     "q276_mmr_diversify" -> q276Sql,
     "q277_jl_distortion" -> q277Sql,
     "q278_jl_ann_recall" -> q278Sql,
-    "q295_retrieval_pipeline" -> q295Sql
+    "q295_retrieval_pipeline" -> q295Sql,
+    "q296_ndcg_fused" -> q296Sql,
+    "q297_mrr_recall" -> q297Sql
   )
 }

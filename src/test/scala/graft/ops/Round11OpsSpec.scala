@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Crafted/closed-form semantics for the round-11 additions. For the
+  * ranking-eval pair (q296 nDCG, q297 MRR/recall) the strongest pin is a
+  * REFERENCE REIMPLEMENTATION: collect the (tiny) shared retrieval
+  * relations at sf0.001 and recompute both metrics in plain Scala — with
+  * the ideal list built by an explicit sort, NOT the production
+  * closed-form IDCG — then require exact agreement. That proves the
+  * closed-form-counts IDCG equals sort-based IDCG on real data and that
+  * the integer discount table is applied at the right ranks.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q296 nDCG discount constants are floor(1e9/log2(i+1)); cum table is its prefix sum") {
+    val expected = (1 to 10).map(i =>
+      math.floor(1e9 / (math.log(i + 1) / math.log(2))).toLong)
+    assert(Retrieval.NdcgDisc === expected)
+    assert(Retrieval.NdcgCum === Retrieval.NdcgDisc.scanLeft(0L)(_ + _))
+  }
+
+  test("q296 equals a sort-based Scala reimplementation at sf0.001") {
+    val lex = Retrieval.lexicalTop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val fused = Retrieval.rrfFused(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val grade: ((Long, Long)) => Long = { case (q, d) =>
+      lex.find(x => x._1 == q && x._2 == d).map(_._3) match {
+        case Some(rl) if rl <= 3  => 3L
+        case Some(rl) if rl <= 10 => 2L
+        case Some(_)              => 1L
+        case None                 => 0L
+      }
+    }
+    val disc = Retrieval.NdcgDisc
+    val expected = fused.groupBy(_._1).map { case (q, rows) =>
+      val dcg = rows.map { case (_, rank, d) => grade((q, d)) * disc(rank - 1) }.sum
+      // ideal by EXPLICIT sort of this query's grade multiset
+      val grades = lex.filter(_._1 == q).map(x => grade((q, x._2)))
+        .sorted(Ordering[Long].reverse).take(10)
+      val idcg = grades.zipWithIndex.map { case (g, i) => g * disc(i) }.sum
+      q -> ((dcg, idcg,
+        BigDecimal(dcg.toDouble / idcg.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = graft.SparkEntry.queries("q296_ndcg_fused")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (q, (dcg, idcg, ndcg)) =>
+      assert(got(q)._1 === dcg, s"dcg for query $q")
+      assert(got(q)._2 === idcg, s"idcg for query $q")
+      assert(math.abs(got(q)._3 - ndcg) < 1e-9, s"ndcg for query $q")
+    }
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
+    val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Retrieval.rrfFused(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = fused.groupBy(_._1).map { case (q, rows) =>
+      val relRanks = rows.filter(r => gold((q, r._3))).map(_._2)
+      val first = if (relRanks.isEmpty) 0L else relRanks.min.toLong
+      (q, first, relRanks.size.toLong)
+    }.toSet
+    val got = graft.SparkEntry.queries("q297_mrr_recall")(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet === expected)
+    got.foreach { r =>
+      val (first, rr, hits, rec) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(first >= 0 && first <= 10 && hits >= 0 && hits <= 3)
+      if (first == 0) assert(rr === 0.0) else assert(math.abs(rr - 1.0 / first) < 1e-6)
+      assert(math.abs(rec - hits / 3.0) < 1e-6)
+    }
+    graft.util.QueryCaches.drain()
+  }
+}
