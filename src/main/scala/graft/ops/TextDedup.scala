@@ -1540,7 +1540,87 @@ object TextDedup {
        |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q298 — exact-substring SPAN dedup (the operator behind Lee et al.,
+    * ACL'22 "Deduplicating Training Data Makes Language Models Better":
+    * near-dup DOC removal misses verbatim passages embedded in otherwise
+    * distinct documents — licenses, boilerplate, quoted chunks — which
+    * the models then memorize). A token position belongs to a duplicated
+    * span iff some 5-gram through it also occurs in ANOTHER document;
+    * maximal spans are reported per doc with their token mass. Dataflow:
+    * positioned 5-grams map-side (60-bit md5-prefix key, so the shuffle
+    * carries (hash, doc_id, pos) — never gram text); cross-doc
+    * duplicated grams by countDistinct(doc)≥2 over the gram-keyed
+    * relation (vocabulary-sized, partial-aggregated); one semi-join
+    * marks covered start positions; and interval merge needs NO
+    * sequential scan — covered starts q, q' overlap-or-touch iff
+    * q'−q ≤ 5, so maximal spans are gap>5 islands under a PER-DOC
+    * window (bounded by doc length — the scale-safe window kind) and
+    * span [min q, max q + 4] per island. Output: per-doc span count,
+    * duplicated-token mass, longest span, coverage ratio — the
+    * statistics a span-scrubbing pass sizes its work from.
+    */
+  private val q298: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+    val pos = docs
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+        posexplode(expr(shinglesExpr(5))))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("q"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
+      .transform(graft.util.QueryCaches.tracked)
+    val dup = pos.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val cov = pos.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("q")
+    val spans = cov
+      .withColumn("newisl",
+        when(col("q") - lag("q", 1).over(w) > 5, 1L).otherwise(lit(0L)))
+      .withColumn("isl", sum("newisl").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "n_tokens", "isl")
+      .agg(min("q").as("sq"), (max("q") + lit(4L)).as("eq"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("eq") - col("sq") + 1).as("dup_tokens"),
+        max(col("eq") - col("sq") + 1).as("max_span"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens").cast("long").as("dup_tokens"),
+        col("max_span").cast("long").as("max_span"),
+        round(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q298Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, i AS q,
+      |    ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' ||
+      |      words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]), 1, 15))
+      |      ::BIGINT AS gh
+      |  FROM w, unnest(generate_series(1, len(words) - 4)) AS t(i)),
+      |d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |c AS (SELECT g.doc_id, g.n_tokens, g.q FROM g JOIN d ON d.gh = g.gh),
+      |i AS (SELECT doc_id, n_tokens, q,
+      |    CASE WHEN q - lag(q) OVER (PARTITION BY doc_id ORDER BY q) > 5
+      |      THEN 1 ELSE 0 END AS newisl
+      |  FROM c),
+      |s AS (SELECT doc_id, n_tokens, q,
+      |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY q) AS isl FROM i),
+      |sp AS (SELECT doc_id, n_tokens, isl,
+      |    min(q) AS sq, max(q) + 4 AS eq
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT doc_id, n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(eq - sq + 1) AS BIGINT) AS dup_tokens,
+      |  CAST(max(eq - sq + 1) AS BIGINT) AS max_span,
+      |  round(CAST(sum(eq - sq + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS dup_ratio
+      |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q298_span_dedup" -> q298,
     "q274_sorted_neighborhood" -> q274,
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
@@ -1565,6 +1645,7 @@ object TextDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q298_span_dedup" -> q298Sql,
     "q274_sorted_neighborhood" -> q274Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,

@@ -60,6 +60,32 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  private def docsDir(docs: Seq[(Long, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r11-docs").toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q298 span dedup: island merge, two separated spans, coverage ratios") {
+    val d = docsDir(Seq(
+      1L -> "a b c d e f g h i j",                    // starts 1,2,3 dup -> span [1,7]
+      2L -> "x1 x2 a b c d e f g y z w",              // starts 3,4,5 dup -> span [3,9]
+      3L -> "p q r s t u v",                          // no cross-doc 5-gram
+      4L -> "a b c d e u1 u2 u3 u4 u5 u6 c d e f g")) // starts 1 and 12: gap>5 -> 2 spans
+    val got = graft.SparkEntry.queries("q298_span_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L)) // doc 3 has no duplicated span
+    assert(got(1L) === ((10L, 1L, 7L, 7L, 0.7)))
+    assert(got(2L) === ((12L, 1L, 7L, 7L, 0.583333)))
+    assert(got(4L) === ((16L, 2L, 10L, 5L, 0.625)))
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
