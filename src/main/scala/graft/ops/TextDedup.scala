@@ -1619,8 +1619,88 @@ object TextDedup {
       |    AS dup_ratio
       |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
 
+  /** q299 — prefix-filtered exact Jaccard self-join (AllPairs, Bayardo
+    * et al. WWW'07; the candidate core of PPJoin), the FOURTH blocking
+    * family next to LSH bands (q41), gram postings (q43's blocks) and
+    * sorted neighborhoods (q274) — and the only one of the four that is
+    * EXACT: every 3-shingle-set pair with J ≥ 0.8 is guaranteed a
+    * candidate, no probabilistic recall (word sets are too coarse on a
+    * closed vocabulary — measured 32 191 J≥0.8 unigram-set pairs at
+    * sf0.001 vs 27 shingle-set pairs, a quadratic blowup). The filter:
+    * order every doc's shingles by
+    * one GLOBAL rarity order (df asc, shingle asc — rarest first, so
+    * prefixes are maximally selective); two sets with J ≥ t MUST share
+    * a shingle inside their first n − ⌈t·n⌉ + 1 shingles, so the
+    * candidate join is prefix × prefix (an equi-join on the shingle,
+    * each side a ~n/5-fraction of the postings at t = 0.8) plus the
+    * length bound 5·min(na,nb) ≥ 4·max(na,nb). Verification compares
+    * 5·|a∩b| ≥ 4·(na+nb−|a∩b|) in exact integers (t = 4/5 — no float
+    * threshold). Per-doc token ranks come from a PER-DOC window
+    * (bounded by doc vocabulary); the global df relation is one
+    * map-side-combinable count. Completeness is pinned by the spec's
+    * brute-force reference at sf0.001.
+    */
+  private val q299: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ws = shingleSetsFor(Tables.documents(s, dir))
+      .select(col("doc_id"), col("sh").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .transform(graft.util.QueryCaches.tracked)
+    val tok = ws.select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+      explode(col("ws")).as("wrd"))
+    val dfreq = tok.groupBy("wrd").agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfreq, "wrd")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("wrd"))))
+      .filter(expr("r <= n - (4*n + 4) div 5 + 1"))
+      .select(col("doc_id"), col("n"), col("wrd"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.wrd") === col("b.wrd") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.n"), col("b.n")) >=
+            lit(4) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ws.select(col("doc_id").as("doc_a"), col("ws").as("wsa"),
+        size(col("ws")).cast("long").as("na")), "doc_a")
+      .join(ws.select(col("doc_id").as("doc_b"), col("ws").as("wsb"),
+        size(col("ws")).cast("long").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("wsa"), col("wsb"))).cast("long"))
+      .filter(lit(5L) * col("inter") >= lit(4L) * (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q299Sql =
+    s"""WITH ${minhashCtes},
+      |pw AS (SELECT doc_id, list_distinct(shingles) AS ws FROM sh
+      |  WHERE len(shingles) > 0),
+      |pt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, unnest(ws) AS wrd
+      |  FROM pw),
+      |pf AS (SELECT wrd, CAST(count(*) AS BIGINT) AS df FROM pt GROUP BY 1),
+      |pr AS (SELECT pt.doc_id, pt.n, pt.wrd,
+      |    row_number() OVER (PARTITION BY pt.doc_id ORDER BY pf.df, pt.wrd)
+      |      AS r
+      |  FROM pt JOIN pf USING (wrd)),
+      |pp AS (SELECT doc_id, n, wrd FROM pr WHERE r <= n - (4*n + 4) // 5 + 1),
+      |pc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pp a JOIN pp b ON b.wrd = a.wrd AND a.doc_id < b.doc_id
+      |    AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+      |pv AS (SELECT doc_a, doc_b,
+      |    CAST(len(wa.ws) AS BIGINT) AS na, CAST(len(wb.ws) AS BIGINT) AS nb,
+      |    CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS inter
+      |  FROM pc JOIN pw wa ON wa.doc_id = doc_a
+      |          JOIN pw wb ON wb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, na, nb, inter,
+      |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jac
+      |FROM pv WHERE 5 * inter >= 4 * (na + nb - inter)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q298_span_dedup" -> q298,
+    "q299_prefix_filter_join" -> q299,
     "q274_sorted_neighborhood" -> q274,
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
@@ -1646,6 +1726,7 @@ object TextDedup {
 
   val oracle: Map[String, String] = Map(
     "q298_span_dedup" -> q298Sql,
+    "q299_prefix_filter_join" -> q299Sql,
     "q274_sorted_neighborhood" -> q274Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,

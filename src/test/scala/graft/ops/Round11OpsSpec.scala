@@ -86,6 +86,25 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q299 prefix filter is EXACT: equals brute-force all-pairs J>=0.8 at sf0.001") {
+    val sets = TextDedup.shingleSetsFor(
+      graft.source.Tables.documents(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val brute = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (da, sa) = sets(i); (db, sb) = sets(j)
+      inter = (sa & sb).size
+      if 5L * inter >= 4L * (sa.size + sb.size - inter)
+    } yield (da, db)).toSet
+    val got = graft.SparkEntry.queries("q299_prefix_filter_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture should contain at least one J>=0.8 pair")
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
