@@ -1698,9 +1698,86 @@ object TextDedup {
       |FROM pv WHERE 5 * inter >= 4 * (na + nb - inter)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q300 — leakage-free train/val/test split: hash-assign whole
+    * NEAR-DUP CLUSTERS (q56's connected components over verified J ≥ 0.5
+    * pairs; singletons are their own cluster) to splits 80/10/10, so a
+    * training document's near-duplicate can never land in eval — the
+    * contamination mode a doc-level hash split provably has (any
+    * verified pair split across train/test is leaked memorization
+    * surface; q79 measures the contamination, this op PREVENTS it).
+    * The audit columns make the guarantee observable: cross_split_pairs
+    * counts verified pairs whose endpoints disagree on split — zero BY
+    * CONSTRUCTION, and both engines prove the zero rather than assume
+    * it. Scale shape: one left join of docs against the keyed-shared
+    * cluster relation, a 60-bit md5 bucket on the cluster id (exact,
+    * engine-identical), per-split counts map-side-combinable, and the
+    * leakage audit joins the TINY verified-pair relation against the
+    * (doc, split) projection twice.
+    */
+  private val q300: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val assign = docs
+      .join(lexicalClusters(s, dir).select(col("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("h",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("h") < 8, "train").when(col("h") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("n_chars"), col("cluster_id"), col("split"))
+      .transform(graft.util.QueryCaches.tracked)
+    val stats = assign.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("cluster_id").as("n_clusters"),
+      sum("n_chars").cast("long").as("n_chars"))
+    val sp = assign.select(col("doc_id"), col("split"))
+    val leaks = verifiedPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    val perSplit = leaks.select(col("sa").as("split"))
+      .unionByName(leaks.select(col("sb").as("split")))
+      .groupBy("split").agg(count(lit(1)).as("cross_split_pairs"))
+    stats.join(perSplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("n_chars"),
+        coalesce(col("cross_split_pairs"), lit(0L)).as("cross_split_pairs"))
+      .orderBy("split")
+  }
+
+  private val q300Sql =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |asg AS (SELECT d.doc_id, d.n_chars,
+       |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |asp AS (SELECT doc_id, n_chars, cluster_id,
+       |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |      ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 10
+       |        AS h FROM asg) t),
+       |st AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM asp GROUP BY 1),
+       |lk0 AS (SELECT pa.split AS sa, pb.split AS sb
+       |  FROM edges e JOIN asp pa ON pa.doc_id = e.doc_a
+       |               JOIN asp pb ON pb.doc_id = e.doc_b
+       |  WHERE pa.split <> pb.split),
+       |lk AS (SELECT split, CAST(count(*) AS BIGINT) AS cross_split_pairs
+       |  FROM (SELECT sa AS split FROM lk0
+       |        UNION ALL SELECT sb FROM lk0) t GROUP BY 1)
+       |SELECT st.split, st.n_docs, st.n_clusters, st.n_chars,
+       |  coalesce(lk.cross_split_pairs, 0) AS cross_split_pairs
+       |FROM st LEFT JOIN lk ON lk.split = st.split
+       |ORDER BY st.split""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q298_span_dedup" -> q298,
     "q299_prefix_filter_join" -> q299,
+    "q300_leakage_free_split" -> q300,
     "q274_sorted_neighborhood" -> q274,
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
@@ -1727,6 +1804,7 @@ object TextDedup {
   val oracle: Map[String, String] = Map(
     "q298_span_dedup" -> q298Sql,
     "q299_prefix_filter_join" -> q299Sql,
+    "q300_leakage_free_split" -> q300Sql,
     "q274_sorted_neighborhood" -> q274Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,

@@ -105,6 +105,36 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q300 splits partition the corpus, zero leaked pairs, assignment matches reference") {
+    val got = graft.SparkEntry.queries("q300_leakage_free_split")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.values.forall(_._4 == 0L), "leaked near-dup pairs must be zero")
+    // reference reimplementation: cluster id from q56 (self for singletons),
+    // split from the 60-bit md5 prefix of the cluster id, mod 10
+    val clusters = graft.SparkEntry.queries("q56_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(cid: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(cid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (BigInt(hex, 16) % 10).toInt match {
+        case b if b < 8 => "train"; case 8 => "val"; case _ => "test"
+      }
+    }
+    val expected = docs.groupBy { case (id, _) => split(clusters.getOrElse(id, id)) }
+      .map { case (sp, rows) =>
+        sp -> ((rows.length.toLong,
+          rows.map(r => clusters.getOrElse(r._1, r._1)).distinct.length.toLong,
+          rows.map(_._2).sum, 0L)) }
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
