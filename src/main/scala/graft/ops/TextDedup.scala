@@ -1774,10 +1774,94 @@ object TextDedup {
        |FROM st LEFT JOIN lk ON lk.split = st.split
        |ORDER BY st.split""".stripMargin
 
+  /** q301 — content-defined chunking (CDC) dedup audit, the storage-level
+    * complement of q298's span dedup (FastCDC/LBFS lineage: boundaries
+    * depend only on LOCAL content, so an insertion early in a document
+    * shifts every fixed-size block but re-aligns CDC chunks after one
+    * boundary — the property that lets a 100 TB crawl store near-identical
+    * page revisions once). Boundary rule: a chunk break BEFORE token i
+    * (i ≥ 2) iff the 60-bit md5 prefix of the 3-gram starting at i is
+    * ≡ 0 mod 16 (expected chunk ≈ 16 tokens, window w = 3). The entire
+    * chunking is MAP-SIDE array algebra — boundary positions, starts,
+    * chunk texts all from filter/transform/slice HOFs inside one
+    * projection, no window, no shuffle until the chunk-hash groupBy —
+    * then one count per distinct chunk hash (vocabulary-sized) and a
+    * per-source rollup. Output per source: chunk counts, distinct
+    * chunks, duplicated-chunk occurrences and token mass, dedup ratio —
+    * the numbers a chunk-store sizes itself from.
+    */
+  private val q301: Q = (s, dir) => {
+    // starts = [1] ++ boundary positions; chunk j spans
+    // [starts(j), nextStart-1] (last chunk to n) — all map-side HOFs.
+    val withChunks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .withColumn("starts", expr(
+        """concat(array(1),
+          |  CASE WHEN n < 4 THEN array()
+          |  ELSE filter(sequence(2, n - 2), i ->
+          |    CAST(conv(substring(md5(concat_ws(' ', slice(words, i, 3))),
+          |      1, 15), 16, 10) AS BIGINT) % 16 = 0) END)""".stripMargin))
+      .withColumn("chunk", explode(expr(
+        """transform(sequence(1, size(starts)), j ->
+          |  concat_ws(' ', slice(words, element_at(starts, j),
+          |    (IF(j < size(starts), element_at(starts, j + 1), n + 1))
+          |      - element_at(starts, j))))""".stripMargin)))
+      .select(col("doc_id"), col("source"), md5(col("chunk")).as("chash"),
+        size(split(col("chunk"), " ")).cast("long").as("toks"))
+      .transform(graft.util.QueryCaches.tracked)
+    val global = withChunks.groupBy("chash").agg(count(lit(1)).as("gocc"))
+    withChunks.join(global, "chash")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct("chash").as("n_distinct"),
+        sum(when(col("gocc") >= 2, 1L).otherwise(0L)).as("dup_occurrences"),
+        sum(when(col("gocc") >= 2, col("toks")).otherwise(0L)).as("dup_tokens"),
+        sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        col("dup_occurrences"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  private val q301Sql =
+    """WITH cw AS (SELECT doc_id, source, string_split(text, ' ') AS words
+      |  FROM documents),
+      |cb AS (SELECT doc_id, source, words, len(words) AS n,
+      |    list_prepend(1, CASE WHEN len(words) < 4 THEN []
+      |      ELSE list_filter(generate_series(2, len(words) - 2), i ->
+      |        ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' ||
+      |          words[i+2]), 1, 15))::BIGINT % 16 = 0) END) AS starts
+      |  FROM cw),
+      |ch AS (SELECT doc_id, source,
+      |    unnest(list_transform(generate_series(1, len(starts)), j ->
+      |      array_to_string(words[starts[j]:
+      |        (CASE WHEN j < len(starts) THEN starts[j+1] - 1
+      |         ELSE n END)], ' '))) AS chunk
+      |  FROM cb),
+      |ct AS (SELECT doc_id, source, md5(chunk) AS chash,
+      |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS toks FROM ch),
+      |cg AS (SELECT chash, CAST(count(*) AS BIGINT) AS gocc
+      |  FROM ct GROUP BY 1)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT ct.chash) AS BIGINT) AS n_distinct,
+      |  CAST(sum(CASE WHEN gocc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_occurrences,
+      |  CAST(sum(CASE WHEN gocc >= 2 THEN toks ELSE 0 END) AS BIGINT)
+      |    AS dup_tokens,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CASE WHEN gocc >= 2 THEN toks ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(toks) AS DOUBLE), 6) AS dup_ratio
+      |FROM ct JOIN cg ON cg.chash = ct.chash
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q298_span_dedup" -> q298,
     "q299_prefix_filter_join" -> q299,
     "q300_leakage_free_split" -> q300,
+    "q301_cdc_chunking" -> q301,
     "q274_sorted_neighborhood" -> q274,
     "q40_dedup_exact" -> q40,
     "q41_dedup_minhash_lsh" -> q41,
@@ -1805,6 +1889,7 @@ object TextDedup {
     "q298_span_dedup" -> q298Sql,
     "q299_prefix_filter_join" -> q299Sql,
     "q300_leakage_free_split" -> q300Sql,
+    "q301_cdc_chunking" -> q301Sql,
     "q274_sorted_neighborhood" -> q274Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_dedup_minhash_lsh" -> q41Sql,

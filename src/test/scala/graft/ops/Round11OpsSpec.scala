@@ -135,6 +135,57 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  // Scala reference of q301's chunker: break BEFORE 1-based token i (i>=2)
+  // iff the 60-bit md5 prefix of the 3-gram starting at i is = 0 mod 16.
+  private def cdcChunks(words: Seq[String]): Seq[Seq[String]] = {
+    def h60(sIdx: Int): Long = {
+      val gram = words.slice(sIdx - 1, sIdx + 2).mkString(" ")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16).toLong
+    }
+    val n = words.length
+    val bpos = if (n < 4) Seq() else (2 to n - 2).filter(i => h60(i) % 16 == 0)
+    val starts = 1 +: bpos
+    starts.zipWithIndex.map { case (st, j) =>
+      val end = if (j + 1 < starts.length) starts(j + 1) - 1 else n
+      words.slice(st - 1, end)
+    }
+  }
+
+  test("q301 CDC chunking: re-alignment after insertion; aggregates match reference") {
+    val base = (1 to 200).map(i => "w" + (i * 7919 % 997))
+    val shifted = Seq("junk1", "junk2", "junk3") ++ base
+    assert(cdcChunks(base).length > 2, "fixture must contain boundaries")
+    // the CDC property: a head insertion re-aligns after one boundary, so
+    // the two docs share chunks (fixed-size blocking would share none)
+    val common = cdcChunks(base).map(_.mkString(" ")).toSet &
+      cdcChunks(shifted).map(_.mkString(" ")).toSet
+    assert(common.nonEmpty, "insertion must re-align to common chunks")
+    // exact aggregate agreement with the query on a crafted two-source dir
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r11-cdc").toString
+    Seq((1L, base.mkString(" "), "en", "srcA", 1L),
+        (2L, shifted.mkString(" "), "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val all = Seq("srcA" -> cdcChunks(base), "srcB" -> cdcChunks(shifted))
+      .flatMap { case (src, cs) => cs.map(c => (src, c.mkString(" "), c.length.toLong)) }
+    val gcount = all.groupBy(_._2).map { case (c, o) => c -> o.size }
+    val expected = all.groupBy(_._1).map { case (src, rows) =>
+      val dup = rows.filter(r => gcount(r._2) >= 2)
+      src -> ((rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+        dup.size.toLong, dup.map(_._3).sum, rows.map(_._3).sum))
+    }
+    val got = graft.SparkEntry.queries("q301_cdc_chunking")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    assert(got("srcA")._4 > 0, "shared chunks must register as dup token mass")
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
