@@ -1390,7 +1390,57 @@ object Corpus {
        |WHERE rn <= 100
        |ORDER BY key_q DESC, doc_id""".stripMargin
 
+  /** q302 — stochastic universal sampling (Baker '87 — systematic
+    * weighted sampling, the particle-filter/data-mixing resampler):
+    * k = 64 equally-spaced pointers sweep the cumulative weight axis
+    * once, picking the doc whose weight interval contains each pointer
+    * — EXACT expected counts (a doc with weight share p is picked
+    * ⌊kp⌋ or ⌈kp⌉ times, never the multinomial variance of per-row
+    * draws like q92, never the O(k log n) heap of a reservoir like
+    * q266). All arithmetic is exact BIGINT on the 2k-scaled axis:
+    * pointer j sits at W·(2j+1) and doc intervals are [2k·pfx,
+    * 2k·(pfx+w)) — exact while W·2k < 2⁶³ (W < 7·10¹⁶ total weight at
+    * k = 64; document char mass at 100 TB ≈ 10¹⁴, inside the bound).
+    * Scale shape: the exclusive prefix sum is [[GlobalRank.prefixSum]]
+    * (range partition + P-long driver metadata — never a single
+    * reducer), the 64 pointers come from one 1-row aggregate exploded
+    * and BROADCAST against the interval relation; each pointer matches
+    * exactly one doc, so the nested-loop side is provably 64 rows.
+    */
+  private val q302: Q = (s, dir) => {
+    val k = 64
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val pfx = GlobalRank.prefixSum(docs, "pfx", col("w"), Seq(col("doc_id")))
+    val picks = docs.agg(sum("w").cast("long").as("W"))
+      .select(explode(expr(s"transform(sequence(0, ${k - 1}), j -> " +
+        "struct(CAST(j AS BIGINT) AS j, W * CAST(2*j + 1 AS BIGINT) AS t))"))
+        .as("p"))
+      .select(col("p.j").as("j"), col("p.t").as("target"))
+    pfx.join(broadcast(picks),
+        col("target") >= col("pfx") * (2 * k) &&
+          col("target") < (col("pfx") + col("w")) * (2 * k))
+      .select(col("j"), col("target"), col("doc_id"), col("w"))
+      .orderBy("j")
+  }
+
+  private val q302Sql =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+      |p AS (SELECT doc_id, w,
+      |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS pfx
+      |  FROM d),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+      |ps AS (SELECT CAST(j AS BIGINT) AS j, tw * (2*j + 1) AS target
+      |  FROM t, unnest(generate_series(0, 63)) AS g(j))
+      |SELECT ps.j, ps.target, p.doc_id, p.w
+      |FROM ps JOIN p ON ps.target >= p.pfx * 128
+      |              AND ps.target < (p.pfx + p.w) * 128
+      |ORDER BY ps.j""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q302_systematic_sample" -> q302,
     "q290_l_diversity" -> q290,
     "q266_weighted_reservoir" -> q266,
     "q260_gram_df_spectrum" -> q260,
@@ -1422,6 +1472,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q302_systematic_sample" -> q302Sql,
     "q290_l_diversity" -> q290Sql,
     "q266_weighted_reservoir" -> q266Sql,
     "q260_gram_df_spectrum" -> q260Sql,

@@ -186,6 +186,32 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q302 systematic sample: matches Scala reference; counts are floor/ceil of k*share") {
+    val docs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val w = docs.map(_._2)
+    val pfx = w.scanLeft(0L)(_ + _) // pfx(i) exclusive, last = W
+    val bigW = pfx.last
+    val expected = (0 until 64).map { j =>
+      val target = bigW * (2 * j + 1)
+      val i = docs.indices.find(i =>
+        target >= pfx(i) * 128 && target < (pfx(i) + w(i)) * 128).get
+      (j.toLong, target, docs(i)._1, w(i))
+    }
+    val got = graft.SparkEntry.queries("q302_systematic_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // SUS guarantee: every doc is picked floor(k*p) or ceil(k*p) times
+    val picks = got.groupBy(_._3).view.mapValues(_.length).toMap
+    docs.foreach { case (id, wi) =>
+      val kp = 64.0 * wi / bigW
+      val c = picks.getOrElse(id, 0)
+      assert(c >= math.floor(kp) && c <= math.ceil(kp), s"doc $id count $c vs k*p $kp")
+    }
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
