@@ -1906,7 +1906,79 @@ object Stats {
       |  CAST(CAST(sum(termq) AS BIGINT) AS DOUBLE) / 1e7 AS psi_bits
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** q303 — Poisson bootstrap of the mean document length (Chamandy et
+    * al., Google '12 — THE distributed bootstrap: classical resampling
+    * needs n draws per replicate coordinated globally, Poissonization
+    * gives every row an INDEPENDENT Poisson(1) replicate weight, so all
+    * B = 32 replicates run as one map-side fan-out + partial aggregate,
+    * no global coordination). Determinism: the per-(doc, replicate)
+    * weight is the inverse-CDF of Poisson(1) evaluated on a 2²⁰-grid
+    * md5 draw against nine precomputed integer thresholds — both
+    * engines share the literal table, no runtime exp/factorial.
+    * Replicate means are floor-quantized to 10⁻⁴ BIGINT units BEFORE
+    * the cross-replicate moments, so min/max/Σ/Σ² are exact integers
+    * in any aggregation order (Σmq² ≤ 32·(10⁴·mean)² — exact to mean
+    * length 10⁸ chars); the one double step is the final se division +
+    * IEEE-exact sqrt. Output: point mean, bootstrap min/max replicate
+    * mean, bootstrap standard error — the uncertainty a 100 TB corpus
+    * stat ships with, at one extra aggregate's cost.
+    */
+  private val q303: Q = (s, dir) => {
+    val thr = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+      1047952L, 1048488L, 1048565L, 1048574L)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+    val reps = docs
+      .select(col("doc_id"), col("nc"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_',
+          |  CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1048576"""
+          .stripMargin))
+      .withColumn("wt", expr(
+        s"CAST(size(filter(array(${thr.mkString(",")}), t -> t <= u)) AS BIGINT)"))
+      .groupBy("b")
+      .agg(sum(col("wt") * col("nc")).as("swc"), sum(col("wt")).as("sw"))
+      .select(expr("(10000 * swc) div sw").as("mq"))
+    val boot = reps.agg(
+      min("mq").as("boot_min_mq"), max("mq").as("boot_max_mq"),
+      sum("mq").as("s1"), sum(col("mq") * col("mq")).as("s2"))
+    val point = docs.agg(count(lit(1)).as("n_docs"),
+      expr("(10000 * sum(nc)) div count(1)").as("point_mq"))
+    point.crossJoin(boot) // 1-row × 1-row scalar combine
+      .select(col("n_docs"), col("point_mq"), col("boot_min_mq"),
+        col("boot_max_mq"),
+        round(sqrt((lit(32L) * col("s2") - col("s1") * col("s1"))
+          .cast("double") / lit(32.0 * 31.0)) / lit(10000.0), 6).as("boot_se"))
+  }
+
+  private val q303Sql = {
+    val thr = "[385749, 771499, 964373, 1028665, 1044738, 1047952, " +
+      "1048488, 1048565, 1048574]"
+    s"""WITH reps AS (SELECT b,
+       |    (10000 * sum(wt * nc)) // sum(wt) AS mq
+       |  FROM (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS nc, g.b,
+       |      CAST(len(list_filter($thr, t -> t <=
+       |        ('0x' || substr(md5(d.doc_id::VARCHAR || '_' || g.b::VARCHAR),
+       |          1, 15))::BIGINT % 1048576)) AS BIGINT) AS wt
+       |    FROM documents d, unnest(generate_series(0, 31)) AS g(b)) t
+       |  GROUP BY b),
+       |boot AS (SELECT CAST(min(mq) AS BIGINT) AS boot_min_mq,
+       |    CAST(max(mq) AS BIGINT) AS boot_max_mq,
+       |    CAST(sum(mq) AS BIGINT) AS s1,
+       |    CAST(sum(mq * mq) AS BIGINT) AS s2 FROM reps),
+       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST((10000 * sum(CAST(n_chars AS BIGINT))) // count(*) AS BIGINT)
+       |      AS point_mq
+       |  FROM documents)
+       |SELECT n_docs, point_mq, boot_min_mq, boot_max_mq,
+       |  round(sqrt(CAST(32 * s2 - s1 * s1 AS DOUBLE)
+       |    / CAST(32.0 * 31.0 AS DOUBLE)) / CAST(10000.0 AS DOUBLE), 6)
+       |    AS boot_se
+       |FROM pt, boot""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q303_poisson_bootstrap" -> q303,
     "q292_psi_drift" -> q292,
     "q272_ks_matrix" -> q272,
     "q271_cusum_changepoint" -> q271,
@@ -1935,6 +2007,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q303_poisson_bootstrap" -> q303Sql,
     "q292_psi_drift" -> q292Sql,
     "q272_ks_matrix" -> q272Sql,
     "q271_cusum_changepoint" -> q271Sql,

@@ -212,6 +212,42 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q303 Poisson bootstrap: thresholds match Poisson(1) CDF; output matches reference") {
+    val thr = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+      1047952L, 1048488L, 1048565L, 1048574L)
+    // pin the literal table against the recomputed CDF
+    var cum = 0.0; var fact = 1.0
+    val recomputed = (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      math.floor(cum * (1L << 20)).toLong
+    }
+    assert(thr === recomputed)
+    // full reference at sf0.001
+    val docs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16).toLong % 1048576L
+    }
+    val mqs = (0 to 31).map { b =>
+      val ws = docs.map { case (id, nc) => (thr.count(_ <= u(id, b)).toLong, nc) }
+      (10000L * ws.map(w => w._1 * w._2).sum) / ws.map(_._1).sum
+    }
+    val (s1, s2) = (mqs.sum, mqs.map(m => m * m).sum)
+    val expSe = BigDecimal(math.sqrt((32.0 * s2 - 1.0 * s1 * s1) / (32.0 * 31.0)) / 10000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.SparkEntry.queries("q303_poisson_bootstrap")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) === docs.length.toLong)
+    assert(r.getLong(1) === (10000L * docs.map(_._2).sum) / docs.length)
+    assert(r.getLong(2) === mqs.min && r.getLong(3) === mqs.max)
+    assert(math.abs(r.getDouble(4) - expSe) < 1e-9)
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
