@@ -3660,7 +3660,110 @@ object Similarity {
        |FROM asg GROUP BY 1 ORDER BY center_id""".stripMargin
   }
 
+  /** q304 — graph-walk ANN: greedy BEAM SEARCH over the kNN graph (the
+    * search procedure of HNSW's base layer / NSW, Malkov & Yashunin —
+    * the graph-based ANN family the index-side q45/LSH/IVF/PQ/JL
+    * variants don't cover): start every query at one global entry
+    * point (the smallest non-query vec), and for three hops expand the
+    * frontier's neighbors, score them against the query, and keep a
+    * beam of the best B = 4 — navigable-small-world routing where each
+    * hop moves the beam closer in cosine space WITHOUT scanning any
+    * bucket. Scale shape per hop: frontier ⋈ edges (the ≤3-out-degree
+    * shared symmetric relation), one broadcast-query scoring join, a
+    * (query, node) max-dedup groupBy and a bounded TopKByScore — beam
+    * state is ≤ B rows/query, frontier only the NEWLY admitted nodes
+    * (anti-join vs the previous beam), lineage truncated per hop (the
+    * q233/q237 iterative discipline). Output: the final beam with hop
+    * count fixed at 3 — recall vs the exact top-B is the audit a real
+    * deployment tunes B and hops against (q278's epistemics: on this
+    * near-uniform corpus the walk plateaus quickly; the MECHANISM is
+    * what the cross-engine gate pins).
+    */
+  private val q304: Q = (s, dir) => {
+    val B = 4
+    val topk = udaf(new graft.functions.TopKByScore(B))
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .transform(graft.util.QueryCaches.tracked)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val entry = emb.filter(col("vec_id") >= 5)
+      .agg(min("vec_id").as("doc_id")) // 1-row global entry point
+    def scoreOf(nodes: DataFrame): DataFrame =
+      nodes.join(emb.select(col("vec_id").as("doc_id"), col("v")), "doc_id")
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(expr(cosExpr("qv", "v")), 6).as("cs"))
+    val edges = symKnnEdges(s, dir)
+    var beam = scoreOf(q.select(col("query_id")).crossJoin(broadcast(entry)))
+      .withColumn("rank", lit(1))
+    var frontier = beam.select("query_id", "doc_id")
+    for (hop <- 1 to 3) {
+      val expanded = frontier
+        .join(edges.withColumnRenamed("src", "doc_id"), "doc_id")
+        .select(col("query_id"), col("dst").as("doc_id")).distinct()
+      val union = beam.select("query_id", "doc_id", "cs")
+        .unionByName(scoreOf(expanded))
+        .groupBy("query_id", "doc_id").agg(max("cs").as("cs"))
+      val newBeam = union.groupBy("query_id")
+        .agg(topk(col("cs"), col("doc_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          col("col.score").as("cs"), (col("pos") + 1).cast("int").as("rank"))
+      frontier = graft.util.Lineage.truncate(newBeam
+        .join(beam.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .select("query_id", "doc_id"))
+      beam = graft.util.Lineage.truncate(newBeam)
+    }
+    beam.select(col("query_id"), col("rank"), col("doc_id"), col("cs"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q304Sql = {
+    val cosQ =
+      """round(list_dot_product(qv2.qv, e0.v)
+        |  / (sqrt(list_dot_product(qv2.qv, qv2.qv))
+        |     * sqrt(list_dot_product(e0.v, e0.v))), 6)""".stripMargin
+    def hop(i: Int): String =
+      s"""ex$i AS (SELECT DISTINCT f.query_id, s.dst AS doc_id
+         |  FROM fr${i - 1} f JOIN sym s ON s.src = f.doc_id),
+         |sc$i AS (SELECT x.query_id, x.doc_id, $cosQ AS cs
+         |  FROM ex$i x JOIN e0 ON e0.vec_id = x.doc_id
+         |              JOIN qv2 ON qv2.query_id = x.query_id),
+         |u$i AS (SELECT query_id, doc_id, max(cs) AS cs FROM (
+         |    SELECT query_id, doc_id, cs FROM bm${i - 1}
+         |    UNION ALL SELECT query_id, doc_id, cs FROM sc$i) t
+         |  GROUP BY 1, 2),
+         |bm$i AS MATERIALIZED (SELECT query_id, doc_id, cs, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, doc_id) AS rn FROM u$i) t
+         |  WHERE rn <= 4),
+         |fr$i AS (SELECT b.query_id, b.doc_id FROM bm$i b
+         |  WHERE NOT EXISTS (SELECT 1 FROM bm${i - 1} p
+         |    WHERE p.query_id = b.query_id AND p.doc_id = b.doc_id))"""
+        .stripMargin
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b FROM knn),
+       |sym AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |qv2 AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 5),
+       |en AS (SELECT min(vec_id) AS doc_id FROM e0 WHERE vec_id >= 5),
+       |bm0 AS (SELECT qv2.query_id, en.doc_id, $cosQ AS cs, 1 AS rn
+       |  FROM qv2 CROSS JOIN en JOIN e0 ON e0.vec_id = en.doc_id),
+       |fr0 AS (SELECT query_id, doc_id FROM bm0),
+       |${(1 to 3).map(hop).mkString(",\n")}
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, cs
+       |FROM bm3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q304_graph_ann_beam" -> q304,
     "q285_boruvka_step" -> q285,
     "q287_lof_outliers" -> q287,
     "q293_pca_power" -> q293,
@@ -3718,6 +3821,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q304_graph_ann_beam" -> q304Sql,
     "q285_boruvka_step" -> q285Sql,
     "q287_lof_outliers" -> q287Sql,
     "q293_pca_power" -> q293Sql,

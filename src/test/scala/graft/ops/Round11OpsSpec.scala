@@ -248,6 +248,45 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q304 graph ANN beam: matches a Scala replay; beam nodes reachable in <=3 hops") {
+    val emb = graft.source.Tables.spread(
+      graft.source.Tables.embeddings(spark, dir))
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sym = Similarity.symKnnEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val entry = emb.keys.filter(_ >= 5).min
+    val expected = (0L to 4L).flatMap { qid =>
+      val qv = emb(qid)
+      var beam = Seq(entry -> cos(qv, emb(entry)))
+      var frontier = Seq(entry)
+      for (_ <- 1 to 3) {
+        val cand = frontier.flatMap(n => sym.getOrElse(n, Set())).distinct
+        val union = (beam ++ cand.map(c => c -> cos(qv, emb(c))))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max }.toSeq
+        val newBeam = union.sortBy { case (n, c) => (-c, n) }.take(4)
+        frontier = newBeam.map(_._1).filterNot(beam.map(_._1).toSet)
+        beam = newBeam
+      }
+      beam.zipWithIndex.map { case ((n, c), i) => (qid, i + 1, n, c) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q304_graph_ann_beam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    // structural pin: every beam node is within 3 hops of the entry point
+    var reach = Set(entry)
+    for (_ <- 1 to 3) reach = reach ++ reach.flatMap(n => sym.getOrElse(n, Set()))
+    assert(got.map(_._3).forall(reach))
+    graft.util.QueryCaches.drain()
+  }
+
   test("q297 equals a Scala reimplementation at sf0.001; invariants hold") {
     val gold = Retrieval.denseTop(spark, dir).filter("rd <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
