@@ -3762,7 +3762,46 @@ object Similarity {
        |FROM bm3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q307 — reciprocal (mutual) kNN pairs: a ↔ b where each is in the
+    * other's top-3 — the symmetric-evidence subgraph that robustifies
+    * density/cluster pipelines (mutual-kNN is the edge set SNN
+    * clustering and HDBSCAN-style pipelines trust because one-sided
+    * kNN edges from a hub node carry no reciprocity evidence; q191's
+    * hubness audit measures the asymmetry this filters out). One
+    * self-join of the keyed-shared kNN relation on the swapped key
+    * pair (equi-join, ≤3 rows per node per side), canonical a < b
+    * triangle, both direction ranks reported. A 100 TB run is two
+    * passes over the already-built directed relation — the mutuality
+    * filter costs one narrow shuffle.
+    */
+  private val q307: Q = (s, dir) => {
+    val k = knnNeighbors(s, dir)
+    val fwd = k.select(col("vec_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+      col("cos_sim"), col("rank").as("rank_ab"))
+    val rev = k.select(col("vec_id").as("rb_src"), col("neighbor_id").as("rb_dst"),
+      col("rank").as("rank_ba"))
+    fwd.filter(col("vec_a") < col("vec_b"))
+      .join(rev, col("rb_src") === col("vec_b") && col("rb_dst") === col("vec_a"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val q307Sql =
+    s"""WITH $knnScoredCtes,
+       |knnr AS (SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t WHERE rank <= 3)
+       |SELECT f.vec_id AS vec_a, f.neighbor_id AS vec_b, f.cos_sim,
+       |  f.rank AS rank_ab, r.rank AS rank_ba
+       |FROM knnr f JOIN knnr r ON r.vec_id = f.neighbor_id
+       |                       AND r.neighbor_id = f.vec_id
+       |WHERE f.vec_id < f.neighbor_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q307_mutual_knn" -> q307,
     "q304_graph_ann_beam" -> q304,
     "q285_boruvka_step" -> q285,
     "q287_lof_outliers" -> q287,
@@ -3821,6 +3860,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q307_mutual_knn" -> q307Sql,
     "q304_graph_ann_beam" -> q304Sql,
     "q285_boruvka_step" -> q285Sql,
     "q287_lof_outliers" -> q287Sql,

@@ -1977,7 +1977,141 @@ object Stats {
        |FROM pt, boot""".stripMargin
   }
 
+  /** q305 — Mann–Whitney U (Wilcoxon rank-sum) drift test of each
+    * source's document-length distribution against the rest of the
+    * corpus: the NONPARAMETRIC location test complementing q292's
+    * binned PSI and q272's KS distance — U detects a stochastic shift
+    * without choosing bins or trusting moments. Value-domain
+    * decomposition (q284's discipline, pushed further): lengths are
+    * bounded integers, so ALL rank algebra runs on the DISTINCT-length
+    * relation — global midranks via [[GlobalRank.prefixSum]] over
+    * distinct lengths (mid2 = 2·prefix + tie + 1, exact BIGINT), then
+    * each source's rank sum is one join of its (length, count) profile
+    * against that tiny relation. Never a ranking window over rows: an
+    * MWU over 10¹² docs ranks a few thousand DISTINCT values. Doubled
+    * units keep ties exact: U2 = Σc·mid2 − n_s(n_s+1) − ... = 2U; the
+    * tie-corrected variance term Σ(t³−t) is exact BIGINT (safe to a
+    * single value carrying 2·10⁶ rows; the q284 DECIMAL(38,0) escape
+    * applies beyond). One sqrt + one division per source at the end:
+    * z = (U2 − n_s·n_o) / (2σ).
+    */
+  private val q305: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val byVal = docs.groupBy("v").agg(count(lit(1)).as("t"))
+      .transform(graft.util.QueryCaches.tracked)
+    val mid = GlobalRank.prefixSum(byVal, "pfx", col("t"), Seq(col("v")))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("pfx") + col("t") + 1L).as("mid2"))
+    val n = docs.count() // one scalar action: total row count, driver metadata
+    val bySrc = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val perSrc = bySrc.join(mid.select(col("v"), col("mid2")), "v")
+      .groupBy("source")
+      .agg(sum("c").as("ns"), sum(col("c") * col("mid2")).as("r2"))
+    val tieTerm = byVal.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    perSrc.crossJoin(broadcast(tieTerm)) // 1-row scalar combine
+      .select(col("source"), col("ns"),
+        (col("r2") - col("ns") * (col("ns") + 1L) -
+          col("ns") * (lit(n) - col("ns"))).as("u2c"),
+        col("tsum"))
+      // u2c = 2U − n_s·n_o (the z numerator), built exactly; σ from the
+      // tie-corrected variance, floats only here
+      .select(col("source"), col("ns"),
+        expr(s"(u2c + ns * (${n}L - ns)) div 2").as("u"),
+        round(col("u2c").cast("double") /
+          (lit(2.0) * sqrt(
+            (col("ns") * (lit(n) - col("ns"))).cast("double") / lit(12.0) *
+              ((lit(n + 1).cast("double")) -
+                col("tsum").cast("double") /
+                  (lit(n).cast("double") * lit(n - 1).cast("double"))))), 6)
+          .as("z"))
+      .orderBy("source")
+  }
+
+  private val q305Sql =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+      |mid AS (SELECT v, t,
+      |    2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      + t + 1 AS mid2
+      |  FROM bv),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |bs AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2),
+      |ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+      |    CAST(sum(c * mid.mid2) AS BIGINT) AS r2
+      |  FROM bs JOIN mid ON mid.v = bs.v GROUP BY 1),
+      |tt AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tsum FROM bv),
+      |u AS (SELECT source, ns,
+      |    r2 - ns * (ns + 1) - ns * (n.n - ns) AS u2c,
+      |    ns * (n.n - ns) AS nprod, n.n AS n, tsum
+      |  FROM ps, n, tt)
+      |SELECT source, ns,
+      |  CAST((u2c + nprod) // 2 AS BIGINT) AS u,
+      |  round(CAST(u2c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * sqrt(
+      |    CAST(nprod AS DOUBLE) / CAST(12.0 AS DOUBLE)
+      |      * (CAST(n + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6) AS z
+      |FROM u ORDER BY source""".stripMargin
+
+  /** q306 — per-source Gini coefficient of document length: the
+    * inequality number behind "is this source a few mega-documents or
+    * a uniform crawl?" that decides packing and sampling policy
+    * (complementing q264's correlation and q305's location test with a
+    * DISPERSION-shape audit). Same value-domain decomposition as q305:
+    * Gini needs ranked values, but ranking happens on the (source ×
+    * distinct length) profile — per-source rank-block sums from a
+    * window over DISTINCT lengths (bounded by the value domain, never
+    * by rows). With per-source exclusive prefix counts p_v and counts
+    * c_v: Σ ranks·x over a tie block is x_v·(c_v·p_v + c_v(c_v+1)/2),
+    * so S = Σ_v that, and Gini = (2S − (n+1)W) / (nW) — exact BIGINTs
+    * into one division (|2S| ≤ 2n²·max_len: exact to ~2·10⁶ rows/source
+    * at 2 k chars; DECIMAL(38,0) escape documented beyond).
+    */
+  private val q306: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val prof = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = prof
+      .withColumn("p", coalesce(sum("c").over(w), lit(0L)))
+      .select(col("source"),
+        (col("v") * (col("c") * col("p") +
+          expr("(c * (c + 1)) div 2"))).as("sblk"),
+        (col("c") * col("v")).as("wblk"), col("c"))
+    blocks.groupBy("source")
+      .agg(sum("c").as("n"), sum("wblk").as("total_chars"),
+        sum("sblk").as("srank"))
+      .select(col("source"), col("n"), col("total_chars"),
+        round((lit(2L) * col("srank") - (col("n") + 1L) * col("total_chars"))
+          .cast("double") /
+          (col("n") * col("total_chars")).cast("double"), 6).as("gini"))
+      .orderBy("source")
+  }
+
+  private val q306Sql =
+    """WITH prof AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |blk AS (SELECT source, v, c,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS p
+      |  FROM prof)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |  CAST(sum(c * v) AS BIGINT) AS total_chars,
+      |  round(CAST(2 * sum(v * (c * p + (c * (c + 1)) // 2))
+      |      - (sum(c) + 1) * sum(c * v) AS DOUBLE)
+      |    / CAST(sum(c) * sum(c * v) AS DOUBLE), 6) AS gini
+      |FROM blk GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q306_gini_length" -> q306,
+    "q305_mannwhitney_drift" -> q305,
     "q303_poisson_bootstrap" -> q303,
     "q292_psi_drift" -> q292,
     "q272_ks_matrix" -> q272,
@@ -2007,6 +2141,8 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q306_gini_length" -> q306Sql,
+    "q305_mannwhitney_drift" -> q305Sql,
     "q303_poisson_bootstrap" -> q303Sql,
     "q292_psi_drift" -> q292Sql,
     "q272_ks_matrix" -> q272Sql,
