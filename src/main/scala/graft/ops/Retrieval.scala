@@ -55,29 +55,6 @@ object Retrieval {
           col("col.score").as("cs"), (col("pos") + 1).cast("int").as("rd"))
     }
 
-  /** q275 — per-query HYBRID retrieval via reciprocal rank fusion
-    * (Cormack et al., SIGIR'09): for each query (docs 0–4, embeddings
-    * aligned on id), leg 1 is the dense cosine top-20 and leg 2 the
-    * lexical shared-3-shingle top-20 (|S(q)∩S(d)| via the
-    * distinct-shingle postings — exact overlap, no corpus statistics
-    * needed), fused by `RRF(d) = Σ_legs 1/(60 + rank_leg(d))` and
-    * re-ranked to a top-10. Complements q199, which fuses two GLOBAL
-    * corpus-level signals (term frequency × quality prior) through
-    * [[GlobalRank.rowNumber]]: hybrid search is per-query, so both legs
-    * here are bounded [[graft.functions.TopKByScore]] aggregations with
-    * per-query ranks from the aggregator's order — no global rank, no
-    * ranking window — and the fusion joins two ≤20-row-per-query
-    * relations. The fused score needs no q199-style integer quantization:
-    * it is a fixed-order sum of exactly TWO coalesced reciprocals inside
-    * one projection (never a float aggregation), bit-identical on both
-    * engines. The lexical leg's postings join is query-shingles-broadcast
-    * × postings — linear in corpus size, the map-side-only shape an
-    * inverted index serves at 100 TB.
-    */
-  /** The fused (query_id, rank, doc_id, rrf) top-10 relation — q275's
-    * body, keyed-shared so the composed pipeline (q295) consumes the
-    * same build instead of re-paying both legs.
-    */
   /** Lexical leg: shared-3-shingle overlap top-20 per query —
     * (query_id, doc_id, rl). Keyed-shared: consumed by the fusion
     * (inside [[rrfFused]]) and as q296's relevance ground truth.
@@ -100,6 +77,10 @@ object Retrieval {
           (col("pos") + 1).cast("int").as("rl"))
     }
 
+  /** The fused (query_id, rank, doc_id, rrf) top-10 relation — q275's
+    * body, keyed-shared so the composed pipeline (q295) consumes the
+    * same build instead of re-paying both legs.
+    */
   private[ops] def rrfFused(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:rrf:$dir") {
     val topkF = udaf(new graft.functions.TopKByScore(10))
@@ -116,6 +97,25 @@ object Retrieval {
         col("col.id").as("doc_id"), col("col.score").as("rrf"))
   }
 
+  /** q275 — per-query HYBRID retrieval via reciprocal rank fusion
+    * (Cormack et al., SIGIR'09): for each query (docs 0–4, embeddings
+    * aligned on id), leg 1 is the dense cosine top-20 and leg 2 the
+    * lexical shared-3-shingle top-20 (|S(q)∩S(d)| via the
+    * distinct-shingle postings — exact overlap, no corpus statistics
+    * needed), fused by `RRF(d) = Σ_legs 1/(60 + rank_leg(d))` and
+    * re-ranked to a top-10. Complements q199, which fuses two GLOBAL
+    * corpus-level signals (term frequency × quality prior) through
+    * [[GlobalRank.rowNumber]]: hybrid search is per-query, so both legs
+    * here are bounded [[graft.functions.TopKByScore]] aggregations with
+    * per-query ranks from the aggregator's order — no global rank, no
+    * ranking window — and the fusion joins two ≤20-row-per-query
+    * relations. The fused score needs no q199-style integer quantization:
+    * it is a fixed-order sum of exactly TWO coalesced reciprocals inside
+    * one projection (never a float aggregation), bit-identical on both
+    * engines. The lexical leg's postings join is query-shingles-broadcast
+    * × postings — linear in corpus size, the map-side-only shape an
+    * inverted index serves at 100 TB.
+    */
   private val q275: Q = (s, dir) => rrfFused(s, dir).orderBy("query_id", "rank")
 
   /** The dense-leg oracle CTE chain (q45's formula at k=20) — shared by

@@ -3400,6 +3400,138 @@ object Similarity {
        |  CAST(count(*) AS INTEGER) AS picked_by
        |FROM picked GROUP BY 1, 2, 3 ORDER BY a, b""".stripMargin
 
+  /** q308 — Borůvka run to CONVERGENCE: the full minimum spanning
+    * forest of the weighted kNN graph (q285 is one round; the MSF is
+    * the single-link dendrogram every hierarchical-clustering /
+    * HDBSCAN-style pipeline cuts). With the strict total edge order
+    * (dist_q, a, b) the MSF is UNIQUE, so the oracle may run any
+    * correct algorithm and must produce the identical edge set.
+    *
+    * Scale shape: a driver loop of ≤16 Borůvka rounds — components at
+    * least double in size per round and every connected component is
+    * confined to one LSH bucket (kNN edges are intra-bucket), whose
+    * size the corpus-adaptive plane count holds near 2048 (≤4× under
+    * the SkewStressSpec bound), so ~13 rounds suffice at ANY corpus
+    * scale. Each round is q285's pair of keyed shuffles (per-component
+    * min-edge pick, map-side combinable) plus a contraction: connected
+    * components over the PICKED component graph — a relation that
+    * HALVES every round — via the shared [[TextDedup.connectedComponents]]
+    * kernel. Per-round lineage truncation; the only driver-side action
+    * per round is the crossing-edge emptiness probe (bounded metadata,
+    * q293's discipline).
+    */
+  private val q308: Q = (s, dir) => {
+    val und = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir).select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"),
+        (lit(1000000L) - expr("CAST(round(cos_sim * 1e6) AS BIGINT)"))
+          .as("dist_q"))
+        .distinct())
+    var comp = graft.util.Lineage.truncate(
+      und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+        .distinct().select(col("v"), col("v").as("c")))
+    var msf: DataFrame = null
+    var done = false
+    var round = 0
+    while (!done && round < 16) {
+      round += 1
+      val cross = und
+        .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
+        .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cross.isEmpty) { done = true; cross.unpersist() }
+      else {
+        val sym = cross.select(col("ca").as("c"), col("dist_q"),
+            col("a"), col("b"), col("cb").as("d"))
+          .unionByName(cross.select(col("cb").as("c"), col("dist_q"),
+            col("a"), col("b"), col("ca").as("d")))
+        val picks = sym.groupBy("c")
+          .agg(min(struct(col("dist_q"), col("a"), col("b"), col("d"))).as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newEdges = picks
+          .select(col("m.a").as("a"), col("m.b").as("b"),
+            col("m.dist_q").as("dist_q")).distinct()
+        msf = graft.util.Lineage.truncate(
+          if (msf == null) newEdges else msf.unionByName(newEdges))
+        // contraction: CC over the picked COMPONENT graph (min-label
+        // roots), then relabel; unpicked (finished) components keep
+        // their label
+        val labels = TextDedup
+          .connectedComponents(picks.select(col("c"), col("m.d").as("d")))
+          .toDF("c", "nc")
+        comp = graft.util.Lineage.truncate(
+          comp.join(labels, Seq("c"), "left_outer")
+            .select(col("v"), coalesce(col("nc"), col("c")).as("c")))
+        picks.unpersist()
+        cross.unpersist()
+      }
+    }
+    require(done, s"Borůvka did not converge in 16 rounds — component " +
+      "larger than the bucket-size bound; raise the round cap")
+    if (msf == null)
+      und.limit(0).select(col("a"), col("b"), col("dist_q"))
+    else msf.orderBy("a", "b")
+  }
+
+  /** Oracle: Borůvka unrolled to 14 rounds (components ≤ 4×2048-row
+    * buckets → ≤14 rounds and pointer depth ≤ 2^14; idempotent past
+    * convergence), contraction by explicit 2-cycle-break + pointer
+    * doubling — every multi-referenced CTE MATERIALIZED so DuckDB never
+    * inlines the chain exponentially. MSF uniqueness under the strict
+    * total order makes round-structure differences from the Spark side
+    * irrelevant.
+    */
+  private val q308Sql: String = {
+    val R = 14
+    val D = 14
+    def roundCtes(k: Int): String = {
+      val prev = s"lab${k - 1}"
+      val jumps = (1 to D).map(i =>
+        s"""jmp${k}_$i AS MATERIALIZED (SELECT t.c, u.par AS par
+           |  FROM jmp${k}_${i - 1} t JOIN jmp${k}_${i - 1} u ON u.c = t.par)"""
+          .stripMargin).mkString(",\n")
+      s"""cr$k AS MATERIALIZED (
+         |  SELECT la.c AS ca, lb.c AS cb, e.a, e.b, e.dist_q
+         |  FROM und e JOIN $prev la ON la.v = e.a
+         |             JOIN $prev lb ON lb.v = e.b
+         |  WHERE la.c <> lb.c),
+         |pick$k AS MATERIALIZED (
+         |  SELECT c, min(ROW(dist_q, a, b, d)) AS m FROM (
+         |    SELECT ca AS c, cb AS d, a, b, dist_q FROM cr$k
+         |    UNION ALL SELECT cb, ca, a, b, dist_q FROM cr$k) s
+         |  GROUP BY c),
+         |jmp${k}_0 AS MATERIALIZED (
+         |  SELECT p.c, CASE WHEN q.d = p.c THEN LEAST(p.c, p.d)
+         |              ELSE p.d END AS par
+         |  FROM (SELECT c, m[4] AS d FROM pick$k) p
+         |  JOIN (SELECT c, m[4] AS d FROM pick$k) q ON q.c = p.d),
+         |$jumps,
+         |lab$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(j.par, l.c) AS c
+         |  FROM $prev l LEFT JOIN jmp${k}_$D j ON j.c = l.c)""".stripMargin
+    }
+    val unionPicks = (1 to R)
+      .map(k => s"SELECT m[2] AS a, m[3] AS b, m[1] AS dist_q FROM pick$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b,
+       |    1000000 - CAST(round(cos_sim * 1e6) AS BIGINT) AS dist_q
+       |  FROM knn),
+       |lab0 AS MATERIALIZED (SELECT v, v AS c FROM
+       |  (SELECT a AS v FROM und UNION SELECT b FROM und) t),
+       |${(1 to R).map(roundCtes).mkString(",\n")}
+       |SELECT DISTINCT a, b, dist_q FROM (
+       |  $unionPicks) allp
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** q287 — local outlier factor (Breunig et al., SIGMOD'00) at k = 3
     * over the SHARED kNN relation: reach-dist(a→b) = max(kdist(b),
     * dist(a,b)), lrd(a) = deg(a)/Σ reach, LOF(a) = mean(lrd(b)/lrd(a))
@@ -3801,6 +3933,7 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q308_boruvka_msf" -> q308,
     "q307_mutual_knn" -> q307,
     "q304_graph_ann_beam" -> q304,
     "q285_boruvka_step" -> q285,
@@ -3863,6 +3996,7 @@ object Similarity {
     "q307_mutual_knn" -> q307Sql,
     "q304_graph_ann_beam" -> q304Sql,
     "q285_boruvka_step" -> q285Sql,
+    "q308_boruvka_msf" -> q308Sql,
     "q287_lof_outliers" -> q287Sql,
     "q293_pca_power" -> q293Sql,
     "q294_kcenter_coreset" -> q294Sql,

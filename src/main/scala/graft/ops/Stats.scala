@@ -2019,13 +2019,16 @@ object Stats {
       // tie-corrected variance, floats only here
       .select(col("source"), col("ns"),
         expr(s"(u2c + ns * (${n}L - ns)) div 2").as("u"),
-        round(col("u2c").cast("double") /
-          (lit(2.0) * sqrt(
-            (col("ns") * (lit(n) - col("ns"))).cast("double") / lit(12.0) *
-              ((lit(n + 1).cast("double")) -
-                col("tsum").cast("double") /
-                  (lit(n).cast("double") * lit(n - 1).cast("double"))))), 6)
-          .as("z"))
+        // σ = 0 when a source IS the whole corpus (ns = n): both engines
+        // must agree on NULL instead of Spark's 0/0 → NaN
+        when(col("ns") < lit(n),
+          round(col("u2c").cast("double") /
+            (lit(2.0) * sqrt(
+              (col("ns") * (lit(n) - col("ns"))).cast("double") / lit(12.0) *
+                ((lit(n + 1).cast("double")) -
+                  col("tsum").cast("double") /
+                    (lit(n).cast("double") * lit(n - 1).cast("double"))))), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
       .orderBy("source")
   }
 
@@ -2050,10 +2053,12 @@ object Stats {
       |  FROM ps, n, tt)
       |SELECT source, ns,
       |  CAST((u2c + nprod) // 2 AS BIGINT) AS u,
-      |  round(CAST(u2c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * sqrt(
-      |    CAST(nprod AS DOUBLE) / CAST(12.0 AS DOUBLE)
-      |      * (CAST(n + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
-      |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6) AS z
+      |  CASE WHEN ns < n THEN
+      |    round(CAST(u2c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * sqrt(
+      |      CAST(nprod AS DOUBLE) / CAST(12.0 AS DOUBLE)
+      |        * (CAST(n + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6)
+      |  ELSE NULL END AS z
       |FROM u ORDER BY source""".stripMargin
 
   /** q306 — per-source Gini coefficient of document length: the

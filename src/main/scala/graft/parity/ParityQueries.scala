@@ -260,7 +260,112 @@ object ParityQueries {
        |       (SELECT count(*) FROM post) AS pg_total,
        |       (SELECT count(*) FROM src) = (SELECT count(*) FROM post) AS matched""".stripMargin
 
+  /** q309 — MULTI-BATCH CDC replay, the batch twin of the streaming
+    * path: [[graft.streaming.IncrementalSync.latestPerKey]] +
+    * [[graft.streaming.IncrementalSync.classifyCdc]] — the exact
+    * per-micro-batch functions `IncrementalSync.start` runs — folded
+    * over four ordered batches of a synthetic change feed, starting
+    * from an empty target. The feed derives from lineitem: key =
+    * l_orderkey, version = ⌊l_quantity⌋ (collides across batches, so
+    * equal-version noops occur), batch = (l_linenumber−1) mod 4 (keys
+    * recur across batches), tombstone when (l_orderkey+l_linenumber)
+    * mod 7 = 0 (so deletes and tombstone-for-absent noops occur).
+    * Output = per-(batch, action) counts: each batch's actions depend
+    * on the state the previous batches left, so the relation pins the
+    * whole fold, not just the final state. Within-batch (key, version)
+    * duplicates carry identical resource text, so the max_by tie is
+    * value-deterministic (the latestPerKey contract).
+    *
+    * Scale shape: each batch is one groupBy (map-side combinable
+    * max_by) + one broadcast-or-shuffle left join against the current
+    * snapshot + a disjoint anti-join/union apply — the replay is B×
+    * the steady-state micro-batch cost, with per-batch lineage
+    * truncation so the plan never grows with B.
+    */
+  private val q309: Q = (s, dir) => {
+    import graft.streaming.IncrementalSync
+    val li = graft.source.Tables.spread(graft.source.Tables.lineitem(s, dir))
+    val feed = graft.util.QueryCaches.tracked(li.select(
+      col("l_orderkey").as("resource_id"),
+      floor(col("l_quantity")).cast("long").as("version_id"),
+      when((col("l_orderkey") + col("l_linenumber")) % 7 === 0,
+        lit(null).cast("string"))
+        .otherwise(concat(lit("r"), floor(col("l_quantity")).cast("long")))
+        .as("resource"),
+      ((col("l_linenumber") - 1) % 4).cast("int").as("batch")))
+    var state = s.range(0).select(col("id").as("resource_id"),
+      col("id").as("version_id"), col("id").as("pk_id"))
+    var counts: DataFrame = null
+    for (k <- 0 to 3) {
+      val latest = IncrementalSync.latestPerKey(feed.filter(col("batch") === k))
+      val cls = graft.util.QueryCaches.tracked(
+        IncrementalSync.classifyCdc(latest, state))
+      val c = cls.groupBy("action").agg(count(lit(1)).as("n"))
+        .withColumn("batch", lit(k))
+      counts = graft.util.Lineage.truncate(
+        if (counts == null) c else counts.unionByName(c))
+      state = graft.util.Lineage.truncate(
+        state.join(cls.filter(col("action").isin(Reconcile.Update,
+            Reconcile.Delete)).select(col("resource_id").as("rid")),
+            col("resource_id") === col("rid"), "left_anti")
+          .unionByName(cls.filter(col("action").isin(Reconcile.Insert,
+            Reconcile.Update))
+            .select(col("resource_id"), col("version_id"),
+              lit(0L).as("pk_id"))))
+    }
+    counts.select(col("batch"), col("action"), col("n"))
+      .orderBy("batch", "action")
+  }
+
+  /** Oracle: the same four-batch fold unrolled — latest-per-key via a
+    * row_number twin of max_by's (version, resource IS NOT NULL) order,
+    * the classify CASE mirroring [[graft.streaming.IncrementalSync
+    * .classifyCdc]]'s `when` chain, the apply as anti-filter + union.
+    */
+  private val q309Sql: String = {
+    def batch(k: Int): String = {
+      val prev = if (k == 0)
+        "(SELECT CAST(NULL AS BIGINT) AS resource_id, CAST(NULL AS BIGINT) AS version_id WHERE FALSE)"
+      else s"st${k - 1}"
+      s"""lat$k AS (SELECT resource_id, version_id, resource FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY resource_id
+         |      ORDER BY version_id DESC, (resource IS NOT NULL) DESC) AS rn
+         |    FROM feed WHERE batch = $k) t WHERE rn = 1),
+         |cls$k AS MATERIALIZED (SELECT l.resource_id, l.version_id,
+         |    CASE WHEN l.resource IS NULL AND s.resource_id IS NOT NULL
+         |           THEN 'delete'
+         |         WHEN l.resource IS NULL THEN 'noop'
+         |         WHEN s.resource_id IS NULL THEN 'insert'
+         |         WHEN s.version_id <> l.version_id THEN 'update'
+         |         ELSE 'noop' END AS action
+         |  FROM lat$k l LEFT JOIN $prev s ON s.resource_id = l.resource_id),
+         |st$k AS MATERIALIZED (
+         |  SELECT s.resource_id, s.version_id FROM $prev s
+         |  WHERE NOT EXISTS (SELECT 1 FROM cls$k c
+         |    WHERE c.resource_id = s.resource_id
+         |      AND c.action IN ('update', 'delete'))
+         |  UNION ALL
+         |  SELECT resource_id, version_id FROM cls$k
+         |  WHERE action IN ('insert', 'update'))""".stripMargin
+    }
+    val countsUnion = (0 to 3).map(k =>
+      s"""SELECT CAST($k AS INTEGER) AS batch, action,
+         |  CAST(count(*) AS BIGINT) AS n FROM cls$k GROUP BY action"""
+        .stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH feed AS MATERIALIZED (SELECT l_orderkey AS resource_id,
+       |    CAST(floor(l_quantity) AS BIGINT) AS version_id,
+       |    CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
+       |         ELSE 'r' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)
+       |    END AS resource,
+       |    CAST((l_linenumber - 1) % 4 AS INTEGER) AS batch
+       |  FROM lineitem),
+       |${(0 to 3).map(batch).mkString(",\n")}
+       |SELECT batch, action, n FROM ($countsUnion) u
+       |ORDER BY batch, action""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q309_cdc_replay" -> q309,
     "q01_scan" -> q01,
     "q02_project_extract" -> q02,
     "q03_filter_valid" -> q03,
@@ -277,6 +382,7 @@ object ParityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q309_cdc_replay" -> q309Sql,
     "q01_scan" -> q01Sql,
     "q02_project_extract" -> q02Sql,
     "q03_filter_valid" -> q03Sql,

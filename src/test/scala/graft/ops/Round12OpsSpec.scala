@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Crafted/closed-form semantics for the last three round-11 additions
+  * (q305 Mann–Whitney U, q306 Gini, q307 mutual kNN), which shipped
+  * after Round11OpsSpec and therefore carried only oracle agreement.
+  *
+  * q307's verdict sketch asked for "a crafted asymmetric kNN graph
+  * where exactly one pair is mutual" — that is geometrically
+  * IMPOSSIBLE at k=3: the globally closest pair is always mutual, and
+  * the points-to relation always bottoms out in a sink set whose 4
+  * tightest members each hold the other three as their top-3 (a mutual
+  * K4, six pairs). The crafted graph here is the sparsest asymmetric
+  * shape k=3 admits: a 6-node chain with super-exponentially growing
+  * gaps whose head-K4 is exactly the mutual set and whose two tail
+  * nodes emit only unreciprocated edges.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  /** documents.parquet fixture with explicit per-row (source, n_chars). */
+  private def docsDir(rows: Seq[(String, Long)]): String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r12-docs").toString
+    rows.zipWithIndex.map { case ((src, nc), i) => (i.toLong, "x", "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q305 MWU: hand-computed U and z on a two-source trace with ties") {
+    // A = {1,2,2,3}, B = {2,3,3,5}; n=8. Midranks: 1→1, 2→3, 3→6, 5→8.
+    // R_A = 1+3+3+6 = 13, U_A = 13 − 4·5/2 = 3; U_B = 16 − U_A = 13.
+    // Σ(t³−t) = 24+24 = 48; σ² = (16/12)·(9 − 48/56) = 76/7;
+    // z_A = (2U_A − 16)/(2σ) = −5/σ = −1.517442 (6 dp), z_B = +1.517442.
+    val d = docsDir(Seq(
+      "A" -> 1L, "A" -> 2L, "A" -> 2L, "A" -> 3L,
+      "B" -> 2L, "B" -> 3L, "B" -> 3L, "B" -> 5L))
+    val got = graft.SparkEntry.queries("q305_mannwhitney_drift")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set("A", "B"))
+    assert(got("A") === ((4L, 3L, -1.517442)))
+    assert(got("B") === ((4L, 13L, 1.517442)))
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q305 MWU: single-source corpus yields U=0 and NULL z (σ=0 guard)") {
+    val d = docsDir(Seq("only" -> 1L, "only" -> 2L, "only" -> 2L))
+    val rows = graft.SparkEntry.queries("q305_mannwhitney_drift")(spark, d).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "only")
+    assert(rows(0).getLong(1) === 3L)   // ns = n
+    assert(rows(0).getLong(2) === 0L)   // U = R − n(n+1)/2 = 0
+    assert(rows(0).isNullAt(3), "z must be NULL when one source is the whole corpus")
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q306 Gini: textbook fixtures — uniform 0, arithmetic 0.25, skewed 0.72") {
+    // a: {1,2,3,4} → (2·30 − 5·10)/(4·10) = 0.25
+    // b: {5,5,5}   → 0 (all equal)
+    // c: {1,1,1,97} → (2·394 − 5·100)/(4·100) = 0.72
+    val d = docsDir(Seq(
+      "a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 4L,
+      "b" -> 5L, "b" -> 5L, "b" -> 5L,
+      "c" -> 1L, "c" -> 1L, "c" -> 1L, "c" -> 97L))
+    val got = graft.SparkEntry.queries("q306_gini_length")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "a" -> ((4L, 10L, 0.25)),
+      "b" -> ((3L, 15L, 0.0)),
+      "c" -> ((4L, 100L, 0.72))))
+    graft.util.QueryCaches.drain()
+  }
+
+  // ---- q307 crafted fixture ------------------------------------------
+
+  /** The 4 MD5-seeded hyperplane sign vectors, recomputed from the same
+    * public recipe as [[Similarity.planeLits]] (bit p,j = parity of the
+    * first hex digit of md5("p_j")).
+    */
+  private def planeSigns: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(4) { p =>
+      Array.tabulate(64) { j0 =>
+        md.reset()
+        val hex = md.digest(s"${p}_${j0 + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Six vectors in one plane of the embedding space: rotations of a
+    * plane-aligned base (so all six share one LSH bucket — every plane
+    * margin is tens of units, perturbations are ≤1e-4) at angles
+    * 0, .004, .10, .22, .47, .99 rad. Gaps grow super-exponentially, so
+    * nodes 0–3 form the mutual K4 and nodes 4–5 only emit one-sided
+    * edges (node 4's nearest are {3,2,1} but 3's top-3 is {2,1,0}).
+    */
+  private def craftedVectors: Array[Array[Float]] = {
+    val p = planeSigns
+    val base = Array.tabulate(64)(j =>
+      p(0)(j) + 0.6 * p(1)(j) + 0.5 * p(2)(j) + 0.45 * p(3)(j))
+    val nb = math.sqrt(base.map(x => x * x).sum)
+    val raw = Array.tabulate(64)(j => if (j % 2 == 0) 1.0 else -1.0)
+    val proj = raw.zip(base).map { case (a, b) => a * b }.sum / (nb * nb)
+    val d0 = Array.tabulate(64)(j => raw(j) - proj * base(j))
+    val nd = math.sqrt(d0.map(x => x * x).sum)
+    val dir = d0.map(_ / nd * nb)
+    val ts = Array(0.0, 0.004, 0.10, 0.22, 0.47, 0.99)
+    ts.map { t =>
+      val (c, s) = (math.cos(t), math.sin(t))
+      Array.tabulate(64)(j =>
+        BigDecimal(c * base(j) + s * dir(j))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toFloat)
+    }
+  }
+
+  private def embDir(vecs: Array[Array[Float]]): String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r12-emb").toString
+    vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq, i % 2) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  /** cosine_sim's exact arithmetic (float→double cast, left-to-right
+    * accumulation) followed by Spark's HALF_UP round(·, 6).
+    */
+  private def cos6(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def bruteTop3(vecs: Array[Array[Float]]): Map[Long, Seq[(Long, Double)]] =
+    vecs.indices.map { i =>
+      i.toLong -> vecs.indices.filter(_ != i)
+        .map(j => (j.toLong, cos6(vecs(i), vecs(j))))
+        .sortBy { case (j, c) => (-c, j) }.take(3).toSeq
+    }.toMap
+
+  test("q307 crafted chain: mutual set is exactly the head-K4, tail edges one-sided") {
+    val vecs = craftedVectors
+    val d = embDir(vecs)
+    val knn = bruteTop3(vecs)
+    // the directed graph must be asymmetric: nodes 4 and 5 emit only
+    // unreciprocated edges
+    assert(knn(4L).map(_._1).toSet === Set(3L, 2L, 1L))
+    assert(knn(5L).map(_._1).toSet === Set(4L, 3L, 2L))
+    val got = graft.SparkEntry.queries("q307_mutual_knn")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    // hand-derived mutual set with both direction ranks
+    val expectedRanks = Map(
+      (0L, 1L) -> ((1, 1)), (0L, 2L) -> ((2, 2)), (0L, 3L) -> ((3, 3)),
+      (1L, 2L) -> ((2, 1)), (1L, 3L) -> ((3, 2)), (2L, 3L) -> ((3, 1)))
+    assert(got.keySet === expectedRanks.keySet,
+      s"mutual set must be the head-K4; got ${got.keySet.toSeq.sorted}")
+    expectedRanks.foreach { case (pair @ (a, b), (rab, rba)) =>
+      val (cs, gotRab, gotRba) = got(pair)
+      assert((gotRab, gotRba) === ((rab, rba)), s"ranks for $pair")
+      assert(cs === cos6(vecs(a.toInt), vecs(b.toInt)), s"cos for $pair")
+    }
+    assert(!got.keySet.exists { case (a, b) => a >= 4L || b >= 4L },
+      "no pair involving the one-sided tail nodes may survive")
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q308 MSF equals plain-Scala KRUSKAL over the same edge set at sf0.001") {
+    // different algorithm, same strict total order (dist_q, a, b) —
+    // MSF uniqueness forces the identical edge set
+    val dir = "/root/testdata/sf0.001"
+    val und = Similarity.knnNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (v, n, cs) =>
+        (math.min(v, n), math.max(v, n), 1000000L - math.round(cs * 1e6)) }
+      .distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    val expected = und.sortBy { case (a, b, d) => (d, a, b) }
+      .filter { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false
+        else {
+          parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+          parent(math.max(ra, rb)) = math.min(ra, rb); true
+        }
+      }.toSet
+    val got = graft.SparkEntry.queries("q308_boruvka_msf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty)
+    // a forest, never a cycle: edges < nodes
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.size
+    assert(got.size < nodes)
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q309 replay counts equal a plain-Scala fold of the four batches at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.source.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val feed = li.map { case (ok, ln, q) =>
+      val ver = math.floor(q).toLong
+      val tomb = (ok + ln) % 7 == 0
+      (ok, ver, !tomb, (ln - 1) % 4)
+    }
+    val state = scala.collection.mutable.Map[Long, Long]()
+    val expected = (0 to 3).flatMap { k =>
+      val latest = feed.filter(_._4 == k).groupBy(_._1).map { case (key, rows) =>
+        val (_, ver, present, _) = rows.maxBy(r => (r._2, r._3))
+        (key, ver, present)
+      }
+      val acts = latest.toSeq.map { case (key, ver, present) =>
+        val inState = state.contains(key)
+        if (!present && inState) { state.remove(key); "delete" }
+        else if (!present) "noop"
+        else if (!inState) { state(key) = ver; "insert" }
+        else if (state(key) != ver) { state(key) = ver; "update" }
+        else "noop"
+      }
+      acts.groupBy(identity).map { case (a, xs) => (k, a, xs.size.toLong) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q309_cdc_replay")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the fold must exercise every action class across the replay
+    assert(got.map(_._2) === Set("insert", "update", "delete", "noop"))
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q307 equals a plain-Scala mutual-pair reimplementation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val knn = Similarity.knnNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byEdge = knn.map { case (a, b, cs, rk) => (a, b) -> ((cs, rk)) }.toMap
+    val expected = knn.collect {
+      case (a, b, cs, rab) if a < b && byEdge.contains((b, a)) =>
+        (a, b) -> ((cs, rab, byEdge((b, a))._2))
+    }.toMap
+    val got = graft.SparkEntry.queries("q307_mutual_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "sf0.001 must contain mutual pairs")
+    // the filter must be non-trivial: some directed edges are one-sided
+    assert(knn.exists { case (a, b, _, _) => !byEdge.contains((b, a)) },
+      "sf0.001 kNN graph should be asymmetric")
+    graft.util.QueryCaches.drain()
+  }
+}
