@@ -3421,13 +3421,24 @@ object Similarity {
     * q293's discipline).
     */
   private val q308: Q = (s, dir) => {
-    val und = graft.util.QueryCaches.tracked(
-      knnNeighbors(s, dir).select(
-        least(col("vec_id"), col("neighbor_id")).as("a"),
-        greatest(col("vec_id"), col("neighbor_id")).as("b"),
-        (lit(1000000L) - expr("CAST(round(cos_sim * 1e6) AS BIGINT)"))
-          .as("dist_q"))
-        .distinct())
+    val und = knnNeighbors(s, dir).select(
+      least(col("vec_id"), col("neighbor_id")).as("a"),
+      greatest(col("vec_id"), col("neighbor_id")).as("b"),
+      (lit(1000000L) - expr("CAST(round(cos_sim * 1e6) AS BIGINT)"))
+        .as("dist_q"))
+      .distinct()
+    boruvkaMsf(und).orderBy("a", "b")
+  }
+
+  /** Borůvka-to-convergence kernel shared by q308 (raw cosine weights)
+    * and q312 (HDBSCAN mutual-reachability weights): `und0` is any
+    * undirected weighted edge relation `(a, b, dist_q)` with unique
+    * (a, b) pairs — the strict total order (dist_q, a, b) makes the
+    * MSF unique, which is what lets each consumer's oracle run an
+    * independent algorithm.
+    */
+  private def boruvkaMsf(und0: DataFrame): DataFrame = {
+    val und = graft.util.QueryCaches.tracked(und0)
     var comp = graft.util.Lineage.truncate(
       und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
         .distinct().select(col("v"), col("v").as("c")))
@@ -3472,7 +3483,7 @@ object Similarity {
       "larger than the bucket-size bound; raise the round cap")
     if (msf == null)
       und.limit(0).select(col("a"), col("b"), col("dist_q"))
-    else msf.orderBy("a", "b")
+    else msf
   }
 
   /** Oracle: Borůvka unrolled to 14 rounds (components ≤ 4×2048-row
@@ -3483,9 +3494,23 @@ object Similarity {
     * total order makes round-structure differences from the Spark side
     * irrelevant.
     */
-  private val q308Sql: String = {
-    val R = 14
-    val D = 14
+  private val q308Sql: String =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |    greatest(vec_id, neighbor_id) AS b,
+       |    1000000 - CAST(round(cos_sim * 1e6) AS BIGINT) AS dist_q
+       |  FROM knn),
+       |${boruvkaSqlAfterUnd()}""".stripMargin
+
+  /** The unrolled-Borůvka oracle tail shared by q308Sql/q312Sql: lab0 +
+    * R rounds + the final MSF select, expecting the caller's WITH list
+    * to define `und(a, b, dist_q)` with unique pairs.
+    */
+  private def boruvkaSqlAfterUnd(R: Int = 14, D: Int = 14): String = {
     def roundCtes(k: Int): String = {
       val prev = s"lab${k - 1}"
       val jumps = (1 to D).map(i =>
@@ -3515,22 +3540,61 @@ object Similarity {
     val unionPicks = (1 to R)
       .map(k => s"SELECT m[2] AS a, m[3] AS b, m[1] AS dist_q FROM pick$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH $knnScoredCtes,
-       |knn AS (SELECT vec_id, neighbor_id, cos_sim FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
-       |  WHERE rank <= 3),
-       |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
-       |    greatest(vec_id, neighbor_id) AS b,
-       |    1000000 - CAST(round(cos_sim * 1e6) AS BIGINT) AS dist_q
-       |  FROM knn),
-       |lab0 AS MATERIALIZED (SELECT v, v AS c FROM
+    s"""lab0 AS MATERIALIZED (SELECT v, v AS c FROM
        |  (SELECT a AS v FROM und UNION SELECT b FROM und) t),
        |${(1 to R).map(roundCtes).mkString(",\n")}
        |SELECT DISTINCT a, b, dist_q FROM (
        |  $unionPicks) allp
        |ORDER BY a, b""".stripMargin
   }
+
+  /** q312 — HDBSCAN's backbone: the minimum spanning forest under
+    * MUTUAL-REACHABILITY distance mrd(a,b) = max(kdist(a), kdist(b),
+    * d(a,b)) (Campello et al., PAKDD'13) over the shared kNN edge set,
+    * with q287's exact kdist (max top-3 distance, floored to one
+    * quantum). The core-distance max smooths density: sparse-region
+    * points can't chain through a single lucky close pair, which is
+    * exactly why HDBSCAN condenses this MSF rather than q308's raw
+    * one. Composition cost over q308 is two narrow equi-joins of the
+    * ≤3-out-degree relation against the |V|-row kdist aggregate; the
+    * Borůvka kernel and its scale story are [[boruvkaMsf]]'s.
+    */
+  private val q312: Q = (s, dir) => {
+    val knn = graft.util.QueryCaches.tracked(
+      knnNeighbors(s, dir).select(col("vec_id"), col("neighbor_id"),
+        greatest(lit(1000000L) -
+          expr("CAST(round(cos_sim * 1e6) AS BIGINT)"), lit(1L))
+          .as("dist_q")))
+    val kd = knn.groupBy("vec_id").agg(max("dist_q").as("kdist"))
+      .transform(graft.util.QueryCaches.tracked)
+    val und = knn
+      .join(kd.select(col("vec_id"), col("kdist").as("ka")), "vec_id")
+      .join(kd.select(col("vec_id").as("neighbor_id"),
+        col("kdist").as("kb")), "neighbor_id")
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"),
+        greatest(col("dist_q"), col("ka"), col("kb")).as("dist_q"))
+      .distinct()
+    boruvkaMsf(und).orderBy("a", "b")
+  }
+
+  private val q312Sql: String =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id,
+       |    GREATEST(1000000 - CAST(round(cos_sim * 1e6) AS BIGINT),
+       |      1) AS dist_q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |kd AS MATERIALIZED (SELECT vec_id, max(dist_q) AS kdist
+       |  FROM knn GROUP BY 1),
+       |und AS MATERIALIZED (SELECT DISTINCT
+       |    least(k.vec_id, k.neighbor_id) AS a,
+       |    greatest(k.vec_id, k.neighbor_id) AS b,
+       |    GREATEST(k.dist_q, ka.kdist, kb.kdist) AS dist_q
+       |  FROM knn k JOIN kd ka ON ka.vec_id = k.vec_id
+       |             JOIN kd kb ON kb.vec_id = k.neighbor_id),
+       |${boruvkaSqlAfterUnd()}""".stripMargin
 
   /** q287 — local outlier factor (Breunig et al., SIGMOD'00) at k = 3
     * over the SHARED kNN relation: reach-dist(a→b) = max(kdist(b),
@@ -3611,6 +3675,65 @@ object Similarity {
        |FROM terms t JOIN lrd la ON la.vec_id = t.vec_id
        |JOIN kd ON kd.vec_id = t.vec_id
        |GROUP BY 1, 2, 3, 4 ORDER BY t.vec_id""".stripMargin
+
+  /** q311 — DBSCAN point labeling (Ester et al., KDD'96) over the
+    * bucketed embedding space: core iff |N_eps| ≥ minPts (= 4, self
+    * included), border iff non-core with a core eps-neighbor, noise
+    * otherwise — the density CLASSIFICATION complementing q287's LOF
+    * density RATIO (LOF ranks outlierness; DBSCAN's labels are the
+    * hard admit/review/drop gate a curation pipeline acts on).
+    * eps is cosine ≥ 0.2 on the same rounded-6 grid as the kNN family;
+    * the eps-neighborhood is the in-bucket pair join (q44/q57's
+    * Θ(n·2048) LSH-blocked shape — bucket-boundary misses are the
+    * declared, audited LSH recall trade, never all-pairs).
+    */
+  private val q311: Q = (s, dir) => {
+    val minNb = 3 // minPts = 4 counting self
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), expr(vd).as("v"))
+      .withColumn("bucket", expr(hyperplaneBucket("v", planesFor(s, dir))))
+      .transform(graft.util.QueryCaches.tracked)
+    val nbr = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+        round(expr(cosExpr("a.v", "b.v")), 6).as("cs"))
+      .filter(col("cs") >= 0.2)
+      .transform(graft.util.QueryCaches.tracked)
+    val deg = nbr.groupBy("vec_id").agg(count(lit(1)).as("nnb"))
+      .transform(graft.util.QueryCaches.tracked)
+    val core = deg.filter(col("nnb") >= minNb).select(col("vec_id"))
+    val border = nbr
+      .join(core.select(col("vec_id").as("nb")), "nb")
+      .select(col("vec_id")).distinct()
+    e.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left_outer")
+      .join(core.withColumn("is_core", lit(true)), Seq("vec_id"), "left_outer")
+      .join(border.withColumn("is_border", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), (coalesce(col("nnb"), lit(0L)) + 1L).as("n_eps"),
+        when(col("is_core"), "core")
+          .when(col("is_border"), "border")
+          .otherwise("noise").as("label"))
+      .orderBy("vec_id")
+  }
+
+  private val q311Sql =
+    s"""WITH $knnScoredCtes,
+       |nbr AS MATERIALIZED (SELECT vec_id, neighbor_id FROM scored
+       |  WHERE cos_sim >= 0.2),
+       |deg AS MATERIALIZED (SELECT vec_id, CAST(count(*) AS BIGINT) AS nnb
+       |  FROM nbr GROUP BY 1),
+       |core AS MATERIALIZED (SELECT vec_id FROM deg WHERE nnb >= 3),
+       |border AS (SELECT DISTINCT n.vec_id FROM nbr n
+       |  JOIN core c ON c.vec_id = n.neighbor_id)
+       |SELECT e0.vec_id, COALESCE(d.nnb, 0) + 1 AS n_eps,
+       |  CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+       |       WHEN b.vec_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS label
+       |FROM e0 LEFT JOIN deg d ON d.vec_id = e0.vec_id
+       |LEFT JOIN core c ON c.vec_id = e0.vec_id
+       |LEFT JOIN border b ON b.vec_id = e0.vec_id
+       |ORDER BY e0.vec_id""".stripMargin
 
   /** q293 — dominant principal direction of the embedding cloud by
     * MATRIX-FREE power iteration on the second-moment matrix M = Σ vvᵀ:
@@ -3933,6 +4056,8 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q312_hdbscan_msf" -> q312,
+    "q311_dbscan_labels" -> q311,
     "q308_boruvka_msf" -> q308,
     "q307_mutual_knn" -> q307,
     "q304_graph_ann_beam" -> q304,
@@ -3997,6 +4122,8 @@ object Similarity {
     "q304_graph_ann_beam" -> q304Sql,
     "q285_boruvka_step" -> q285Sql,
     "q308_boruvka_msf" -> q308Sql,
+    "q311_dbscan_labels" -> q311Sql,
+    "q312_hdbscan_msf" -> q312Sql,
     "q287_lof_outliers" -> q287Sql,
     "q293_pca_power" -> q293Sql,
     "q294_kcenter_coreset" -> q294Sql,

@@ -1698,6 +1698,69 @@ object TextDedup {
       |FROM pv WHERE 5 * inter >= 4 * (na + nb - inter)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q313 — edit-distance-≤1 join on the 24-char document prefix via
+    * DELETION NEIGHBORHOODS (the FastSS / SymSpell family) — the FIFTH
+    * blocking family (LSH bands, gram postings, sorted neighborhoods,
+    * prefix filtering, now deletion neighborhoods) and, like q299,
+    * EXACT: ed(a,b) ≤ 1 ⟹ N(a) ∩ N(b) ≠ ∅ where N(s) = {s} ∪ {s minus
+    * one char} — a substitution shares the same-position deletion, an
+    * insert/delete puts the shorter string in both neighborhoods, and
+    * equality is the identity key. Candidates therefore provably cover
+    * every true pair; verification is one codegen'd `levenshtein` per
+    * candidate (identical unit-cost semantics on both engines). The
+    * near-typo title join OCR/crawl-canonicalization pipelines run.
+    *
+    * Scale shape: ≤25 60-bit md5 keys per doc (the shuffle never
+    * carries prefix text), one key equi-join, candidate-distinct, then
+    * two narrow joins to fetch the two prefixes for verification —
+    * linear in corpus size like the gram-postings family; block sizes
+    * are bounded by title-collision cardinality (dup clusters), the
+    * same declared semantics as q40's exact-hash blocks.
+    */
+  private val q313: Q = (s, dir) => {
+    val pref = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+      .transform(graft.util.QueryCaches.tracked)
+    val keys = pref.select(col("doc_id"),
+      explode(expr("""transform(sequence(0, length(p)), i ->
+        CASE WHEN i = 0 THEN p
+        ELSE concat(substring(p, 1, i - 1), substring(p, i + 1)) END)"""))
+        .as("v"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT)").as("k"))
+      .distinct()
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .filter(levenshtein(col("pa"), col("pb")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("int").as("ed"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q313Sql =
+    """WITH pref AS MATERIALIZED (
+      |  SELECT doc_id, substr(text, 1, 24) AS p FROM documents),
+      |dkeys AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(CASE WHEN u.i = 0 THEN p
+      |      ELSE substr(p, 1, u.i - 1) || substr(p, u.i + 1) END),
+      |      1, 15)) AS BIGINT) AS k
+      |  FROM pref, unnest(generate_series(0, CAST(length(p) AS BIGINT)))
+      |    AS u(i)),
+      |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+      |    y.doc_id AS doc_b
+      |  FROM dkeys x JOIN dkeys y ON y.k = x.k AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS ed
+      |FROM cand c JOIN pref a ON a.doc_id = c.doc_a
+      |            JOIN pref b ON b.doc_id = c.doc_b
+      |WHERE levenshtein(a.p, b.p) <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q300 — leakage-free train/val/test split: hash-assign whole
     * NEAR-DUP CLUSTERS (q56's connected components over verified J ≥ 0.5
     * pairs; singletons are their own cluster) to splits 80/10/10, so a
@@ -1860,6 +1923,7 @@ object TextDedup {
   val all: Map[String, Q] = Map(
     "q298_span_dedup" -> q298,
     "q299_prefix_filter_join" -> q299,
+    "q313_edit_distance_join" -> q313,
     "q300_leakage_free_split" -> q300,
     "q301_cdc_chunking" -> q301,
     "q274_sorted_neighborhood" -> q274,
@@ -1888,6 +1952,7 @@ object TextDedup {
   val oracle: Map[String, String] = Map(
     "q298_span_dedup" -> q298Sql,
     "q299_prefix_filter_join" -> q299Sql,
+    "q313_edit_distance_join" -> q313Sql,
     "q300_leakage_free_split" -> q300Sql,
     "q301_cdc_chunking" -> q301Sql,
     "q274_sorted_neighborhood" -> q274Sql,

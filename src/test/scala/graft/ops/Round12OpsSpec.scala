@@ -246,6 +246,134 @@ class Round12OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q311 DBSCAN labels equal a plain-Scala reimplementation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.source.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes = planeSigns
+    def bucket(v: Array[Float]): String = planes.map { p =>
+      val dot = v.zip(p).map { case (x, pj) => x.toDouble * pj }.sum
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm > 0 && dot > 0) '1' else '0'
+    }.mkString
+    val byBucket = vecs.toSeq.groupBy { case (_, v) => bucket(v) }
+    val nbrs = byBucket.values.flatMap { grp =>
+      grp.flatMap { case (i, vi) =>
+        grp.collect { case (j, vj) if j != i && cos6(vi, vj) >= 0.2 => i -> j }
+      }
+    }.toSeq
+    val deg = nbrs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val core = deg.filter(_._2 >= 3L).keySet
+    val border = nbrs.collect { case (i, j) if core(j) => i }.toSet -- core
+    val expected = vecs.keys.map { i =>
+      i -> ((deg.getOrElse(i, 0L) + 1L,
+        if (core(i)) "core" else if (border(i)) "border" else "noise"))
+    }.toMap
+    val got = graft.SparkEntry.queries("q311_dbscan_labels")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+    assert(Set("core", "border", "noise").subsetOf(got.values.map(_._2).toSet),
+      "fixture must exercise all three labels")
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q312 HDBSCAN MSF equals Kruskal under mutual-reachability at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val knn = Similarity.knnNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (v, n, cs) =>
+        (v, n, math.max(1000000L - math.round(cs * 1e6), 1L)) }
+    val kdist = knn.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val und = knn.map { case (v, n, d) =>
+      (math.min(v, n), math.max(v, n),
+        Seq(d, kdist(v), kdist(n)).max) }.distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    val expected = und.sortBy { case (a, b, d) => (d, a, b) }
+      .filter { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false
+        else {
+          parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+          parent(math.max(ra, rb)) = math.min(ra, rb); true
+        }
+      }.toSet
+    val got = graft.SparkEntry.queries("q312_hdbscan_msf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // mutual reachability can only raise edge weights vs the raw MSF
+    val raw = graft.SparkEntry.queries("q308_boruvka_msf")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(got.toSeq.map(_._3).sum >= raw)
+    graft.util.QueryCaches.drain()
+  }
+
+  /** documents.parquet fixture with explicit text (q313 prefixes). */
+  private def textDocsDir(texts: Seq[String]): String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r12-text").toString
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = Seq(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1,
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+    dp(a.length)(b.length)
+  }
+
+  test("q313 crafted: substitution/deletion/insertion at ed 1, ed>=2 excluded, ed 0 kept") {
+    val texts = Seq(
+      "hello world abc",   // 0
+      "hello world abd",   // 1: substitution of 0
+      "hello world ab",    // 2: deletion from 0
+      "xhello world abc",  // 3: insertion into 0
+      "hello world xyz",   // 4: ed 3 from 0 — excluded
+      "hello world abc")   // 5: exact duplicate of 0
+    val d = textDocsDir(texts)
+    val got = graft.SparkEntry.queries("q313_edit_distance_join")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      i <- texts.indices; j <- (i + 1) until texts.length
+      e = lev(texts(i), texts(j)) if e <= 1
+    } yield (i.toLong, j.toLong, e)).toSet
+    assert(got === expected)
+    assert(got.contains((0L, 1L, 1)) && got.contains((0L, 2L, 1)) &&
+      got.contains((0L, 3L, 1)) && got.contains((0L, 5L, 0)))
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q313 blocking is EXACT: equals brute-force all-pairs ed<=1 at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val prefs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).take(24)))
+    val brute = (for {
+      i <- prefs.indices; j <- (i + 1) until prefs.length
+      (da, pa) = prefs(i); (db, pb) = prefs(j)
+      if math.abs(pa.length - pb.length) <= 1
+      e = lev(pa, pb) if e <= 1
+    } yield (math.min(da, db), math.max(da, db), e)).toSet
+    val got = graft.SparkEntry.queries("q313_edit_distance_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty)
+    graft.util.QueryCaches.drain()
+  }
+
   test("q307 equals a plain-Scala mutual-pair reimplementation at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val knn = Similarity.knnNeighbors(spark, dir).collect()
