@@ -355,7 +355,89 @@ object Quality {
       |    AS avg_logp
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** The nine Benford first-digit probabilities log10(1 + 1/d) as
+    * 17-significant-digit literals — IDENTICAL text on both engines
+    * (each engine's decimal-literal→DOUBLE cast is correctly rounded,
+    * so the doubles are bit-equal), rather than runtime log10 calls
+    * whose last ulp the two math libraries need not agree on.
+    */
+  private val benfordCase: String = {
+    val ps = Seq(
+      1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+      3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+      5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+      7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+      9 -> "0.04575749056067514")
+    ps.map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE digit ", " ", " END")
+  }
+
+  /** q318 — Benford first-digit audit of `l_extendedprice` with a χ²
+    * statistic: the forensic data-quality test (Benford 1938; Nigrini's
+    * fraud-audit practice) that flags fabricated or clipped numeric
+    * columns — synthetic-data detection for a training corpus's
+    * numeric fields. The first digit comes from the exact integer
+    * cents (floor(price·100) → BIGINT → leading decimal digit), never
+    * from log10 of a float (engines disagree in the last ulp at
+    * power-of-ten boundaries). χ² terms are per-digit doubles against
+    * the literal-pinned expectations, quantized to 10⁻⁶ BIGINTs before
+    * the cross-digit sum so the total is order-free exact. One
+    * map-side digit projection + a 9-row aggregate: free at any scale.
+    */
+  private val q318: Q = (s, dir) => {
+    val counts = Tables.spread(Tables.lineitem(s, dir))
+      .select(expr("""CAST(substring(CAST(CAST(floor(l_extendedprice * 100)
+        AS BIGINT) AS STRING), 1, 1) AS INT)""").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum("n_obs").as("n"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("p", expr(benfordCase))
+      .withColumn("term", expr(
+        """(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          | * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          | / (CAST(n AS DOUBLE) * p)""".stripMargin))
+      .withColumn("term_q", expr("CAST(round(term * 1e6) AS BIGINT)"))
+      .transform(graft.util.QueryCaches.tracked)
+    val chi = terms.agg(sum("term_q").as("chi_q"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_frac"),
+        round(col("p"), 6).as("exp_frac"),
+        round(col("term"), 6).as("chi2_term"),
+        round(col("chi_q").cast("double") / lit(1e6), 4).as("chi2_total"))
+      .orderBy("digit")
+  }
+
+  private val q318Sql = {
+    val caseDuck = benfordCase // same literal text parses on DuckDB
+    s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice
+       |    * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM lineitem),
+       |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM dg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+       |terms AS MATERIALIZED (SELECT digit, n_obs, n,
+       |    $caseDuck AS p,
+       |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ($caseDuck))
+       |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ($caseDuck))
+       |      / (CAST(n AS DOUBLE) * ($caseDuck)) AS term
+       |  FROM counts CROSS JOIN tot),
+       |chi AS (SELECT CAST(sum(CAST(round(term * 1e6) AS BIGINT))
+       |    AS BIGINT) AS chi_q FROM terms)
+       |SELECT t.digit, t.n_obs,
+       |  round(CAST(t.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+       |    AS obs_frac,
+       |  round(t.p, 6) AS exp_frac,
+       |  round(t.term, 6) AS chi2_term,
+       |  round(CAST(c.chi_q AS DOUBLE) / CAST(1e6 AS DOUBLE), 4)
+       |    AS chi2_total
+       |FROM terms t CROSS JOIN chi c
+       |ORDER BY t.digit""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q318_benford_audit" -> q318,
     "q286_kneser_ney" -> q286,
     "q192_holdout_perplexity" -> q192,
     "q98_topk_per_group" -> q98,
@@ -365,6 +447,7 @@ object Quality {
     "q103_bigram_lm" -> q103)
 
   val oracle: Map[String, String] = Map(
+    "q318_benford_audit" -> q318Sql,
     "q286_kneser_ney" -> q286Sql,
     "q192_holdout_perplexity" -> q192Sql,
     "q98_topk_per_group" -> q98Sql,

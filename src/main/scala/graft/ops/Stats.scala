@@ -2114,7 +2114,73 @@ object Stats {
       |    / CAST(sum(c) * sum(c * v) AS DOUBLE), 6) AS gini
       |FROM blk GROUP BY source ORDER BY source""".stripMargin
 
+  /** q317 — Theil–Sen robust trend (Theil '50 / Sen '68): the median of
+    * all pairwise slopes of the per-type DAILY event counts — the
+    * outlier-robust twin of q131's OLS (one corrupted day moves OLS
+    * arbitrarily; Theil–Sen tolerates ~29 % contamination). Slopes are
+    * exact-grid BIGINTs: 10⁶·Δy floor-divided by Δdays through the
+    * positive-mod floor form (Δy can be negative — bare `div`/`//`
+    * truncation would diverge from floor on both engines). The pair
+    * join and the median's ranking window run on the per-(type, day)
+    * AGGREGATE — bounded by the day-domain squared, never by rows
+    * (q305's value-domain discipline): a 10¹² -event corpus still
+    * ranks ≤ |days|²/2 slopes per type. Lower median (position
+    * ⌊(n+1)/2⌋) so no cross-engine interpolation.
+    */
+  private val q317: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir).select(col("event_type"),
+        expr(SqlArith.floorDiv("unix_micros(ts)", 86400000000L)).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("y"))
+      .transform(graft.util.QueryCaches.tracked)
+    val li = daily.select(col("event_type"), col("d").as("di"),
+      col("y").as("yi"))
+    val lj = daily.select(col("event_type"), col("d").as("dj"),
+      col("y").as("yj"))
+    val sq = "((1000000L * (yj - yi)) - " +
+      "pmod(1000000L * (yj - yi), (dj - di))) div (dj - di)"
+    val pairs = li.join(lj, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"), expr(sq).as("sq"))
+    val w = Window.partitionBy("event_type").orderBy("sq")
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(np + 1L) div 2"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("sq").as("slope_q_med"),
+        round(col("sq").cast("double") / lit(1e6), 6).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  private val q317Sql = {
+    val sq = SqlArith.floorDivDuck("1000000 * (j.y - i.y)", "j.d - i.d")
+    s"""WITH daily AS MATERIALIZED (SELECT event_type,
+       |    epoch_us(ts) // 86400000000 AS d,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |pr AS (SELECT i.event_type, CAST($sq AS BIGINT) AS sq
+       |  FROM daily i JOIN daily j ON j.event_type = i.event_type
+       |    AND i.d < j.d),
+       |rk AS (SELECT event_type, sq,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY sq) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+       |  FROM pr),
+       |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       |  FROM daily GROUP BY 1)
+       |SELECT r.event_type, nd.n_days, r.np AS n_pairs,
+       |  r.sq AS slope_q_med,
+       |  round(CAST(r.sq AS DOUBLE) / CAST(1e6 AS DOUBLE), 6)
+       |    AS slope_per_day
+       |FROM rk r JOIN nd ON nd.event_type = r.event_type
+       |WHERE r.rn = (r.np + 1) // 2
+       |ORDER BY r.event_type""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "q317_theilsen_trend" -> q317,
     "q306_gini_length" -> q306,
     "q305_mannwhitney_drift" -> q305,
     "q303_poisson_bootstrap" -> q303,
@@ -2146,6 +2212,7 @@ object Stats {
     "q137_token_drift" -> q137)
 
   val oracle: Map[String, String] = Map(
+    "q317_theilsen_trend" -> q317Sql,
     "q306_gini_length" -> q306Sql,
     "q305_mannwhitney_drift" -> q305Sql,
     "q303_poisson_bootstrap" -> q303Sql,

@@ -1761,6 +1761,131 @@ object TextDedup {
       |WHERE levenshtein(a.p, b.p) <= 1
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowed fingerprint relation (doc_id, n_grams, fp): Schleimer–
+    * Wilkerson–Aiken winnowing (SIGMOD'03, the MOSS algorithm) over
+    * word 3-grams with window w = 4 — every window of 4 consecutive
+    * gram hashes contributes its minimum, so any shared run of
+    * t = w + k − 1 = 6 tokens is GUARANTEED to share a fingerprint
+    * (the local-algorithm guarantee sampling by modulus lacks). Docs
+    * with fewer than w full windows winnow to their global min. Keyed-
+    * shared: q314 reports the density profile, q315 retrieves pairs.
+    * The shuffle carries (doc_id, q, 60-bit md5 key), never gram text;
+    * the window is per-doc (bounded by doc length — the scale-safe
+    * window kind).
+    */
+  private[ops] def winnowFps(s: SparkSession, dir: String): DataFrame =
+    graft.util.QueryCaches.keyed(s"wf:fps:$dir") {
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.spread(Tables.documents(s, dir))
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(shinglesExpr(3))))
+        .select(col("doc_id"), (col("pos") + 1L).as("q"),
+          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
+            .as("gh"))
+      val wf = Window.partitionBy("doc_id").orderBy("q").rowsBetween(0, 3)
+      pos
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("wmin", min("gh").over(wf))
+        // q ≤ m−3 keeps only FULL windows; docs with m < 4 keep q = 1,
+        // whose truncated frame is the whole doc (the global-min rule)
+        .filter(col("q") <= greatest(col("m") - 3, lit(1L)))
+        .select(col("doc_id"), col("m").as("n_grams"), col("wmin").as("fp"))
+        .distinct()
+    }
+
+  /** Oracle twin of [[winnowFps]] — shared CTE chain ending in
+    * `fps(doc_id, n_grams, fp)`. */
+  private val winnowCtes =
+    """w0 AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      |g AS (SELECT doc_id, i AS q,
+      |    ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' ||
+      |      words[i+2]), 1, 15))::BIGINT AS gh
+      |  FROM w0, unnest(generate_series(1, len(words) - 2)) AS t(i)
+      |  WHERE len(words) >= 3),
+      |wm AS (SELECT doc_id, q,
+      |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY q
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, m AS n_grams, wmin AS fp FROM wm
+      |  WHERE q <= GREATEST(m - 3, 1))""".stripMargin
+
+  /** q314 — winnowing fingerprint profile: per doc, gram count,
+    * fingerprint count, and density. Winnowing's expected density is
+    * 2/(w+1) = 0.4 — the audit that sizes a MOSS-style index before
+    * building it, and the guarantee-bearing upgrade of q49's single
+    * min-shingle digest (one min has no shared-run guarantee; the
+    * windowed minima set does).
+    */
+  private val q314: Q = (s, dir) =>
+    winnowFps(s, dir).groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_fps"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        round(col("n_fps").cast("double") / col("n_grams").cast("double"), 6)
+          .as("density"))
+      .orderBy("doc_id")
+
+  private val q314Sql =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fps,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+       |    AS density
+       |FROM fps GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
+
+  /** q315 — MOSS pair retrieval: document pairs sharing ≥ 2 winnowed
+    * fingerprints, scored by containment n_shared/min(|fps|) — the
+    * SIXTH blocking family (LSH bands, gram postings, sorted
+    * neighborhoods, prefix filter, deletion neighborhoods, now
+    * winnowing), and the one with the shared-run guarantee: any two
+    * docs sharing a 6-token run MUST collide here. Fingerprints seen
+    * in more than 50 documents are dropped before the pair join —
+    * MOSS's ignore-too-common rule, which is also what bounds the
+    * join fan-out per key (≤50², the skew cap). Cost: one postings
+    * join over the capped fingerprint relation + two narrow joins for
+    * the per-doc counts.
+    */
+  private val q315: Q = (s, dir) => {
+    val fps = winnowFps(s, dir)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("fp")
+    val f = fps.join(rare, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+      .transform(graft.util.QueryCaches.tracked)
+    val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      .transform(graft.util.QueryCaches.tracked)
+    f.as("x").join(f.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q315Sql =
+    s"""WITH $winnowCtes,
+       |rare AS (SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) <= 50),
+       |f AS MATERIALIZED (SELECT doc_id, fp FROM fps
+       |  WHERE fp IN (SELECT fp FROM rare)),
+       |cnt AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+       |  FROM fps GROUP BY 1),
+       |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM f x JOIN f y ON y.fp = x.fp AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+       |  round(CAST(pr.n_shared AS DOUBLE) /
+       |    CAST(least(a.nf, b.nf) AS DOUBLE), 6) AS sim
+       |FROM pr JOIN cnt a ON a.doc_id = pr.doc_a
+       |        JOIN cnt b ON b.doc_id = pr.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q300 — leakage-free train/val/test split: hash-assign whole
     * NEAR-DUP CLUSTERS (q56's connected components over verified J ≥ 0.5
     * pairs; singletons are their own cluster) to splits 80/10/10, so a
@@ -1924,6 +2049,8 @@ object TextDedup {
     "q298_span_dedup" -> q298,
     "q299_prefix_filter_join" -> q299,
     "q313_edit_distance_join" -> q313,
+    "q314_winnow_profile" -> q314,
+    "q315_moss_pairs" -> q315,
     "q300_leakage_free_split" -> q300,
     "q301_cdc_chunking" -> q301,
     "q274_sorted_neighborhood" -> q274,
@@ -1953,6 +2080,8 @@ object TextDedup {
     "q298_span_dedup" -> q298Sql,
     "q299_prefix_filter_join" -> q299Sql,
     "q313_edit_distance_join" -> q313Sql,
+    "q314_winnow_profile" -> q314Sql,
+    "q315_moss_pairs" -> q315Sql,
     "q300_leakage_free_split" -> q300Sql,
     "q301_cdc_chunking" -> q301Sql,
     "q274_sorted_neighborhood" -> q274Sql,

@@ -374,6 +374,145 @@ class Round12OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  /** 60-bit md5-prefix gram key, the engine's conv(md5)[1..15] idiom. */
+  private def gh60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Plain-Scala winnowing (k = 3 word-grams, w = 4) of one text. */
+  private def winnow(text: String): (Long, Set[Long]) = {
+    val words = text.split(" ", -1)
+    if (words.length < 3) return (0L, Set.empty)
+    val hs = words.sliding(3).map(g => gh60(g.mkString(" "))).toArray
+    val m = hs.length
+    val fps = (1 to math.max(m - 3, 1))
+      .map(q => hs.slice(q - 1, math.min(q + 3, m)).min).toSet
+    (m.toLong, fps)
+  }
+
+  test("q314 equals a plain-Scala winnowing reimplementation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.source.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) => id -> winnow(t) }
+      .collect { case (id, (m, fps)) if m > 0 =>
+        id -> ((m, fps.size.toLong,
+          BigDecimal(fps.size.toDouble / m.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+    val got = graft.SparkEntry.queries("q314_winnow_profile")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    // winnowing's expected density is 2/(w+1) = 0.4
+    val avg = got.values.map(_._3).sum / got.size
+    assert(avg > 0.3 && avg < 0.5, s"mean density $avg out of winnowing band")
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q315 guarantee: docs sharing a 12-token distinct run must pair") {
+    // 12 shared tokens → 10 shared grams → 7 full shared windows →
+    // ≥ ceil(7/4) = 2 distinct shared fingerprints → survives the
+    // n_shared >= 2 filter. Junk contexts differ entirely.
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    val d = textDocsDir(Seq(
+      s"alpha beta gamma $run delta epsilon",
+      s"one two three four $run five six",
+      "completely unrelated text with nothing shared at all"))
+    val got = graft.SparkEntry.queries("q315_moss_pairs")(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.contains((0L, 1L)), s"guaranteed pair missing: $got")
+    assert(got((0L, 1L)) >= 2L)
+    assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q316 KMV: exact branch below K, estimator within 25% above K") {
+    // sf0.001: both key sets < 256 → sketch degrades to exact
+    val small = graft.SparkEntry.queries("q316_kmv_overlap")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(small.getDouble(2) === small.getLong(1).toDouble, "exact_a branch")
+    assert(small.getDouble(4) === small.getLong(3).toDouble, "exact_b branch")
+    assert(small.getDouble(7) === small.getDouble(8),
+      "below K the union sketch is the exact union: jacc_est == jacc_exact")
+    graft.util.QueryCaches.drain()
+    // sf0.1: > 256 distinct keys → real estimator; k=256 → σ ≈ 6%
+    val big = graft.SparkEntry.queries("q316_kmv_overlap")(
+      spark, "/root/testdata/sf0.1").collect()(0)
+    val (ea, esta) = (big.getLong(1).toDouble, big.getDouble(2))
+    assert(esta !== ea, "estimator branch must be active at sf0.1")
+    assert(math.abs(esta - ea) / ea < 0.25, s"est_a $esta vs exact $ea")
+    assert(math.abs(big.getDouble(7) - big.getDouble(8)) < 0.15,
+      "jaccard estimate within sketch tolerance")
+    graft.util.QueryCaches.drain()
+  }
+
+  /** events.parquet fixture: (epoch_us, event_type) rows. */
+  private def eventsDir(rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r12-ev").toString
+    rows.zipWithIndex.map { case ((us, et), i) =>
+      (i.toLong, new java.sql.Timestamp(us / 1000), i.toLong, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q317 Theil–Sen: hand-computed pairwise-slope median on a crafted trace") {
+    // type "a": daily counts [1,2,3,4,10] on days 0..4 — ten pairwise
+    // slopes ×10⁶ sorted: 10⁶×6, 2250000, 2666666, 3500000, 6000000;
+    // lower median (position 5) = 1000000. The outlier day (10) moves
+    // OLS but not Theil–Sen — the robustness under test.
+    val day = 86400000000L
+    val counts = Seq(1, 2, 3, 4, 10)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((d * day + 1000L, "a")) }
+    val dir = eventsDir(rows)
+    val got = graft.SparkEntry.queries("q317_theilsen_trend")(spark, dir)
+      .collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getString(0) === "a")
+    assert(r.getLong(1) === 5L)        // n_days
+    assert(r.getLong(2) === 10L)       // n_pairs
+    assert(r.getLong(3) === 1000000L)  // slope_q median = +1/day
+    assert(r.getDouble(4) === 1.0)
+    graft.util.QueryCaches.drain()
+  }
+
+  test("q318 Benford: crafted digits count exactly; χ² matches the closed form") {
+    val s2 = spark
+    import s2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r12-li").toString
+    // cents: 100→digit 1 (×4), 2550→digit 2 (×2), 300→digit 3, 9999→9
+    val prices = Seq(1.00, 1.00, 1.00, 1.00, 25.50, 25.50, 3.00, 99.99)
+    prices.map(Tuple1(_)).toDF("l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = graft.SparkEntry.queries("q318_benford_audit")(spark, d)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set(1, 2, 3, 9))
+    assert(got(1)._1 === 4L && got(2)._1 === 2L &&
+      got(3)._1 === 1L && got(9)._1 === 1L)
+    // closed-form χ² with the same pinned literals, quantized like the engine
+    val p = Map(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 9 -> 0.04575749056067514)
+    val n = 8.0
+    val chiQ = got.keys.toSeq.map { dg =>
+      val o = got(dg)._1.toDouble
+      val t = (o - n * p(dg)) * (o - n * p(dg)) / (n * p(dg))
+      math.round(t * 1e6)
+    }.sum
+    val expectedChi = BigDecimal(chiQ.toDouble / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.values.foreach { case (_, _, chi) => assert(chi === expectedChi) }
+    graft.util.QueryCaches.drain()
+  }
+
   test("q307 equals a plain-Scala mutual-pair reimplementation at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val knn = Similarity.knnNeighbors(spark, dir).collect()
