@@ -3452,15 +3452,19 @@ object Similarity {
         .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (cross.isEmpty) { done = true; cross.unpersist() }
+      val sym = cross.select(col("ca").as("c"), col("dist_q"),
+          col("a"), col("b"), col("cb").as("d"))
+        .unionByName(cross.select(col("cb").as("c"), col("dist_q"),
+          col("a"), col("b"), col("ca").as("d")))
+      val picks = sym.groupBy("c")
+        .agg(min(struct(col("dist_q"), col("a"), col("b"), col("d"))).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one action per round: the pick count is both the convergence
+      // probe (0 crossing edges → 0 picks) and picks' materialization
+      if (picks.count() == 0L) {
+        done = true; picks.unpersist(); cross.unpersist()
+      }
       else {
-        val sym = cross.select(col("ca").as("c"), col("dist_q"),
-            col("a"), col("b"), col("cb").as("d"))
-          .unionByName(cross.select(col("cb").as("c"), col("dist_q"),
-            col("a"), col("b"), col("ca").as("d")))
-        val picks = sym.groupBy("c")
-          .agg(min(struct(col("dist_q"), col("a"), col("b"), col("d"))).as("m"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val newEdges = picks
           .select(col("m.a").as("a"), col("m.b").as("b"),
             col("m.dist_q").as("dist_q")).distinct()
@@ -3595,6 +3599,87 @@ object Similarity {
        |  FROM knn k JOIN kd ka ON ka.vec_id = k.vec_id
        |             JOIN kd kb ON kb.vec_id = k.neighbor_id),
        |${boruvkaSqlAfterUnd()}""".stripMargin
+
+  /** q319 — split-conformal novelty threshold over the kNN distance
+    * (Vovk's conformal prediction, split/inductive form — the
+    * distribution-free coverage guarantee modern eval stacks wrap
+    * around any score): nonconformity = q287's exact kdist (3-NN
+    * distance, BIGINT grid), calibration/test split by a vec_id hash
+    * bit, threshold q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    * score at α = 0.1 — the finite-sample-corrected order statistic
+    * that makes P(test score ≤ q̂) ≥ 1−α EXACTLY, no asymptotics.
+    * The order statistic is selected on the DISTINCT-score relation
+    * ([[GlobalRank.prefixSum]], q305's value-domain discipline — a
+    * 10¹²-row calibration set still ranks a few thousand distinct
+    * quanta); k is exact integer ceil via (9(n+1)+9) div 10. Output:
+    * split sizes, k, q̂, and the measured test coverage (its only
+    * division).
+    */
+  private val q319: Q = (s, dir) => {
+    val kd = knnNeighbors(s, dir).select(col("vec_id"),
+        greatest(lit(1000000L) -
+          expr("CAST(round(cos_sim * 1e6) AS BIGINT)"), lit(1L)).as("d"))
+      .groupBy("vec_id").agg(max("d").as("kdist"))
+      .withColumn("cal", expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS INT) % 2 = 0"))
+      .transform(graft.util.QueryCaches.tracked)
+    val sizes = kd.agg(
+      sum(when(col("cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("cal"), 0L).otherwise(1L)).as("n_test"))
+    val byVal = kd.filter(col("cal")).groupBy("kdist")
+      .agg(count(lit(1)).as("t"))
+    val cum = GlobalRank.prefixSum(byVal, "pfx", col("t"), Seq(col("kdist")))
+      .select(col("kdist"), (col("pfx") + col("t")).as("cum"))
+    val qhat = cum.crossJoin(broadcast(sizes))
+      .filter(col("cum") >= expr("(9L * (n_cal + 1L) + 9L) div 10L"))
+      .agg(min("kdist").as("qhat_q"))
+    kd.filter(!col("cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(sum(when(col("kdist") <= col("qhat_q"), 1L).otherwise(0L))
+        .as("n_covered"), count(lit(1)).as("nt"), max("qhat_q").as("qhat_q"))
+      .crossJoin(broadcast(sizes))
+      .select(col("n_cal"), col("n_test"),
+        expr("(9L * (n_cal + 1L) + 9L) div 10L").as("k_order"),
+        col("qhat_q"),
+        round(col("n_covered").cast("double") / col("nt").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  private val q319Sql =
+    s"""WITH $knnScoredCtes,
+       |knn AS (SELECT vec_id, neighbor_id,
+       |    GREATEST(1000000 - CAST(round(cos_sim * 1e6) AS BIGINT),
+       |      1) AS d
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) t
+       |  WHERE rank <= 3),
+       |kd AS MATERIALIZED (SELECT vec_id, max(d) AS kdist,
+       |    CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 4)) AS INTEGER)
+       |      % 2 = 0 AS cal
+       |  FROM knn GROUP BY vec_id),
+       |sz AS (SELECT CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cal,
+       |  CAST(sum(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+       |  FROM kd),
+       |bv AS (SELECT kdist, CAST(count(*) AS BIGINT) AS t FROM kd
+       |  WHERE cal GROUP BY 1),
+       |cum AS (SELECT kdist,
+       |    CAST(sum(t) OVER (ORDER BY kdist
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM bv),
+       |qh AS (SELECT min(kdist) AS qhat_q FROM cum CROSS JOIN sz
+       |  WHERE cum >= (9 * (sz.n_cal + 1) + 9) // 10),
+       |cov AS (SELECT CAST(sum(CASE WHEN kdist <= qh.qhat_q THEN 1
+       |      ELSE 0 END) AS BIGINT) AS n_covered,
+       |    CAST(count(*) AS BIGINT) AS nt, max(qh.qhat_q) AS qhat_q
+       |  FROM kd CROSS JOIN qh WHERE NOT cal)
+       |SELECT sz.n_cal, sz.n_test,
+       |  CAST((9 * (sz.n_cal + 1) + 9) // 10 AS BIGINT) AS k_order,
+       |  cov.qhat_q,
+       |  round(CAST(cov.n_covered AS DOUBLE) / CAST(cov.nt AS DOUBLE), 6)
+       |    AS coverage
+       |FROM cov CROSS JOIN sz""".stripMargin
 
   /** q287 — local outlier factor (Breunig et al., SIGMOD'00) at k = 3
     * over the SHARED kNN relation: reach-dist(a→b) = max(kdist(b),
@@ -4056,6 +4141,7 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q319_conformal_knn" -> q319,
     "q312_hdbscan_msf" -> q312,
     "q311_dbscan_labels" -> q311,
     "q308_boruvka_msf" -> q308,
@@ -4124,6 +4210,7 @@ object Similarity {
     "q308_boruvka_msf" -> q308Sql,
     "q311_dbscan_labels" -> q311Sql,
     "q312_hdbscan_msf" -> q312Sql,
+    "q319_conformal_knn" -> q319Sql,
     "q287_lof_outliers" -> q287Sql,
     "q293_pca_power" -> q293Sql,
     "q294_kcenter_coreset" -> q294Sql,

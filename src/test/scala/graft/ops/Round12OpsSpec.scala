@@ -513,6 +513,39 @@ class Round12OpsSpec extends AnyFunSuite {
     graft.util.QueryCaches.drain()
   }
 
+  test("q319 conformal threshold equals a plain-Scala reimplementation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val kdist = Similarity.knnNeighbors(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        math.max(1000000L - math.round(r.getDouble(2) * 1e6), 1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    def isCal(v: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 2 == 0
+    }
+    val (cal, test) = kdist.partition { case (v, _) => isCal(v) }
+    val k = (9L * (cal.size + 1L) + 9L) / 10L
+    val qhat = cal.values.toSeq.sorted.apply(k.toInt - 1)
+    val covered = test.values.count(_ <= qhat)
+    val coverage = BigDecimal(covered.toDouble / test.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.SparkEntry.queries("q319_conformal_knn")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) === cal.size.toLong)
+    assert(r.getLong(1) === test.size.toLong)
+    assert(r.getLong(2) === k)
+    assert(r.getLong(3) === qhat)
+    assert(r.getDouble(4) === coverage)
+    // the finite-sample guarantee: realized coverage within binomial
+    // noise of the 0.9 target
+    val sigma = math.sqrt(0.9 * 0.1 / test.size)
+    assert(math.abs(coverage - 0.9) <= 4 * sigma,
+      s"coverage $coverage too far from 0.9 (sigma $sigma)")
+    graft.util.QueryCaches.drain()
+  }
+
   test("q307 equals a plain-Scala mutual-pair reimplementation at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val knn = Similarity.knnNeighbors(spark, dir).collect()
