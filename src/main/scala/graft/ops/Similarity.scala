@@ -3420,6 +3420,23 @@ object Similarity {
     * per round is the crossing-edge emptiness probe (bounded metadata,
     * q293's discipline).
     */
+  /** Spark-side Borůvka round cap — [[boruvkaCtesAfterUnd]]'s default
+    * unroll count is THIS value, so the two engines' caps cannot drift
+    * (round-12 ADVICE item 1).
+    */
+  private[ops] val BoruvkaRounds = 16
+
+  /** Final select shared by q308Sql/q312Sql over [[boruvkaCtesAfterUnd]]'s
+    * `msf` + `resid` CTEs: the MSF edges, plus the loud-truncation
+    * sentinel row when crossing edges remain after the unrolled rounds.
+    */
+  private val boruvkaMsfSelect: String =
+    """SELECT a, b, dist_q FROM msf
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b,
+      |  n AS dist_q FROM resid WHERE n > 0
+      |ORDER BY a, b""".stripMargin
+
   private val q308: Q = (s, dir) => {
     val und = knnNeighbors(s, dir).select(
       least(col("vec_id"), col("neighbor_id")).as("a"),
@@ -3437,7 +3454,8 @@ object Similarity {
     * MSF unique, which is what lets each consumer's oracle run an
     * independent algorithm.
     */
-  private def boruvkaMsf(und0: DataFrame): DataFrame = {
+  private[ops] def boruvkaMsf(und0: DataFrame,
+      maxRounds: Int = BoruvkaRounds): DataFrame = {
     val und = graft.util.QueryCaches.tracked(und0)
     var comp = graft.util.Lineage.truncate(
       und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
@@ -3445,7 +3463,7 @@ object Similarity {
     var msf: DataFrame = null
     var done = false
     var round = 0
-    while (!done && round < 16) {
+    while (!done && round < maxRounds) {
       round += 1
       val cross = und
         .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
@@ -3483,20 +3501,25 @@ object Similarity {
         cross.unpersist()
       }
     }
-    require(done, s"Borůvka did not converge in 16 rounds — component " +
-      "larger than the bucket-size bound; raise the round cap")
+    require(done, s"Borůvka did not converge in $maxRounds rounds — " +
+      "component larger than the bucket-size bound; raise the round cap")
     if (msf == null)
       und.limit(0).select(col("a"), col("b"), col("dist_q"))
     else msf
   }
 
-  /** Oracle: Borůvka unrolled to 14 rounds (components ≤ 4×2048-row
-    * buckets → ≤14 rounds and pointer depth ≤ 2^14; idempotent past
-    * convergence), contraction by explicit 2-cycle-break + pointer
-    * doubling — every multi-referenced CTE MATERIALIZED so DuckDB never
-    * inlines the chain exponentially. MSF uniqueness under the strict
-    * total order makes round-structure differences from the Spark side
-    * irrelevant.
+  /** Oracle: Borůvka unrolled to the SAME 16-round cap the Spark kernel
+    * enforces (components ≤ 4×2048-row buckets → ~13 rounds in practice;
+    * idempotent past convergence), contraction by explicit 2-cycle-break
+    * + pointer doubling — every multi-referenced CTE MATERIALIZED so
+    * DuckDB never inlines the chain exponentially. MSF uniqueness under
+    * the strict total order makes round-structure differences from the
+    * Spark side irrelevant. Truncation fails LOUDLY on the oracle side
+    * too: a residual-crossing-edge probe after round 16 appends a
+    * sentinel row (-1, -1, residual_count) when nonempty, so an
+    * under-unrolled oracle hash-mismatches instead of silently
+    * golden-stamping a partial MSF (the Spark side's `require` is its
+    * half of the same contract).
     */
   private val q308Sql: String =
     s"""WITH $knnScoredCtes,
@@ -3508,13 +3531,17 @@ object Similarity {
        |    greatest(vec_id, neighbor_id) AS b,
        |    1000000 - CAST(round(cos_sim * 1e6) AS BIGINT) AS dist_q
        |  FROM knn),
-       |${boruvkaSqlAfterUnd()}""".stripMargin
+       |${boruvkaCtesAfterUnd()}
+       |$boruvkaMsfSelect""".stripMargin
 
-  /** The unrolled-Borůvka oracle tail shared by q308Sql/q312Sql: lab0 +
-    * R rounds + the final MSF select, expecting the caller's WITH list
-    * to define `und(a, b, dist_q)` with unique pairs.
+  /** The unrolled-Borůvka oracle CTE tail shared by q308Sql/q312Sql/
+    * q321Sql: lab0 + R rounds + `msf` (the union of all picked edges)
+    * + `resid` (crossing edges left AFTER round R — nonzero means the
+    * unroll truncated and the consumer must fail loudly). Expects the
+    * caller's WITH list to define `und(a, b, dist_q)` with unique pairs.
     */
-  private def boruvkaSqlAfterUnd(R: Int = 14, D: Int = 14): String = {
+  private def boruvkaCtesAfterUnd(R: Int = BoruvkaRounds,
+      D: Int = 14): String = {
     def roundCtes(k: Int): String = {
       val prev = s"lab${k - 1}"
       val jumps = (1 to D).map(i =>
@@ -3546,10 +3573,13 @@ object Similarity {
       .mkString("\n  UNION ALL ")
     s"""lab0 AS MATERIALIZED (SELECT v, v AS c FROM
        |  (SELECT a AS v FROM und UNION SELECT b FROM und) t),
-       |${(1 to R).map(roundCtes).mkString(",\n")}
-       |SELECT DISTINCT a, b, dist_q FROM (
-       |  $unionPicks) allp
-       |ORDER BY a, b""".stripMargin
+       |${(1 to R).map(roundCtes).mkString(",\n")},
+       |msf AS MATERIALIZED (SELECT DISTINCT a, b, dist_q FROM (
+       |  $unionPicks) allp),
+       |resid AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |  FROM und e JOIN lab$R la ON la.v = e.a
+       |             JOIN lab$R lb ON lb.v = e.b
+       |  WHERE la.c <> lb.c)""".stripMargin
   }
 
   /** q312 — HDBSCAN's backbone: the minimum spanning forest under
@@ -3598,7 +3628,8 @@ object Similarity {
        |    GREATEST(k.dist_q, ka.kdist, kb.kdist) AS dist_q
        |  FROM knn k JOIN kd ka ON ka.vec_id = k.vec_id
        |             JOIN kd kb ON kb.vec_id = k.neighbor_id),
-       |${boruvkaSqlAfterUnd()}""".stripMargin
+       |${boruvkaCtesAfterUnd()}
+       |$boruvkaMsfSelect""".stripMargin
 
   /** q319 — split-conformal novelty threshold over the kNN distance
     * (Vovk's conformal prediction, split/inductive form — the
@@ -3613,7 +3644,12 @@ object Similarity {
     * 10¹²-row calibration set still ranks a few thousand distinct
     * quanta); k is exact integer ceil via (9(n+1)+9) div 10. Output:
     * split sizes, k, q̂, and the measured test coverage (its only
-    * division).
+    * division). Degenerate small calibration sets (n_cal < 9, so the
+    * order statistic k exceeds n_cal) follow the split-conformal
+    * convention q̂ = +∞ — here the max BIGINT quantum, identically on
+    * both engines — giving coverage 1, never the silent coverage-0 a
+    * NULL threshold would produce (round-12 ADVICE item 2; the
+    * degenerate branch is pinned by Round13OpsSpec).
     */
   private val q319: Q = (s, dir) => {
     val kd = knnNeighbors(s, dir).select(col("vec_id"),
@@ -3623,6 +3659,14 @@ object Similarity {
       .withColumn("cal", expr(
         "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS INT) % 2 = 0"))
       .transform(graft.util.QueryCaches.tracked)
+    conformalSummary(kd)
+  }
+
+  /** The split-conformal tail of q319 over any (vec_id, kdist, cal)
+    * relation — factored so the degenerate small-calibration branch is
+    * unit-testable on crafted splits.
+    */
+  private[graft] def conformalSummary(kd: DataFrame): DataFrame = {
     val sizes = kd.agg(
       sum(when(col("cal"), 1L).otherwise(0L)).as("n_cal"),
       sum(when(col("cal"), 0L).otherwise(1L)).as("n_test"))
@@ -3632,7 +3676,7 @@ object Similarity {
       .select(col("kdist"), (col("pfx") + col("t")).as("cum"))
     val qhat = cum.crossJoin(broadcast(sizes))
       .filter(col("cum") >= expr("(9L * (n_cal + 1L) + 9L) div 10L"))
-      .agg(min("kdist").as("qhat_q"))
+      .agg(coalesce(min("kdist"), lit(Long.MaxValue)).as("qhat_q"))
     kd.filter(!col("cal"))
       .crossJoin(broadcast(qhat))
       .agg(sum(when(col("kdist") <= col("qhat_q"), 1L).otherwise(0L))
@@ -3668,7 +3712,9 @@ object Similarity {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum
        |  FROM bv),
-       |qh AS (SELECT min(kdist) AS qhat_q FROM cum CROSS JOIN sz
+       |qh AS (SELECT COALESCE(min(kdist),
+       |    CAST(9223372036854775807 AS BIGINT)) AS qhat_q
+       |  FROM cum CROSS JOIN sz
        |  WHERE cum >= (9 * (sz.n_cal + 1) + 9) // 10),
        |cov AS (SELECT CAST(sum(CASE WHEN kdist <= qh.qhat_q THEN 1
        |      ELSE 0 END) AS BIGINT) AS n_covered,
