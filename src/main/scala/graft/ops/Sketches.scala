@@ -205,13 +205,255 @@ object Sketches {
        |    AS jacc_exact
        |FROM agg""".stripMargin
 
+  /** q320 — mergeable QUANTILE sketch: a deterministic q-digest
+    * (Shrivastava–Buragohain–Agrawal–Suri, SenSys'04) per source over
+    * the document-length distribution, audited in-query against exact
+    * order statistics. This completes the sketch family (HLL q273, CMS
+    * q283, Misra–Gries q171, KMV q316) with its most-used member — the
+    * fixed-size summary behind continuous per-source length/quality
+    * percentile monitoring, where q59's exact quantiles (a full
+    * distinct-value scan per refresh) are the audit, not the monitor.
+    *
+    * Why q-digest and not a randomized-compactor KLL or a t-digest: both
+    * of those are functions of the STREAM (compaction coin flips /
+    * centroid merge order), so two runs — or two engines — legitimately
+    * disagree. The q-digest is a pure function of the input MULTISET:
+    * leaf counts on a fixed dyadic tree over the integer universe
+    * U = 2^12, then a canonical level-synchronous compression — so it is
+    * order-independent, partitioning-independent, exactly mergeable
+    * (add counts node-wise, recompress), and both engines can rebuild it
+    * bit-for-bit. Those are precisely the properties the correctness
+    * gate and a deterministic 1000-executor build both need.
+    *
+    * Canonical build: value counts become level-0 nodes; at each level
+    * ℓ = 0..11 sibling pairs whose combined count is below
+    * σ = max(1, n/64) push their mass to the parent (small families
+    * climb), pairs at or above σ are FROZEN into the digest at level ℓ.
+    * Non-leaf digest nodes therefore carry < σ each, which yields the
+    * classic guarantee, emitted per row as `bound_ok`: the digest
+    * quantile never ranks BELOW the target (rank_le ≥ target), and
+    * overshoots by less than L·σ (rank_lt < target + 12σ) — the ≤ L
+    * ancestor nodes straddling the answer are the only smear. Small
+    * sources (n < 64 → σ = 1) keep exact value counts — est = exact —
+    * while big sources compress ~64× per level; the sf ladder exercises
+    * both branches (q316's discipline).
+    *
+    * Scale shape: one partial+final groupBy collapses the row stream to
+    * the (source × ≤4096)-cell value-domain relation; the compression
+    * then runs as an in-memory per-source kernel ([[qdigestCompress]],
+    * `flatMapGroups` over the ≤4096-cell groups — O(U) per task by
+    * construction, the same bounded-domain adaptivity as
+    * connectedComponents' small-graph path). A 12-level chained-groupBy
+    * dataflow would be declarative but wrong here: it stacks 12 shuffles
+    * and a deeply nested plan onto a relation the FIXED universe already
+    * bounds, whereas one typed kernel costs one shuffle and a flat plan.
+    * Every rank probe after that is Column-land on the bounded digest —
+    * no window wider than one source's ≤3k-node digest, no driver loop,
+    * no action, all-BIGINT (there is no division at all).
+    * Out-of-universe values fail LOUDLY on both engines
+    * (raise_error/error), never clamp.
+    */
+  private val QdL = 12       // levels = log2(universe)
+  private val QdU = 4096L    // value universe [0, 2^12)
+  private val QdK = 64L      // compression: sigma = max(1, n/QdK)
+  private val QdPcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)
+
+  /** The canonical level-synchronous q-digest compression — a pure
+    * function of the input NODE multiset (any levels; counts summed per
+    * (lvl, idx)), so build (leaves in) and MERGE (two digests' nodes in)
+    * are the same kernel. At each level ℓ the sibling pair whose
+    * combined climbing mass is < σ pushes to the parent; a pair at
+    * ≥ σ freezes both present children into the digest at level ℓ.
+    * Output is (lvl, idx, c) in deterministic (lvl, idx) order.
+    * Exactly mirrors the oracle SQL's unrolled 12-level CTE fold.
+    */
+  private[graft] def qdigestCompress(nodes: Seq[(Int, Long, Long)],
+      sigma: Long): Seq[(Int, Long, Long)] = {
+    val incoming = Array.fill(QdL + 1)(
+      scala.collection.mutable.HashMap.empty[Long, Long])
+    nodes.foreach { case (l, i, c) =>
+      val m = incoming(l); m.update(i, m.getOrElse(i, 0L) + c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var cur = incoming(0)
+    for (l <- 0 until QdL) {
+      val next = incoming(l + 1)
+      cur.keysIterator.map(_ >> 1)
+        .to(scala.collection.immutable.SortedSet).foreach { p =>
+          val c0 = cur.getOrElse(2 * p, 0L)
+          val c1 = cur.getOrElse(2 * p + 1, 0L)
+          if (c0 + c1 >= sigma) {
+            if (c0 > 0) out += ((l, 2 * p, c0))
+            if (c1 > 0) out += ((l, 2 * p + 1, c1))
+          } else next.update(p, next.getOrElse(p, 0L) + c0 + c1)
+        }
+      cur = next
+    }
+    cur.toSeq.sortBy(_._1).foreach { case (i, c) => out += ((QdL, i, c)) }
+    out.toSeq
+  }
+
+  /** The q-digest build + audit over any (source, v) relation — factored
+    * so Round13OpsSpec can drive crafted distributions, prove the rank
+    * bound, and pin partitioning-independence.
+    */
+  private[graft] def qdigestSummary(vals0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = vals0.select(col("source"), expr(
+      s"CASE WHEN v BETWEEN 0 AND ${QdU - 1} THEN v ELSE " +
+        "CAST(raise_error('q320: value outside the 2^12 q-digest " +
+        "universe; rescale or deepen the tree') AS BIGINT) END").as("v"))
+    val leaves = graft.util.QueryCaches.tracked(
+      vals.groupBy("source", "v").agg(count(lit(1)).as("c")))
+    val ns = graft.util.QueryCaches.tracked(
+      leaves.groupBy("source").agg(sum("c").as("n"))
+        .withColumn("sigma", greatest(lit(1L), expr(s"n div $QdK"))))
+    val spark = vals0.sparkSession
+    import spark.implicits._
+    val dig = graft.util.QueryCaches.tracked(
+      leaves.select(col("source").cast("string"), col("v"), col("c"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (src: String, it: Iterator[(String, Long, Long)]) =>
+          val cells = it.map(t => (0, t._2, t._3)).toArray
+          val n = cells.iterator.map(_._3).sum
+          val sigma = math.max(1L, n / QdK)
+          qdigestCompress(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(cells), sigma).iterator
+            .map { case (l, i, c) => (src, l, i, c, (i + 1) * (1L << l) - 1) }
+        }.toDF("source", "lvl", "idx", "c", "ub"))
+    val dw = Window.partitionBy("source").orderBy("ub", "lvl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcum = dig.withColumn("cum", sum("c").over(dw))
+    val dn = dig.groupBy("source").agg(count(lit(1)).as("dig_nodes"))
+    val tg = graft.util.QueryCaches.tracked(
+      ns.select(col("source"), col("n"), col("sigma"),
+          explode(array(QdPcts.map(lit): _*)).as("pct"))
+        .withColumn("target_rank", expr("(pct * n + 99L) div 100L")))
+    val est = tg.select("source", "pct", "target_rank")
+      .join(dcum, Seq("source"))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("source", "pct").agg(min("ub").as("est"))
+    val lw = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lcum = leaves.withColumn("cum", sum("c").over(lw))
+    val exact = tg.select("source", "pct", "target_rank")
+      .join(lcum, Seq("source"))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("source", "pct").agg(min("v").as("exact"))
+    val rk = est.join(leaves, Seq("source"))
+      .groupBy("source", "pct")
+      .agg(sum(when(col("v") < col("est"), col("c")).otherwise(0L))
+        .as("rank_lt"),
+        sum(when(col("v") <= col("est"), col("c")).otherwise(0L))
+          .as("rank_le"))
+    tg.join(est, Seq("source", "pct"))
+      .join(exact, Seq("source", "pct"))
+      .join(rk, Seq("source", "pct"))
+      .join(broadcast(dn), "source")
+      .select(col("source"), col("pct"), col("n"), col("sigma"),
+        col("dig_nodes"), col("est"), col("exact"), col("target_rank"),
+        col("rank_lt"), col("rank_le"),
+        (col("rank_le") >= col("target_rank") &&
+          col("rank_lt") < col("target_rank") + lit(QdL.toLong) * col("sigma"))
+          .as("bound_ok"))
+      .orderBy("source", "pct")
+  }
+
+  private val q320: Q = (s, dir) =>
+    qdigestSummary(Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("n_chars").as("v")))
+
+  private val q320Sql: String = {
+    val levels = (0 until QdL).map { l =>
+      s"""ps$l AS MATERIALIZED (SELECT source, idx // 2 AS p,
+         |    CAST(sum(c) AS BIGINT) AS cs
+         |  FROM cur$l GROUP BY 1, 2),
+         |kept$l AS MATERIALIZED (SELECT cur.source,
+         |    CAST($l AS INTEGER) AS lvl, cur.idx, cur.c,
+         |    CAST((cur.idx + 1) * ${1L << l} - 1 AS BIGINT) AS ub
+         |  FROM cur$l cur
+         |  JOIN ps$l p ON p.source = cur.source AND p.p = cur.idx // 2
+         |  JOIN ns ON ns.source = cur.source
+         |  WHERE p.cs >= ns.sigma),
+         |cur${l + 1} AS MATERIALIZED (SELECT p.source, p.p AS idx,
+         |    p.cs AS c
+         |  FROM ps$l p JOIN ns ON ns.source = p.source
+         |  WHERE p.cs < ns.sigma)""".stripMargin
+    }.mkString(",\n")
+    val keptUnion = (0 until QdL)
+      .map(l => s"SELECT source, lvl, idx, c, ub FROM kept$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vals AS (SELECT source,
+       |    CASE WHEN n_chars BETWEEN 0 AND ${QdU - 1} THEN n_chars
+       |      ELSE CAST(error('q320: value outside the 2^12 q-digest
+       | universe; rescale or deepen the tree') AS BIGINT) END AS v
+       |  FROM documents),
+       |leaves AS MATERIALIZED (SELECT source, v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM vals GROUP BY 1, 2),
+       |ns AS MATERIALIZED (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       |    GREATEST(CAST(1 AS BIGINT), CAST(sum(c) AS BIGINT) // $QdK)
+       |      AS sigma
+       |  FROM leaves GROUP BY 1),
+       |cur0 AS MATERIALIZED (SELECT source, v AS idx, c FROM leaves),
+       |$levels,
+       |dig AS MATERIALIZED (
+       |  $keptUnion
+       |  UNION ALL SELECT source, CAST($QdL AS INTEGER) AS lvl, idx, c,
+       |    CAST(${QdU - 1} AS BIGINT) AS ub FROM cur$QdL),
+       |dcum AS (SELECT source, lvl, ub, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY ub, lvl
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dig),
+       |dn AS (SELECT source, CAST(count(*) AS BIGINT) AS dig_nodes
+       |  FROM dig GROUP BY 1),
+       |pcts AS (SELECT unnest([${QdPcts.mkString(", ")}]) AS pct),
+       |tg AS MATERIALIZED (SELECT ns.source, pcts.pct, ns.n, ns.sigma,
+       |    (pcts.pct * ns.n + 99) // 100 AS target_rank
+       |  FROM ns CROSS JOIN pcts),
+       |est AS (SELECT t.source, t.pct, CAST(min(d.ub) AS BIGINT) AS est
+       |  FROM tg t JOIN dcum d ON d.source = t.source
+       |    AND d.cum >= t.target_rank
+       |  GROUP BY 1, 2),
+       |lcum AS (SELECT source, v, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM leaves),
+       |ext AS (SELECT t.source, t.pct, CAST(min(l.v) AS BIGINT) AS exact
+       |  FROM tg t JOIN lcum l ON l.source = t.source
+       |    AND l.cum >= t.target_rank
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT e.source, e.pct,
+       |    CAST(sum(CASE WHEN l.v < e.est THEN l.c ELSE 0 END) AS BIGINT)
+       |      AS rank_lt,
+       |    CAST(sum(CASE WHEN l.v <= e.est THEN l.c ELSE 0 END) AS BIGINT)
+       |      AS rank_le
+       |  FROM est e JOIN leaves l ON l.source = e.source
+       |  GROUP BY 1, 2)
+       |SELECT t.source, CAST(t.pct AS INTEGER) AS pct, t.n, t.sigma,
+       |  dn.dig_nodes, e.est, x.exact,
+       |  CAST(t.target_rank AS BIGINT) AS target_rank,
+       |  rk.rank_lt, rk.rank_le,
+       |  (rk.rank_le >= t.target_rank
+       |    AND rk.rank_lt < t.target_rank + $QdL * t.sigma) AS bound_ok
+       |FROM tg t
+       |JOIN est e ON e.source = t.source AND e.pct = t.pct
+       |JOIN ext x ON x.source = t.source AND x.pct = t.pct
+       |JOIN rk ON rk.source = t.source AND rk.pct = t.pct
+       |JOIN dn ON dn.source = t.source
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q283_cms_frequency" -> q283,
-    "q316_kmv_overlap" -> q316
+    "q316_kmv_overlap" -> q316,
+    "q320_quantile_sketch" -> q320
   )
 
   val oracle: Map[String, String] = Map(
     "q283_cms_frequency" -> q283Sql,
-    "q316_kmv_overlap" -> q316Sql
+    "q316_kmv_overlap" -> q316Sql,
+    "q320_quantile_sketch" -> q320Sql
   )
 }
