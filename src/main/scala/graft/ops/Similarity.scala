@@ -3593,7 +3593,11 @@ object Similarity {
     * ≤3-out-degree relation against the |V|-row kdist aggregate; the
     * Borůvka kernel and its scale story are [[boruvkaMsf]]'s.
     */
-  private val q312: Q = (s, dir) => {
+  /** The mutual-reachability edge relation shared by q312 (its MSF) and
+    * q321 (the cluster extraction over that MSF): kNN edges reweighted
+    * to mrd(a,b) = max(kdist(a), kdist(b), d(a,b)).
+    */
+  private def mutualReachEdges(s: SparkSession, dir: String): DataFrame = {
     val knn = graft.util.QueryCaches.tracked(
       knnNeighbors(s, dir).select(col("vec_id"), col("neighbor_id"),
         greatest(lit(1000000L) -
@@ -3601,7 +3605,7 @@ object Similarity {
           .as("dist_q")))
     val kd = knn.groupBy("vec_id").agg(max("dist_q").as("kdist"))
       .transform(graft.util.QueryCaches.tracked)
-    val und = knn
+    knn
       .join(kd.select(col("vec_id"), col("kdist").as("ka")), "vec_id")
       .join(kd.select(col("vec_id").as("neighbor_id"),
         col("kdist").as("kb")), "neighbor_id")
@@ -3609,11 +3613,16 @@ object Similarity {
         greatest(col("vec_id"), col("neighbor_id")).as("b"),
         greatest(col("dist_q"), col("ka"), col("kb")).as("dist_q"))
       .distinct()
-    boruvkaMsf(und).orderBy("a", "b")
   }
 
-  private val q312Sql: String =
-    s"""WITH $knnScoredCtes,
+  private val q312: Q = (s, dir) =>
+    boruvkaMsf(mutualReachEdges(s, dir)).orderBy("a", "b")
+
+  /** Oracle CTE prefix shared by q312Sql/q321Sql: the mutual-reachability
+    * `und(a, b, dist_q)` relation ([[mutualReachEdges]]'s twin).
+    */
+  private val mutualReachUndCtes: String =
+    s"""$knnScoredCtes,
        |knn AS (SELECT vec_id, neighbor_id,
        |    GREATEST(1000000 - CAST(round(cos_sim * 1e6) AS BIGINT),
        |      1) AS dist_q
@@ -3627,9 +3636,123 @@ object Similarity {
        |    greatest(k.vec_id, k.neighbor_id) AS b,
        |    GREATEST(k.dist_q, ka.kdist, kb.kdist) AS dist_q
        |  FROM knn k JOIN kd ka ON ka.vec_id = k.vec_id
-       |             JOIN kd kb ON kb.vec_id = k.neighbor_id),
+       |             JOIN kd kb ON kb.vec_id = k.neighbor_id)""".stripMargin
+
+  private val q312Sql: String =
+    s"""WITH $mutualReachUndCtes,
        |${boruvkaCtesAfterUnd()}
        |$boruvkaMsfSelect""".stripMargin
+
+  /** q321 — HDBSCAN cluster EXTRACTION over q312's mutual-reachability
+    * MSF: the flat single-link cut that turns the dendrogram backbone
+    * into the clustering deliverable (Campello et al., PAKDD'13 §3 —
+    * the λ-level set of the hierarchy; the condensed-tree stability
+    * selection refines WHICH level per branch, this emits the global
+    * level cut with min_cluster_size = 3, matching the kNN k). The cut
+    * threshold λ is data-adaptive and deterministic: the 25th-percentile
+    * MSF edge weight, selected on the DISTINCT-weight relation
+    * ([[GlobalRank.prefixSum]], the value-domain discipline). Edges with
+    * dist_q ≤ λ survive; connected components over the survivors (the
+    * shared [[TextDedup.connectedComponents]] kernel, min-label ids) are
+    * the clusters; components below min_cluster_size — including the
+    * vertices every cut edge dropped — pool into the `cluster_id = -1`
+    * noise row, so the n_points column sums to |V| exactly.
+    *
+    * Scale shape on top of the [[boruvkaMsf]] kernel: one value-domain
+    * prefix sum for λ, one broadcast λ filter, the CC loop over a
+    * relation that is ≤ 25% of the (already |V|-bounded) MSF, and two
+    * map-side-combinable groupBys. The oracle replays the cut over the
+    * unrolled-Borůvka `msf` CTE with recursive-closure CC (q56's
+    * pattern) and inherits the loud-truncation sentinel: residual
+    * crossing edges after the unroll emit a cluster_id = -2 row no Spark
+    * run can produce (its `require` throws instead), so a truncated
+    * oracle can never golden-stamp a wrong clustering.
+    */
+  private val q321: Q = (s, dir) => {
+    val msf = graft.util.QueryCaches.tracked(
+      boruvkaMsf(mutualReachEdges(s, dir)))
+    val byVal = msf.groupBy("dist_q").agg(count(lit(1)).as("t"))
+    val cum = GlobalRank.prefixSum(byVal, "pfx", col("t"), Seq(col("dist_q")))
+      .select(col("dist_q"), (col("pfx") + col("t")).as("cum"))
+    val m = msf.agg(count(lit(1)).as("m"))
+    val lambda = graft.util.QueryCaches.tracked(
+      cum.crossJoin(broadcast(m))
+        .filter(col("cum") >= expr("(25L * m + 99L) div 100L"))
+        .agg(min("dist_q").as("lambda_q")))
+    val cut = graft.util.QueryCaches.tracked(
+      msf.crossJoin(broadcast(lambda))
+        .filter(col("dist_q") <= col("lambda_q"))
+        .select("a", "b", "dist_q"))
+    val labels = graft.util.QueryCaches.tracked(
+      TextDedup.connectedComponents(cut.select("a", "b"))
+        .toDF("v", "label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_points"))
+    val estats = cut.join(labels.withColumnRenamed("v", "a"), "a")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_edges"), max("dist_q").as("max_edge_q"))
+    val retained = graft.util.QueryCaches.tracked(
+      sizes.join(estats, "label").filter(col("n_points") >= 3)
+        .select(col("label").as("cluster_id"), col("n_points"),
+          col("n_edges"), col("max_edge_q")))
+    val nv = msf.select(col("a").as("v"))
+      .unionByName(msf.select(col("b").as("v"))).distinct()
+      .agg(count(lit(1)).as("n_v"))
+    val covered = retained.agg(
+      coalesce(sum("n_points"), lit(0L)).as("covered"))
+    val noise = nv.crossJoin(broadcast(covered))
+      .select(lit(-1L).as("cluster_id"),
+        (col("n_v") - col("covered")).as("n_points"),
+        lit(0L).as("n_edges"), lit(null).cast("long").as("max_edge_q"))
+    retained.unionByName(noise)
+      .crossJoin(broadcast(lambda))
+      .orderBy("cluster_id")
+  }
+
+  private val q321Sql: String =
+    s"""WITH RECURSIVE $mutualReachUndCtes,
+       |${boruvkaCtesAfterUnd()},
+       |bv AS (SELECT dist_q, CAST(count(*) AS BIGINT) AS t
+       |  FROM msf GROUP BY 1),
+       |mcum AS (SELECT dist_q,
+       |    sum(t) OVER (ORDER BY dist_q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM bv),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM msf),
+       |lam AS (SELECT min(dist_q) AS lambda_q FROM mcum CROSS JOIN mm
+       |  WHERE cum >= (25 * mm.m + 99) // 100),
+       |cut AS MATERIALIZED (SELECT a, b, dist_q FROM msf CROSS JOIN lam
+       |  WHERE dist_q <= lam.lambda_q),
+       |sym AS (SELECT a, b FROM cut UNION SELECT b, a FROM cut),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |cc AS MATERIALIZED (SELECT a AS v, min(b) AS label
+       |  FROM reach GROUP BY a),
+       |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_points
+       |  FROM cc GROUP BY 1),
+       |es AS (SELECT cc.label, CAST(count(*) AS BIGINT) AS n_edges,
+       |    max(cut.dist_q) AS max_edge_q
+       |  FROM cut JOIN cc ON cc.v = cut.a GROUP BY 1),
+       |ret AS MATERIALIZED (SELECT s.label AS cluster_id, s.n_points,
+       |    es.n_edges, es.max_edge_q
+       |  FROM sizes s JOIN es ON es.label = s.label
+       |  WHERE s.n_points >= 3),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_v FROM
+       |  (SELECT a AS v FROM msf UNION SELECT b FROM msf) t),
+       |cov AS (SELECT CAST(COALESCE(sum(n_points), 0) AS BIGINT)
+       |  AS covered FROM ret)
+       |SELECT cluster_id, n_points, n_edges, max_edge_q, lam.lambda_q
+       |FROM ret CROSS JOIN lam
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), nv.n_v - cov.covered,
+       |  CAST(0 AS BIGINT), CAST(NULL AS BIGINT), lam.lambda_q
+       |FROM nv, cov, lam
+       |UNION ALL
+       |SELECT CAST(-2 AS BIGINT), resid.n, CAST(0 AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(-1 AS BIGINT)
+       |FROM resid WHERE resid.n > 0
+       |ORDER BY 1""".stripMargin
 
   /** q319 — split-conformal novelty threshold over the kNN distance
     * (Vovk's conformal prediction, split/inductive form — the
@@ -4189,6 +4312,7 @@ object Similarity {
   val all: Map[String, Q] = Map(
     "q319_conformal_knn" -> q319,
     "q312_hdbscan_msf" -> q312,
+    "q321_hdbscan_clusters" -> q321,
     "q311_dbscan_labels" -> q311,
     "q308_boruvka_msf" -> q308,
     "q307_mutual_knn" -> q307,
@@ -4256,6 +4380,7 @@ object Similarity {
     "q308_boruvka_msf" -> q308Sql,
     "q311_dbscan_labels" -> q311Sql,
     "q312_hdbscan_msf" -> q312Sql,
+    "q321_hdbscan_clusters" -> q321Sql,
     "q319_conformal_knn" -> q319Sql,
     "q287_lof_outliers" -> q287Sql,
     "q293_pca_power" -> q293Sql,
