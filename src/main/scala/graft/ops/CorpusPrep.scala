@@ -1245,6 +1245,113 @@ object CorpusPrep {
       |  vb.vocab_before, va.vocab_after
       |FROM best, agg, vb, va""".stripMargin
 
+  /** q322 — BPE tokenizer TRAINING to a fixed merge budget (Sennrich et
+    * al., ACL'16): q279 is ONE merge step; this runs the loop — 32
+    * rounds of count-pairs → argmax rule → corpus-wide rewrite — and
+    * emits the per-step training curve (rule, its frequency, post-merge
+    * token count and vocabulary size) a tokenizer build monitors. Each
+    * step keeps q279's declared A ≠ B restriction, which makes every
+    * round's rewrite a closed-form non-overlapping match replacement
+    * (order-free on both engines; see q279's doc for the proof sketch).
+    * Merged tokens join with '_' and feed later rounds, so rules over
+    * rules (true subword growth) emerge within the budget. If the corpus
+    * exhausts its A ≠ B pairs before the budget, both engines degrade
+    * identically to NULL-rule no-op rounds — never a row-count drift.
+    *
+    * Scale shape — the q308/q309 driver-loop discipline: per round ONE
+    * eager lineage truncation of the rewritten corpus (the only action),
+    * one map-side-combinable pair-count shuffle, a broadcast 1-row rule
+    * (argmax via max-agg + min-struct tie-break, never a sort), and a
+    * map-side rewrite. The plan NEVER nests across rounds (truncation
+    * every round — a rewrite references its predecessor twice, via the
+    * rule and the corpus, so untruncated lineage would double per
+    * round); cost is exactly 32 × one-step cost at any corpus size. The
+    * oracle unrolls the same 32-round fold CTE-for-CTE (q309's
+    * unrolled-fold style).
+    */
+  private val BpeMerges = 32
+
+  private val bpePairsExpr =
+    """CASE WHEN size(w) < 2 THEN array()
+      |ELSE filter(transform(sequence(1, size(w) - 1), i ->
+      |  struct(element_at(w, i) AS a, element_at(w, i + 1) AS b)),
+      |  p -> p.a <> p.b) END""".stripMargin
+
+  private val bpeRewriteExpr =
+    """filter(transform(sequence(1, size(w)), i ->
+      |  CASE WHEN i > 1 AND element_at(w, i - 1) = pa
+      |            AND element_at(w, i) = pb THEN NULL
+      |       WHEN element_at(w, i) = pa AND i < size(w)
+      |            AND element_at(w, i + 1) = pb
+      |       THEN concat(pa, '_', pb)
+      |       ELSE element_at(w, i) END), x -> x IS NOT NULL)""".stripMargin
+
+  private val q322: Q = (s, dir) => {
+    var docs = graft.util.Lineage.truncate(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("w")))
+    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- 1 to BpeMerges) {
+      val pairs = graft.util.QueryCaches.tracked(
+        docs.select(explode(expr(bpePairsExpr)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c")))
+      val best = graft.util.QueryCaches.tracked(
+        pairs.crossJoin(broadcast(pairs.agg(max("c").as("mx"))))
+          .filter(col("c") === col("mx"))
+          .agg(min(struct(col("a"), col("b"))).as("m"),
+            max("mx").as("pair_count"))
+          .select(col("m.a").as("pa"), col("m.b").as("pb"),
+            col("pair_count")))
+      docs = graft.util.Lineage.truncate(
+        docs.crossJoin(broadcast(best))
+          .select(col("doc_id"), expr(bpeRewriteExpr).as("w")))
+      steps += docs.select(explode(col("w")).as("t"))
+        .agg(count(lit(1)).as("n_tokens_after"),
+          countDistinct("t").as("vocab_after"))
+        .crossJoin(broadcast(best))
+        .select(lit(k).as("step"), col("pa"), col("pb"),
+          col("pair_count"), col("n_tokens_after"), col("vocab_after"))
+    }
+    steps.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  private val q322Sql: String = {
+    def round(k: Int): String =
+      s"""pr$k AS MATERIALIZED (SELECT p.a, p.b,
+         |    CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT unnest(CASE WHEN len(w) < 2 THEN [] ELSE
+         |    list_filter(list_transform(generate_series(1, len(w) - 1), i ->
+         |      {'a': w[i], 'b': w[i + 1]}), p -> p.a <> p.b) END) AS p
+         |  FROM d${k - 1}) t GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (SELECT m['a'] AS pa, m['b'] AS pb,
+         |    mx AS pair_count FROM (
+         |  SELECT min({'a': a, 'b': b}) AS m, max(c) AS mx
+         |  FROM pr$k WHERE c = (SELECT max(c) FROM pr$k)) t),
+         |d$k AS MATERIALIZED (SELECT d.doc_id,
+         |    list_filter(list_transform(generate_series(1, len(d.w)), i ->
+         |      CASE WHEN i > 1 AND d.w[i - 1] = b.pa AND d.w[i] = b.pb
+         |           THEN NULL
+         |           WHEN d.w[i] = b.pa AND i < len(d.w)
+         |                AND d.w[i + 1] = b.pb
+         |           THEN b.pa || '_' || b.pb
+         |           ELSE d.w[i] END), x -> x IS NOT NULL) AS w
+         |  FROM d${k - 1} d, best$k b),
+         |st$k AS (SELECT CAST($k AS INTEGER) AS step, b.pa, b.pb,
+         |    b.pair_count,
+         |    (SELECT CAST(sum(len(w)) AS BIGINT) FROM d$k)
+         |      AS n_tokens_after,
+         |    (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM
+         |      (SELECT unnest(w) AS t FROM d$k) x) AS vocab_after
+         |  FROM best$k b)""".stripMargin
+    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |${(1 to BpeMerges).map(round).mkString(",\n")}
+       |${(1 to BpeMerges).map(k => s"SELECT * FROM st$k")
+          .mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin
+  }
+
   /** q288 — Pareto skyline of the corpus on (length, lexical richness):
     * the documents no other document weakly dominates on both
     * n_chars and distinct-word count — the multi-objective frontier a
@@ -1298,6 +1405,7 @@ object CorpusPrep {
   val all: Map[String, Q] = Map(
     "q288_pareto_skyline" -> q288,
     "q279_bpe_merge_step" -> q279,
+    "q322_bpe_train" -> q322,
     "q262_source_containment" -> q262,
     "q240_dict_coverage" -> q240,
     "q212_chunk_stitch" -> q212,
@@ -1321,6 +1429,7 @@ object CorpusPrep {
   val oracle: Map[String, String] = Map(
     "q288_pareto_skyline" -> q288Sql,
     "q279_bpe_merge_step" -> q279Sql,
+    "q322_bpe_train" -> q322Sql,
     "q262_source_containment" -> q262Sql,
     "q240_dict_coverage" -> q240Sql,
     "q212_chunk_stitch" -> q212Sql,
