@@ -949,6 +949,133 @@ object TextDedup {
        |  CAST(CAST(sum(jq) AS BIGINT) AS DOUBLE) / count(*) / 1e4 AS mean_jaccard
        |FROM em GROUP BY 1 ORDER BY est_matches""".stripMargin
 
+  /** q323 — WEIGHTED MinHash calibration: the dedup stack's MinHash
+    * treats a document as a shingle SET, so a token appearing 40× and
+    * a token appearing once weigh the same — wrong for long documents,
+    * where production near-dup uses tf-weighted Jaccard
+    * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b). For INTEGER
+    * weights the exact consistent-weighted-sampling scheme is the unary
+    * expansion (the baseline Ioffe ICDM'10 §1 generalizes): minhash the
+    * multiset {(t, i) : 0 ≤ i < tf(t)} — then P(minhash match) = J_w
+    * exactly, by the same argmin argument as the set case. Signatures
+    * use the SAME 31-bit base-hash + 8 affine permutations as the
+    * unweighted pipeline ([[minhashCtes]]'s family), applied per
+    * occurrence copy, so the two estimators differ ONLY in weighting.
+    * Output, q189's calibration shape: the pipeline's LSH candidate
+    * pairs bucketed by 0..8 signature agreement against their exact
+    * mean J_w — the S-curve that says what a weighted estimate means
+    * before rationing exact verification at 100 TB.
+    *
+    * Scale shape: the expansion multiplies the DISTINCT (doc, token)
+    * relation back up to at most the original token-occurrence count
+    * (Σtf), each occurrence hashed once (codegen'd md5) with 8 cheap
+    * affine variants folded into ONE map-side-combinable groupBy; the
+    * exact-J_w join runs on candidates only, never all pairs.
+    * Candidates sharing no token keep J_w = 0 via the left join — the
+    * pair relation never shrinks silently. Integer to the per-pair
+    * 10⁻⁴ quantization (one correctly-rounded double division), exact
+    * BIGINT sums after.
+    */
+  private val q323: Q = (s, dir) => {
+    val tf = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val occ = tf.select(col("doc_id"), col("tok"), col("tf"),
+        explode(expr("sequence(0, tf - 1)")).as("cpy"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(tok, ':', CAST(cpy AS STRING))), " +
+          "1, 8), 16, 10) AS BIGINT) % 2147483647"))
+    val mins = (0 until 8).map(j =>
+      min(expr(s"((2 * $j + 3) * u + 7919 * ($j + 1)) % 2147483647"))
+        .as(s"m$j"))
+    val wsig = graft.util.QueryCaches.tracked(
+      occ.groupBy("doc_id").agg(mins.head, mins.tail: _*))
+    val lens = graft.util.QueryCaches.tracked(
+      tf.groupBy("doc_id").agg(sum("tf").as("len")))
+    val cand = graft.util.QueryCaches.tracked(candPairs(s, dir))
+    val ia = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("tok"),
+        col("tf").as("tfa")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("tok"),
+        col("tf").as("tfb")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("inter"))
+    val scored = cand.join(ia, Seq("doc_a", "doc_b"), "left_outer")
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")),
+        "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")),
+        "doc_b")
+      .withColumn("jwq", expr(
+        "CAST(round(CAST(coalesce(inter, 0L) AS DOUBLE) * 1e4 / " +
+          "CAST(la + lb - coalesce(inter, 0L) AS DOUBLE)) AS BIGINT)"))
+    val aCols = col("doc_id").as("doc_a") +:
+      (0 until 8).map(j => col(s"m$j").as(s"a$j"))
+    val bCols = col("doc_id").as("doc_b") +:
+      (0 until 8).map(j => col(s"m$j").as(s"b$j"))
+    scored
+      .join(wsig.select(aCols: _*), "doc_a")
+      .join(wsig.select(bCols: _*), "doc_b")
+      .withColumn("est_matches",
+        (0 until 8).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
+      .groupBy("est_matches")
+      .agg(count(lit(1)).as("n_pairs"), sum("jwq").as("sjq"))
+      .select(col("est_matches"),
+        (col("est_matches").cast("double") / 8).as("est_sim"),
+        col("n_pairs"),
+        (col("sjq").cast("double") / col("n_pairs") / 1e4)
+          .as("mean_wjaccard"))
+      .orderBy("est_matches")
+  }
+
+  private val q323Sql: String = {
+    val minCols = (0 until 8).map(j =>
+      s"min((${2 * j + 3} * u + ${7919 * (j + 1)}) % 2147483647) AS m$j")
+      .mkString(",\n|    ")
+    val matchSum = (0 until 8).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashVerifyCtes,
+       |tf AS MATERIALIZED (SELECT doc_id, tok,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |  GROUP BY 1, 2),
+       |occ AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tok || ':' || CAST(cpy AS VARCHAR)), 1, 8))
+       |      ::BIGINT % 2147483647 AS u
+       |  FROM (SELECT doc_id, tok,
+       |          unnest(generate_series(0, tf - 1)) AS cpy FROM tf) t),
+       |wsig AS MATERIALIZED (SELECT doc_id,
+       |    $minCols
+       |  FROM occ GROUP BY 1),
+       |lens AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |  FROM tf GROUP BY 1),
+       |ia AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(LEAST(ta.tf, tb.tf)) AS BIGINT) AS inter
+       |  FROM cand c JOIN tf ta ON ta.doc_id = c.doc_a
+       |              JOIN tf tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(round(CAST(COALESCE(ia.inter, 0) AS DOUBLE) * 1e4 /
+       |      CAST(la.len + lb.len - COALESCE(ia.inter, 0) AS DOUBLE))
+       |      AS BIGINT) AS jwq
+       |  FROM cand c
+       |  LEFT JOIN ia ON ia.doc_a = c.doc_a AND ia.doc_b = c.doc_b
+       |  JOIN lens la ON la.doc_id = c.doc_a
+       |  JOIN lens lb ON lb.doc_id = c.doc_b),
+       |em AS (SELECT sc.doc_a, sc.doc_b, sc.jwq,
+       |    CAST(($matchSum) AS INTEGER) AS est_matches
+       |  FROM sc JOIN wsig a ON a.doc_id = sc.doc_a
+       |          JOIN wsig b ON b.doc_id = sc.doc_b)
+       |SELECT est_matches, est_matches::DOUBLE / 8 AS est_sim,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(sum(jwq) AS BIGINT) AS DOUBLE) / count(*) / 1e4
+       |    AS mean_wjaccard
+       |FROM em GROUP BY 1 ORDER BY est_matches""".stripMargin
+  }
+
   /** q42 — SimHash: 16-bit fingerprint from per-word md5 bit votes. Entirely
     * map-side (no shuffle until the final orderBy): each word hashed once,
     * each of 16 nibble-high-bits voted ±1, majority forms the bit.
@@ -2059,6 +2186,7 @@ object TextDedup {
     "q41b_dedup_lsh_verified" -> q41b,
     "q187_dedup_threshold_curve" -> q187,
     "q189_minhash_calibration" -> q189,
+    "q323_weighted_minhash" -> q323,
     "q42_dedup_simhash" -> q42,
     "q43_dedup_ngram_jaccard" -> q43,
     "q56_dedup_clusters" -> q56,
@@ -2090,6 +2218,7 @@ object TextDedup {
     "q41b_dedup_lsh_verified" -> q41bSql,
     "q187_dedup_threshold_curve" -> q187Sql,
     "q189_minhash_calibration" -> q189Sql,
+    "q323_weighted_minhash" -> q323Sql,
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_ngram_jaccard" -> q43Sql,
     "q56_dedup_clusters" -> q56Sql,
