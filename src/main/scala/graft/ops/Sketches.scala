@@ -293,24 +293,26 @@ object Sketches {
     out.toSeq
   }
 
-  /** The q-digest build + audit over any (source, v) relation — factored
-    * so Round13OpsSpec can drive crafted distributions, prove the rank
-    * bound, and pin partitioning-independence.
+  /** Envelope-guarded (source, v) projection + the value-domain leaf
+    * relation (source, v, c) — the shared front of q320 and q324.
     */
-  private[graft] def qdigestSummary(vals0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def qdigestLeaves(vals0: DataFrame): DataFrame = {
     val vals = vals0.select(col("source"), expr(
       s"CASE WHEN v BETWEEN 0 AND ${QdU - 1} THEN v ELSE " +
         "CAST(raise_error('q320: value outside the 2^12 q-digest " +
         "universe; rescale or deepen the tree') AS BIGINT) END").as("v"))
-    val leaves = graft.util.QueryCaches.tracked(
+    graft.util.QueryCaches.tracked(
       vals.groupBy("source", "v").agg(count(lit(1)).as("c")))
-    val ns = graft.util.QueryCaches.tracked(
-      leaves.groupBy("source").agg(sum("c").as("n"))
-        .withColumn("sigma", greatest(lit(1L), expr(s"n div $QdK"))))
-    val spark = vals0.sparkSession
+  }
+
+  /** One q-digest per source from the leaf relation — the bounded
+    * per-group kernel, shared by q320 (per-source audit) and q324
+    * (node-wise merge). Output (source, lvl, idx, c, ub).
+    */
+  private[graft] def perSourceDigests(leaves: DataFrame): DataFrame = {
+    val spark = leaves.sparkSession
     import spark.implicits._
-    val dig = graft.util.QueryCaches.tracked(
+    graft.util.QueryCaches.tracked(
       leaves.select(col("source").cast("string"), col("v"), col("c"))
         .as[(String, Long, Long)]
         .groupByKey(_._1)
@@ -322,6 +324,19 @@ object Sketches {
             .unsafeWrapArray(cells), sigma).iterator
             .map { case (l, i, c) => (src, l, i, c, (i + 1) * (1L << l) - 1) }
         }.toDF("source", "lvl", "idx", "c", "ub"))
+  }
+
+  /** The q-digest build + audit over any (source, v) relation — factored
+    * so Round13OpsSpec can drive crafted distributions, prove the rank
+    * bound, and pin partitioning-independence.
+    */
+  private[graft] def qdigestSummary(vals0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaves = qdigestLeaves(vals0)
+    val ns = graft.util.QueryCaches.tracked(
+      leaves.groupBy("source").agg(sum("c").as("n"))
+        .withColumn("sigma", greatest(lit(1L), expr(s"n div $QdK"))))
+    val dig = perSourceDigests(leaves)
     val dw = Window.partitionBy("source").orderBy("ub", "lvl")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dcum = dig.withColumn("cum", sum("c").over(dw))
@@ -364,7 +379,12 @@ object Sketches {
     qdigestSummary(Tables.spread(Tables.documents(s, dir))
       .select(col("source"), col("n_chars").as("v")))
 
-  private val q320Sql: String = {
+  /** Oracle CTE prefix shared by q320Sql/q324Sql: the guarded value
+    * projection, value-domain leaves, per-source (n, σ), and the
+    * unrolled 12-level per-source q-digest, ending in
+    * `dig(source, lvl, idx, c, ub)`.
+    */
+  private val qdigestPerSourceCtes: String = {
     val levels = (0 until QdL).map { l =>
       s"""ps$l AS MATERIALIZED (SELECT source, idx // 2 AS p,
          |    CAST(sum(c) AS BIGINT) AS cs
@@ -384,7 +404,7 @@ object Sketches {
     val keptUnion = (0 until QdL)
       .map(l => s"SELECT source, lvl, idx, c, ub FROM kept$l")
       .mkString("\n  UNION ALL ")
-    s"""WITH vals AS (SELECT source,
+    s"""vals AS (SELECT source,
        |    CASE WHEN n_chars BETWEEN 0 AND ${QdU - 1} THEN n_chars
        |      ELSE CAST(error('q320: value outside the 2^12 q-digest
        | universe; rescale or deepen the tree') AS BIGINT) END AS v
@@ -401,7 +421,11 @@ object Sketches {
        |dig AS MATERIALIZED (
        |  $keptUnion
        |  UNION ALL SELECT source, CAST($QdL AS INTEGER) AS lvl, idx, c,
-       |    CAST(${QdU - 1} AS BIGINT) AS ub FROM cur$QdL),
+       |    CAST(${QdU - 1} AS BIGINT) AS ub FROM cur$QdL)""".stripMargin
+  }
+
+  private val q320Sql: String =
+    s"""WITH $qdigestPerSourceCtes,
        |dcum AS (SELECT source, lvl, ub, c,
        |    sum(c) OVER (PARTITION BY source ORDER BY ub, lvl
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -443,17 +467,182 @@ object Sketches {
        |JOIN rk ON rk.source = t.source AND rk.pct = t.pct
        |JOIN dn ON dn.source = t.source
        |ORDER BY 1, 2""".stripMargin
+
+  /** q324 — FEDERATED quantile merge: every per-source q-digest from
+    * q320 merged node-wise (counts summed per (lvl, idx)) and
+    * recompressed under the global σ_M, then audited against the exact
+    * GLOBAL order statistics. This is the property the sketch exists
+    * for at 1000 executors: each shard/source keeps a ≤3k-node summary,
+    * and corpus-wide percentiles come from merging summaries — the raw
+    * value relation is never re-scanned. [[qdigestCompress]] is by
+    * construction the same kernel for build and merge (it accepts nodes
+    * at any level), so merge-then-query is ONE more bounded in-memory
+    * pass over the ≤ |sources|·3k node relation (merge-tree it if the
+    * source registry ever makes that big — associativity is exactly
+    * what permits it).
+    *
+    * Provable merged bound, emitted as `bound_ok`: a merged non-leaf
+    * node holds < Σ_s σ_s + σ_M (each input non-leaf node carries
+    * < σ_its-source; a push adds < σ_M), so the rank overshoot is
+    * < L·(Σσ_s + σ_M) while the never-undershoot direction stays
+    * structural. The measured rank error (also emitted) is far tighter;
+    * the loose certificate is what survives arbitrary source skew.
+    */
+  private val q324: Q = (s, dir) => {
+    val leaves = qdigestLeaves(Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("n_chars").as("v")))
+    val ns = leaves.groupBy("source").agg(sum("c").as("n"))
+      .withColumn("sigma", greatest(lit(1L), expr(s"n div $QdK")))
+    val gs = graft.util.QueryCaches.tracked(
+      ns.agg(sum("sigma").as("sig_sum"), sum("n").as("n"))
+        .withColumn("sigma_m", greatest(lit(1L), expr(s"n div $QdK"))))
+    val spark = s
+    import spark.implicits._
+    val merged = graft.util.QueryCaches.tracked(
+      perSourceDigests(leaves)
+        .select(col("lvl"), col("idx"), col("c"))
+        .as[(Int, Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_: Boolean, it: Iterator[(Int, Long, Long)]) =>
+          val nodes = it.toArray
+          val n = nodes.iterator.map(_._3).sum
+          val sigma = math.max(1L, n / QdK)
+          qdigestCompress(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(nodes), sigma).iterator
+            .map { case (l, i, c) => (l, i, c, (i + 1) * (1L << l) - 1) }
+        }.toDF("lvl", "idx", "c", "ub"))
+    val dcum = GlobalRank.prefixSum(merged, "pfx", col("c"),
+        Seq(col("ub"), col("lvl")))
+      .select(col("ub"), (col("pfx") + col("c")).as("cum"))
+    val dn = merged.agg(count(lit(1)).as("dig_nodes"))
+    val tg = graft.util.QueryCaches.tracked(
+      gs.select(col("n"), col("sig_sum"), col("sigma_m"),
+          explode(array(QdPcts.map(lit): _*)).as("pct"))
+        .withColumn("target_rank", expr("(pct * n + 99L) div 100L")))
+    val est = tg.select("pct", "target_rank").crossJoin(dcum)
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("pct").agg(min("ub").as("est"))
+    val gl = graft.util.QueryCaches.tracked(
+      leaves.groupBy("v").agg(sum("c").as("c")))
+    val lcum = GlobalRank.prefixSum(gl, "pfx", col("c"), Seq(col("v")))
+      .select(col("v"), (col("pfx") + col("c")).as("cum"))
+    val exact = tg.select("pct", "target_rank").crossJoin(lcum)
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("pct").agg(min("v").as("exact"))
+    val rk = est.crossJoin(gl)
+      .groupBy("pct")
+      .agg(sum(when(col("v") < col("est"), col("c")).otherwise(0L))
+        .as("rank_lt"),
+        sum(when(col("v") <= col("est"), col("c")).otherwise(0L))
+          .as("rank_le"))
+    tg.join(est, "pct").join(exact, "pct").join(rk, "pct")
+      .crossJoin(broadcast(dn))
+      .select(col("pct"), col("n"), col("sig_sum"), col("sigma_m"),
+        col("dig_nodes"), col("est"), col("exact"), col("target_rank"),
+        col("rank_lt"), col("rank_le"),
+        (col("rank_le") >= col("target_rank") &&
+          col("rank_lt") < col("target_rank") +
+            lit(QdL.toLong) * (col("sig_sum") + col("sigma_m")))
+          .as("bound_ok"))
+      .orderBy("pct")
+  }
+
+  private val q324Sql: String = {
+    val levels = (0 until QdL).map { l =>
+      s"""minc$l AS (SELECT idx, CAST(sum(c) AS BIGINT) AS c
+         |  FROM dig WHERE lvl = $l GROUP BY 1),
+         |mcur$l AS MATERIALIZED (SELECT idx, CAST(sum(c) AS BIGINT) AS c
+         |  FROM (SELECT idx, c FROM minc$l
+         |        UNION ALL SELECT idx, c FROM mpush$l) t
+         |  GROUP BY 1),
+         |mps$l AS MATERIALIZED (SELECT idx // 2 AS p,
+         |    CAST(sum(c) AS BIGINT) AS cs
+         |  FROM mcur$l GROUP BY 1),
+         |mkept$l AS MATERIALIZED (SELECT CAST($l AS INTEGER) AS lvl,
+         |    cur.idx, cur.c,
+         |    CAST((cur.idx + 1) * ${1L << l} - 1 AS BIGINT) AS ub
+         |  FROM mcur$l cur
+         |  JOIN mps$l p ON p.p = cur.idx // 2
+         |  CROSS JOIN gs
+         |  WHERE p.cs >= gs.sigma_m),
+         |mpush${l + 1} AS MATERIALIZED (SELECT p.p AS idx, p.cs AS c
+         |  FROM mps$l p CROSS JOIN gs
+         |  WHERE p.cs < gs.sigma_m)""".stripMargin
+    }.mkString(",\n")
+    val keptUnion = (0 until QdL)
+      .map(l => s"SELECT lvl, idx, c, ub FROM mkept$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $qdigestPerSourceCtes,
+       |gs AS (SELECT CAST(sum(sigma) AS BIGINT) AS sig_sum,
+       |    CAST(sum(n) AS BIGINT) AS n,
+       |    GREATEST(CAST(1 AS BIGINT), CAST(sum(n) AS BIGINT) // $QdK)
+       |      AS sigma_m
+       |  FROM ns),
+       |mpush0 AS (SELECT CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS c
+       |  WHERE 1 = 0),
+       |$levels,
+       |mroot AS (SELECT idx, CAST(sum(c) AS BIGINT) AS c
+       |  FROM (SELECT idx, c FROM mpush$QdL
+       |        UNION ALL SELECT idx, c FROM dig WHERE lvl = $QdL) t
+       |  GROUP BY 1),
+       |mdig AS MATERIALIZED (
+       |  $keptUnion
+       |  UNION ALL SELECT CAST($QdL AS INTEGER) AS lvl, idx, c,
+       |    CAST(${QdU - 1} AS BIGINT) AS ub FROM mroot),
+       |mcum AS (SELECT ub, lvl, c,
+       |    sum(c) OVER (ORDER BY ub, lvl
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM mdig),
+       |mdn AS (SELECT CAST(count(*) AS BIGINT) AS dig_nodes FROM mdig),
+       |pcts AS (SELECT unnest([${QdPcts.mkString(", ")}]) AS pct),
+       |tg AS MATERIALIZED (SELECT pcts.pct, gs.n, gs.sig_sum, gs.sigma_m,
+       |    (pcts.pct * gs.n + 99) // 100 AS target_rank
+       |  FROM gs CROSS JOIN pcts),
+       |est AS (SELECT t.pct, CAST(min(d.ub) AS BIGINT) AS est
+       |  FROM tg t JOIN mcum d ON d.cum >= t.target_rank
+       |  GROUP BY 1),
+       |gl AS MATERIALIZED (SELECT v, CAST(sum(c) AS BIGINT) AS c
+       |  FROM leaves GROUP BY 1),
+       |lcum AS (SELECT v, c,
+       |    sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM gl),
+       |ext AS (SELECT t.pct, CAST(min(l.v) AS BIGINT) AS exact
+       |  FROM tg t JOIN lcum l ON l.cum >= t.target_rank
+       |  GROUP BY 1),
+       |rk AS (SELECT e.pct,
+       |    CAST(sum(CASE WHEN g.v < e.est THEN g.c ELSE 0 END) AS BIGINT)
+       |      AS rank_lt,
+       |    CAST(sum(CASE WHEN g.v <= e.est THEN g.c ELSE 0 END) AS BIGINT)
+       |      AS rank_le
+       |  FROM est e CROSS JOIN gl g
+       |  GROUP BY 1)
+       |SELECT CAST(t.pct AS INTEGER) AS pct, t.n, t.sig_sum, t.sigma_m,
+       |  mdn.dig_nodes, e.est, x.exact,
+       |  CAST(t.target_rank AS BIGINT) AS target_rank,
+       |  rk.rank_lt, rk.rank_le,
+       |  (rk.rank_le >= t.target_rank
+       |    AND rk.rank_lt < t.target_rank
+       |      + $QdL * (t.sig_sum + t.sigma_m)) AS bound_ok
+       |FROM tg t
+       |JOIN est e ON e.pct = t.pct
+       |JOIN ext x ON x.pct = t.pct
+       |JOIN rk ON rk.pct = t.pct
+       |CROSS JOIN mdn
+       |ORDER BY 1""".stripMargin
   }
 
   val all: Map[String, Q] = Map(
     "q283_cms_frequency" -> q283,
     "q316_kmv_overlap" -> q316,
-    "q320_quantile_sketch" -> q320
+    "q320_quantile_sketch" -> q320,
+    "q324_quantile_merge" -> q324
   )
 
   val oracle: Map[String, String] = Map(
     "q283_cms_frequency" -> q283Sql,
     "q316_kmv_overlap" -> q316Sql,
-    "q320_quantile_sketch" -> q320Sql
+    "q320_quantile_sketch" -> q320Sql,
+    "q324_quantile_merge" -> q324Sql
   )
 }

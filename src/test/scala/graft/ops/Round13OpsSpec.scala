@@ -124,6 +124,27 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(p1.forall(_.getBoolean(10)), "bound_ok must hold on every row")
   }
 
+  test("q324: plain-Scala per-source digests + merge replays the registry") {
+    val got = graft.SparkEntry.queries("q324_quantile_merge")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    graft.util.QueryCaches.drain()
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perSource = rows.groupBy(_._1).values.toSeq.map { g =>
+      val leaves = g.map(_._2).groupBy(identity).toSeq
+        .map { case (v, vs) => (0, v, vs.size.toLong) }
+      Sketches.qdigestCompress(leaves, math.max(1L, g.size / 64L))
+    }
+    val nodes = perSource.flatten
+    val n = rows.length.toLong
+    val merged = Sketches.qdigestCompress(nodes, math.max(1L, n / 64L))
+    val expected = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99).map { pct =>
+      pct -> digestQuantile(merged, (pct * n + 99) / 100)
+    }.toMap
+    assert(got === expected)
+  }
+
   // ---------------------------------------------------------------- q321
 
   test("q321: plain-Scala union-find cut replays the distributed clusters") {
