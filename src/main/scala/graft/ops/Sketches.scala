@@ -632,17 +632,87 @@ object Sketches {
        |ORDER BY 1""".stripMargin
   }
 
+  /** q325 — batch-replay twin of [[graft.streaming.StreamingKmv]]
+    * (q309's discipline: the streaming kernel's EXACT fold pinned in
+    * the correctness gate, per batch, not just at the final state):
+    * the events stream's user keys fold through four ordered
+    * micro-batches of the carried min-K sketch; each batch emits the
+    * sketch fill level, the distinct-count estimate, and the exact
+    * distinct count so far. Small SFs hold the exact-below-K branch
+    * (fill < 256, est ≡ exact); sf1's ~5k users exercise the estimator
+    * — the same ladder as q316. State is [[StreamingKmv.mergeBatch]]
+    * itself (per-batch lineage truncation inside), so a drift between
+    * the streaming class and this declared query is impossible by
+    * construction. The oracle unrolls the identical four-batch min-K
+    * fold.
+    */
+  private val q325: Q = (s, dir) => {
+    import graft.streaming.StreamingKmv
+    val feed = graft.util.QueryCaches.tracked(
+      Tables.spread(Tables.events(s, dir))
+        .select(col("user_id").as("key"),
+          (col("event_id") % 4).cast("int").as("batch")))
+    var sk = StreamingKmv.emptySketch(s)
+    var out: DataFrame = null
+    for (k <- 0 to 3) {
+      sk = StreamingKmv.mergeBatch(feed.filter(col("batch") === k), sk)
+      val exact = feed.filter(col("batch") <= k)
+        .agg(countDistinct("key").as("n_exact"))
+      val row = StreamingKmv.estimate(sk)
+        .crossJoin(broadcast(exact))
+        .select(lit(k).as("batch"), col("k_filled"),
+          round(col("est"), 2).as("est"), col("n_exact"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out.orderBy("batch")
+  }
+
+  private val q325Sql: String = {
+    val k256 = graft.streaming.StreamingKmv.K
+    def batch(k: Int): String = {
+      val prevUnion =
+        if (k == 0) "SELECT h FROM hk0"
+        else s"SELECT h FROM sk${k - 1} UNION ALL SELECT h FROM hk$k"
+      s"""hk$k AS (SELECT DISTINCT CAST(('0x' ||
+         |    substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM feed WHERE batch = $k),
+         |sk$k AS MATERIALIZED (SELECT h FROM
+         |  (SELECT DISTINCT h FROM ($prevUnion) u) t
+         |  ORDER BY h LIMIT $k256),
+         |ex$k AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+         |  FROM feed WHERE batch <= $k),
+         |row$k AS (SELECT CAST($k AS INTEGER) AS batch,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sk$k) AS k_filled,
+         |    round(CASE WHEN (SELECT count(*) FROM sk$k) < $k256
+         |      THEN CAST((SELECT count(*) FROM sk$k) AS DOUBLE)
+         |      ELSE CAST(${k256 - 1} AS DOUBLE)
+         |        * CAST(1152921504606846976 AS DOUBLE)
+         |        / CAST((SELECT max(h) FROM sk$k) AS DOUBLE) END, 2)
+         |      AS est,
+         |    ex$k.n_exact
+         |  FROM ex$k)""".stripMargin
+    }
+    s"""WITH feed AS MATERIALIZED (SELECT user_id AS key,
+       |    CAST(event_id % 4 AS INTEGER) AS batch FROM events),
+       |${(0 to 3).map(batch).mkString(",\n")}
+       |SELECT * FROM row0 UNION ALL SELECT * FROM row1
+       |UNION ALL SELECT * FROM row2 UNION ALL SELECT * FROM row3
+       |ORDER BY batch""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q283_cms_frequency" -> q283,
     "q316_kmv_overlap" -> q316,
     "q320_quantile_sketch" -> q320,
-    "q324_quantile_merge" -> q324
+    "q324_quantile_merge" -> q324,
+    "q325_kmv_replay" -> q325
   )
 
   val oracle: Map[String, String] = Map(
     "q283_cms_frequency" -> q283Sql,
     "q316_kmv_overlap" -> q316Sql,
     "q320_quantile_sketch" -> q320Sql,
-    "q324_quantile_merge" -> q324Sql
+    "q324_quantile_merge" -> q324Sql,
+    "q325_kmv_replay" -> q325Sql
   )
 }
