@@ -124,6 +124,18 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(p1.forall(_.getBoolean(10)), "bound_ok must hold on every row")
   }
 
+  test("q320 guard: out-of-universe value raises loudly, never clamps") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception] {
+      Sketches.qdigestSummary(
+        Seq(("a", 10L), ("a", 4096L)).toDF("source", "v")).collect()
+    }
+    assert(e.getMessage.contains("q320"),
+      s"expected the q320 envelope message, got: ${e.getMessage}")
+    graft.util.QueryCaches.drain()
+  }
+
   test("q324: plain-Scala per-source digests + merge replays the registry") {
     val got = graft.SparkEntry.queries("q324_quantile_merge")(spark, sfDir)
       .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
