@@ -1292,17 +1292,21 @@ object CorpusPrep {
         .select(col("doc_id"), split(col("text"), " ").as("w")))
     val steps = scala.collection.mutable.Buffer.empty[DataFrame]
     for (k <- 1 to BpeMerges) {
-      val pairs = graft.util.QueryCaches.tracked(
-        docs.select(explode(expr(bpePairsExpr)).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("c")))
-      val best = graft.util.QueryCaches.tracked(
-        pairs.crossJoin(broadcast(pairs.agg(max("c").as("mx"))))
-          .filter(col("c") === col("mx"))
-          .agg(min(struct(col("a"), col("b"))).as("m"),
-            max("mx").as("pair_count"))
-          .select(col("m.a").as("pa"), col("m.b").as("pb"),
-            col("pair_count")))
+      val pairs = docs.select(explode(expr(bpePairsExpr)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      // argmax count with (a, b) min tie-break in ONE aggregation:
+      // min(struct(-c, a, b)) ranks the largest count first, then the
+      // lexicographically smallest pair — replaces the former
+      // crossJoin(broadcast(max)) + filter + min-struct three-stage
+      // argmax (one shuffle + one broadcast fewer per merge round, and
+      // the pair relation no longer needs to persist for a second pass)
+      // still tracked: the 1-row rule is read again by the step
+      // accounting, which must not re-run the pair count
+      val best = graft.util.QueryCaches.tracked(pairs
+        .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("pa"), col("m.b").as("pb"),
+          (-col("m.nc")).as("pair_count")))
       // truncate EVERY round, not every second: the rewrite is consumed
       // three times (next round's pair count, next rewrite, this round's
       // accounting), so an untruncated odd round recomputes it ~3× —

@@ -40,7 +40,7 @@ object Retrieval {
     * vectors broadcast, q45's brute kernel at k=20) — (query_id, doc_id,
     * cs, rd). Shared by q275 (fusion leg) and q276 (candidate pool).
     */
-  private[ops] def denseTop(s: SparkSession, dir: String): DataFrame =
+  private[graft] def denseTop(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:dense:$dir") {
       val topk = udaf(new graft.functions.TopKByScore(20))
       val e = embRel(s, dir)
@@ -59,14 +59,19 @@ object Retrieval {
     * (query_id, doc_id, rl). Keyed-shared: consumed by the fusion
     * (inside [[rrfFused]]) and as q296's relevance ground truth.
     */
-  private[ops] def lexicalTop(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lexicalTop(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:lex:$dir") {
       val topkL = udaf(new graft.functions.TopKByScore(20))
       val sets = TextDedup.shingleSetsFor(Tables.spread(Tables.documents(s, dir)))
       val post = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-        .transform(graft.util.QueryCaches.tracked)
-      val qp = post.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("g"))
+      // query shingles from the doc_id < 5 SCAN branch (the predicate
+      // pushes through the spread exchange to the parquet scan), not by
+      // filtering the full postings relation: building the broadcast no
+      // longer materializes — or persists — every document's shingles,
+      // and the corpus-side explode is consumed exactly once (r13)
+      val qp = TextDedup.shingleSetsFor(
+          Tables.documents(s, dir).filter(col("doc_id") < 5))
+        .select(col("doc_id").as("query_id"), explode(col("sh")).as("g"))
       post.join(broadcast(qp), Seq("g"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
@@ -81,7 +86,7 @@ object Retrieval {
     * body, keyed-shared so the composed pipeline (q295) consumes the
     * same build instead of re-paying both legs.
     */
-  private[ops] def rrfFused(s: SparkSession, dir: String): DataFrame =
+  private[graft] def rrfFused(s: SparkSession, dir: String): DataFrame =
     graft.util.QueryCaches.keyed(s"retr:rrf:$dir") {
     val topkF = udaf(new graft.functions.TopKByScore(10))
     val lex = lexicalTop(s, dir)

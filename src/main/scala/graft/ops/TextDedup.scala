@@ -1769,7 +1769,11 @@ object TextDedup {
     */
   private val q299: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val ws = shingleSetsFor(Tables.documents(s, dir))
+    // spread BEFORE shingling (r13): the single-file scan is one task, so
+    // an unspread pipeline shingles, explodes, and — worst — runs every
+    // array_intersect verification serially; the cached relation inherits
+    // the scan's partitioning, so the fix must land upstream of the cache
+    val ws = shingleSetsFor(Tables.spread(Tables.documents(s, dir)))
       .select(col("doc_id"), col("sh").as("ws"))
       .filter(size(col("ws")) > 0)
       .transform(graft.util.QueryCaches.tracked)

@@ -31,6 +31,8 @@ object Probe {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -39,11 +41,67 @@ object Probe {
         s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Headless substitute for the Spark UI's Jobs/Stages pages: count the
+    // jobs, stages, and tasks each run schedules and sum executor task
+    // time. jobs×fixed-scheduling-cost dominating wall-clock identifies
+    // an action-heavy driver loop; task time ≈ wall×cores identifies
+    // genuine compute.
+    val counters = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val timeline = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var lastEnd = 0L
+      val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        starts.put(j.jobId, j.time)
+        val desc = j.stageInfos.map(s =>
+          s"${s.stageId}:${s.name.takeWhile(_ != '\n').take(40)}(${s.numTasks}t)")
+          .mkString(" ")
+        names.put(j.jobId, desc.take(180))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(starts.remove(j.jobId)).getOrElse(j.time)
+        val gap = if (lastEnd == 0) 0 else t0 - lastEnd
+        lastEnd = j.time
+        timeline.add(f"job ${j.jobId}%4d  run=${(j.time - t0) / 1e3}%6.2fs  gapBefore=${gap / 1e3}%6.2fs  ${
+          Option(names.remove(j.jobId)).getOrElse("")}")
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      }
+      def snap(): (Long, Long, Long, Long) =
+        (jobs.get, stages.get, tasks.get, taskMs.get)
+    }
+    spark.sparkContext.addSparkListener(counters)
     def once(name: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, sfDir).count()
               finally if (drain) graft.util.QueryCaches.drain()
       ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def onceCounted(name: String): (Double, Long) = {
+      val before = counters.snap()
+      counters.timeline.clear()
+      counters.lastEnd = 0L
+      val r = once(name)
+      // listener bus is async; give it a beat to drain before snapping
+      Thread.sleep(200)
+      val after = counters.snap()
+      println(f"[probe]   $name: jobs=${after._1 - before._1} stages=${
+        after._2 - before._2} tasks=${after._3 - before._3} taskTime=${
+        (after._4 - before._4) / 1e3}%.1f s")
+      if (sys.env.get("SPARK_GRAFT_PROBE_TIMELINE").contains("1")) {
+        val it = counters.timeline.iterator()
+        while (it.hasNext) println(s"[probe]     ${it.next()}")
+      }
+      r
     }
     // Upper median for odd reps; mean of the two middle samples for even.
     def median(ts: Seq[Double]): Double = {
@@ -52,9 +110,10 @@ object Probe {
     }
     if (names.size == 1)
       graft.SparkEntry.queries(names.head)(spark, sfDir).explain("formatted")
+    val counted = sys.env.get("SPARK_GRAFT_PROBE_COUNT").contains("1")
     names.foreach { n =>
       once(n) // warmup
-      val rs = (1 to reps).map(_ => once(n))
+      val rs = (1 to reps).map(_ => if (counted) onceCounted(n) else once(n))
       val ts = rs.map(_._1)
       println(f"[probe] $n%-28s median=${median(ts)}%8.3f s  rows=${rs.head._2}  samples=${
         ts.map(t => f"$t%.3f").mkString(", ")}" + (if (drain) "" else " (nodrain)"))
