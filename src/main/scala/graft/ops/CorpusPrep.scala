@@ -1314,6 +1314,11 @@ object CorpusPrep {
       docs = graft.util.Lineage.truncate(
         docs.crossJoin(broadcast(best))
           .select(col("doc_id"), expr(bpeRewriteExpr).as("w")))
+      // accounting stays ONE pipeline (re-measured r13: splitting it into
+      // a map-side sum(size) + a broadcast distinct-vocab scan added a
+      // broadcast job per step — 228 → 292 jobs — for identical task
+      // time; the Expand the combined count+countDistinct plans is not
+      // where this query's time goes)
       steps += docs.select(explode(col("w")).as("t"))
         .agg(count(lit(1)).as("n_tokens_after"),
           countDistinct("t").as("vocab_after"))

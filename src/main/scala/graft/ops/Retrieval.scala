@@ -236,6 +236,10 @@ object Retrieval {
           col("doc_id").as("doc_id"))).as("m"))
         .select(col("query_id"), col("m.doc_id").as("doc_id"),
           col("m.sq").as("score_q"), lit(r).as("r"))
+    // Per-round EAGER truncation is load-bearing here (re-measured r13:
+    // a lazy union of tracked rounds regressed q295 7.9 s → 138 s — the
+    // un-materialized caches re-expand through the double reference and
+    // the tree recomputes exponentially). Keep the q233 discipline.
     var sel = graft.util.Lineage.truncate(
       argmax(cand, col("rel_q") * 7, 1))
     for (i <- 2 to k) {

@@ -300,10 +300,13 @@ object ParityQueries {
       val latest = IncrementalSync.latestPerKey(feed.filter(col("batch") === k))
       val cls = graft.util.QueryCaches.tracked(
         IncrementalSync.classifyCdc(latest, state))
+      // counts stays a LAZY union: each batch's aggregate reads the
+      // tracked cls cache (materialized by the state checkpoint below),
+      // so the per-batch eager counts checkpoint was one scheduling
+      // action per batch for a plan that never nests (r13)
       val c = cls.groupBy("action").agg(count(lit(1)).as("n"))
         .withColumn("batch", lit(k))
-      counts = graft.util.Lineage.truncate(
-        if (counts == null) c else counts.unionByName(c))
+      counts = if (counts == null) c else counts.unionByName(c)
       state = graft.util.Lineage.truncate(
         state.join(cls.filter(col("action").isin(Reconcile.Update,
             Reconcile.Delete)).select(col("resource_id").as("rid")),

@@ -70,8 +70,16 @@ object Probe {
         timeline.add(f"job ${j.jobId}%4d  run=${(j.time - t0) / 1e3}%6.2fs  gapBefore=${gap / 1e3}%6.2fs  ${
           Option(names.remove(j.jobId)).getOrElse("")}")
       }
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        if (m != null)
+          timeline.add(f"stage ${i.stageId}%4d  ${i.numTasks}%4dt  exec=${
+            m.executorRunTime / 1e3}%7.2fs  in=${m.inputMetrics.recordsRead}%9d  shR=${
+            m.shuffleReadMetrics.recordsRead}%9d  shW=${
+            m.shuffleWriteMetrics.recordsWritten}%9d  out=${m.outputMetrics.recordsWritten}%7d")
+      }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
