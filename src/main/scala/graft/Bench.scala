@@ -52,8 +52,6 @@ object Bench {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.optimizer.excludedRules",
-        graft.GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // saveAsTable targets (GramPostings) must never land in the repo cwd

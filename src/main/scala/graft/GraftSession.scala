@@ -10,30 +10,25 @@ import org.apache.spark.sql.SparkSession
   * parallelism at hand rather than the 200 default, UTC everywhere.
   */
 object GraftSession {
-  /** Optimizer rules every graft session excludes (r13 measurement,
-    * guide §1.2 step 1 / §7.2): `InferFiltersFromGenerate` copies the
-    * GENERATOR EXPRESSION of an explode into an inferred
-    * `size(e) > 0 AND isnotnull(e)` filter. Filter pushdown then carries
-    * that copy through the projections below — inlining each projected
-    * column into every reference, so a `words = split(text)` feeding a
-    * k-shingle transform re-splits the text once per element access
-    * (O(len²) per row), interpreted (higher-order functions have no
-    * codegen) — and parks it BELOW the spread exchange, i.e. in the
-    * 1-task scan stage of a single-file table. Measured on the lexical
-    * postings build at sf0.1: explode 6.9 s → 0.34 s with the rule off.
-    * The inferred filter is redundant for semantics (explode of an empty
-    * or null array emits no rows), so excluding it cannot change any
-    * result; the same recompute-per-row blowup applies at any scale.
+  /** r13 note — `InferFiltersFromGenerate` was excluded session-wide for
+    * one batch and then RE-ENABLED. The rule copies an explode's
+    * generator expression into an inferred `size(e) > 0` filter; filter
+    * pushdown can carry that copy through projections below (re-inlining
+    * `words = split(text)` into every element access — O(len²)/row,
+    * interpreted) and park it under the spread exchange in a 1-task scan
+    * stage — measured 6.9 s → 0.34 s on the lexical postings build with
+    * the rule off. But the same inferred filters are load-bearing
+    * elsewhere: q43's prefix-join pipeline ran ~2× slower AT sf1 without
+    * them (66 s → 105 s whole-suite, 95 s → 163 s A/B). The durable fix
+    * is structural: persist the array-producing relation before exploding
+    * it when the array expression is expensive (the cache is a pushdown
+    * barrier), as [[graft.ops.Retrieval.lexicalTop]] and q299 now do.
     */
-  val ExcludedOptimizerRules: String =
-    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-
   def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -111,8 +111,6 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-fhir2sql")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.optimizer.excludedRules",
-        graft.GraftSession.ExcludedOptimizerRules)
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
 

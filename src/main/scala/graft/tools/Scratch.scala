@@ -14,8 +14,6 @@ object Scratch {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.optimizer.excludedRules",
-        graft.GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -59,10 +57,7 @@ object Scratch {
       .agg(topkL(col("shared").cast("double"), col("doc_id")).as("tk"))
 
     def q(name: String) = time(name)(graft.SparkEntry.queries(name)(spark, sfDir))
-    q("q280_personalized_pagerank")
-    q("q237_eigen_centrality")
-    q("q136_knn_graph")
-    q("q295_retrieval_pipeline")
+    sys.env.get("SPARK_GRAFT_SCRATCH_Q").foreach(_.split(",").foreach(q))
     spark.stop()
   }
 }

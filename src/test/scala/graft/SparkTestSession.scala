@@ -12,8 +12,6 @@ object SparkTestSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
-      .config("spark.sql.optimizer.excludedRules",
-        graft.GraftSession.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
