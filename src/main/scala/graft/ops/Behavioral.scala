@@ -284,6 +284,13 @@ object Behavioral {
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pi = nodes.crossJoin(broadcast(nn))
       .select(col("event_type"), expr(s"CAST(${S}L div n AS BIGINT)").as("r"))
+    // r14 measured the q295/q280 teleport-fold rewrite here (union
+    // zero-mass node rows into the increment aggregation) and REVERTED
+    // it: this chain's node set is ≤|types| rows, the left join is a
+    // broadcast with no exchange at all, and the whole 10-iteration plan
+    // ran as 6 jobs — the union+groupBy forced a real exchange per
+    // iteration and regressed 1.1 → 3.7 s / 6 → 46 jobs. The fold only
+    // pays where the probe side re-exchanges per iteration (q280/q295).
     for (_ <- 1 to 10) {
       val inc = ed.join(pi.withColumnRenamed("event_type", "src"), "src")
         .select(col("dst").as("event_type"),

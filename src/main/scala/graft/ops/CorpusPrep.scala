@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.source.Tables
 
@@ -1258,75 +1258,178 @@ object CorpusPrep {
     * exhausts its A ≠ B pairs before the budget, both engines degrade
     * identically to NULL-rule no-op rounds — never a row-count drift.
     *
-    * Scale shape — the q308/q309 driver-loop discipline: per round ONE
-    * eager lineage truncation of the rewritten corpus (the only action),
-    * one map-side-combinable pair-count shuffle, a broadcast 1-row rule
-    * (argmax via max-agg + min-struct tie-break, never a sort), and a
-    * map-side rewrite. The plan NEVER nests across rounds (truncation
-    * every round — a rewrite references its predecessor twice, via the
-    * rule and the corpus, so untruncated lineage would double per
-    * round); cost is exactly 32 × one-step cost at any corpus size. The
-    * oracle unrolls the same 32-round fold CTE-for-CTE (q309's
-    * unrolled-fold style).
+    * Scale shape (r14 restructure, guide §2.4 actions-per-iteration):
+    * ONE distributed aggregation action per round — a single
+    * per-position explode of the corpus (token, next-token-or-null)
+    * feeds pair counts, the argmax rule, the post-merge token total AND
+    * the vocabulary size in the same two-level map-side-combinable
+    * aggregation, so the former separate accounting pass per round is
+    * gone (pass k over corpus state k−1 returns round k−1's accounting
+    * plus round k's rule; 33 passes replace 64). The corpus never pays
+    * a per-round SCHEDULING action: each rewrite (the collected 1-row
+    * rule inlined as literals — the same driver-bounded state the
+    * former broadcast held) is a LAZY lineage truncation
+    * ([[graft.util.Lineage.truncateLazy]]) whose blocks the next stats
+    * pass materializes inside its own job — 32 eager truncation actions
+    * become 0. Below
+    * `spark.graft.bpe.localTokenThreshold` total tokens (default 1M ≈
+    * tens of MB collected — the [[Similarity]] boruvkaMsf /
+    * connectedComponents bounded-hybrid discipline) the whole loop runs
+    * in one driver-local kernel ([[bpeTrainLocal]], the plain-Scala
+    * replay the spec pins against the distributed path) after a single
+    * corpus collect; the distributed loop above the threshold is
+    * unchanged and spec-pinned via threshold 0. The oracle unrolls the
+    * same 32-round fold CTE-for-CTE (q309's unrolled-fold style).
     */
   private val BpeMerges = 32
 
-  private val bpePairsExpr =
-    """CASE WHEN size(w) < 2 THEN array()
-      |ELSE filter(transform(sequence(1, size(w) - 1), i ->
-      |  struct(element_at(w, i) AS a, element_at(w, i + 1) AS b)),
-      |  p -> p.a <> p.b) END""".stripMargin
+  /** One closed-form BPE rewrite of token array `w` under rule
+    * (`pa`, `pb`) — the same non-overlapping match replacement as the
+    * q279 kernel (A ≠ B makes it order-free; see q279's doc), with the
+    * rule folded in as literals so K rewrites compose map-side in one
+    * projection without a broadcast join each.
+    */
+  private def bpeRewriteCol(w: Column, pa: String, pb: String): Column =
+    filter(
+      transform(sequence(lit(1), size(w)), i =>
+        when(i > lit(1) && element_at(w, i - lit(1)) === lit(pa) &&
+          element_at(w, i) === lit(pb), lit(null).cast("string"))
+          .when(element_at(w, i) === lit(pa) && i < size(w) &&
+            element_at(w, i + lit(1)) === lit(pb), lit(s"${pa}_$pb"))
+          .otherwise(element_at(w, i))),
+      x => x.isNotNull)
 
-  private val bpeRewriteExpr =
-    """filter(transform(sequence(1, size(w)), i ->
-      |  CASE WHEN i > 1 AND element_at(w, i - 1) = pa
-      |            AND element_at(w, i) = pb THEN NULL
-      |       WHEN element_at(w, i) = pa AND i < size(w)
-      |            AND element_at(w, i + 1) = pb
-      |       THEN concat(pa, '_', pb)
-      |       ELSE element_at(w, i) END), x -> x IS NOT NULL)""".stripMargin
+  /** Per-position (token, next-token-or-NULL) struct array: one explode
+    * of this relation carries pair counts (b non-null), the token total
+    * (every position emits a row) and the vocabulary (every token
+    * occupies a position, so distinct `a` = distinct tokens) — the
+    * single-pass stats relation behind [[q322]].
+    */
+  private def bpePosPairs(w: Column): Column =
+    transform(sequence(lit(1), size(w)), i =>
+      struct(element_at(w, i).as("a"),
+        when(i < size(w), element_at(w, i + lit(1)))
+          .otherwise(lit(null).cast("string")).as("b")))
+
+  /** Driver-local BPE training kernel (the plain-Scala replay of the
+    * distributed loop, algorithm-identical to Round13OpsSpec's
+    * expectation): per round, count A ≠ B adjacent pairs, pick the
+    * (count desc, pair asc) argmax, apply the closed-form rewrite, and
+    * record (rule, n_tokens, vocab). Pair-exhausted rounds degrade to
+    * NULL-rule no-ops exactly like both engines' dataflow forms.
+    */
+  private[graft] def bpeTrainLocal(docs0: Array[Array[String]],
+      merges: Int): Seq[(Option[(String, String, Long)], Long, Long)] = {
+    var docs = docs0
+    (1 to merges).map { _ =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      docs.foreach { w =>
+        var i = 0
+        while (i + 1 < w.length) {
+          if (w(i) != w(i + 1)) {
+            val k = (w(i), w(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + 1)
+          }
+          i += 1
+        }
+      }
+      val rule =
+        if (counts.isEmpty) None
+        else {
+          val mx = counts.valuesIterator.max
+          val (pa, pb) = counts.iterator.filter(_._2 == mx).map(_._1).min
+          Some((pa, pb, mx))
+        }
+      rule.foreach { case (pa, pb, _) =>
+        val merged = s"${pa}_$pb"
+        docs = docs.map { w =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < w.length) {
+            if (i > 0 && w(i - 1) == pa && w(i) == pb) ()
+            else if (w(i) == pa && i + 1 < w.length && w(i + 1) == pb)
+              out += merged
+            else out += w(i)
+            i += 1
+          }
+          out.result()
+        }
+      }
+      var nTok = 0L
+      val vocab = scala.collection.mutable.HashSet.empty[String]
+      docs.foreach { w => nTok += w.length; w.foreach(vocab += _) }
+      (rule, nTok, vocab.size.toLong)
+    }
+  }
 
   private val q322: Q = (s, dir) => {
-    var docs = graft.util.Lineage.truncate(
-      Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), split(col("text"), " ").as("w")))
-    val steps = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (k <- 1 to BpeMerges) {
-      val pairs = docs.select(explode(expr(bpePairsExpr)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-      // argmax count with (a, b) min tie-break in ONE aggregation:
-      // min(struct(-c, a, b)) ranks the largest count first, then the
-      // lexicographically smallest pair — replaces the former
-      // crossJoin(broadcast(max)) + filter + min-struct three-stage
-      // argmax (one shuffle + one broadcast fewer per merge round, and
-      // the pair relation no longer needs to persist for a second pass)
-      // still tracked: the 1-row rule is read again by the step
-      // accounting, which must not re-run the pair count
-      val best = graft.util.QueryCaches.tracked(pairs
-        .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
-        .select(col("m.a").as("pa"), col("m.b").as("pb"),
-          (-col("m.nc")).as("pair_count")))
-      // truncate EVERY round, not every second: the rewrite is consumed
-      // three times (next round's pair count, next rewrite, this round's
-      // accounting), so an untruncated odd round recomputes it ~3× —
-      // measured 22.9 s vs 19.3 s drained median at sf0.1
-      docs = graft.util.Lineage.truncate(
-        docs.crossJoin(broadcast(best))
-          .select(col("doc_id"), expr(bpeRewriteExpr).as("w")))
-      // accounting stays ONE pipeline (re-measured r13: splitting it into
-      // a map-side sum(size) + a broadcast distinct-vocab scan added a
-      // broadcast job per step — 228 → 292 jobs — for identical task
-      // time; the Expand the combined count+countDistinct plans is not
-      // where this query's time goes)
-      steps += docs.select(explode(col("w")).as("t"))
-        .agg(count(lit(1)).as("n_tokens_after"),
-          countDistinct("t").as("vocab_after"))
-        .crossJoin(broadcast(best))
-        .select(lit(k).as("step"), col("pa"), col("pb"),
-          col("pair_count"), col("n_tokens_after"), col("vocab_after"))
-    }
-    steps.reduce(_.unionByName(_)).orderBy("step")
+    import s.implicits._
+    val words = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val localMax = s.conf.getOption("spark.graft.bpe.localTokenThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+    // one bounded sizing action (the boruvkaMsf adaptivity pattern): the
+    // first stats pass / the collect would scan the corpus once anyway
+    val nTok0 = words.agg(coalesce(sum(size(col("w"))), lit(0L)))
+      .head().getLong(0)
+    val steps: Seq[(Option[(String, String, Long)], Long, Long)] =
+      if (nTok0 <= localMax) {
+        bpeTrainLocal(words.select("w").as[Seq[String]].collect()
+          .map(_.toArray), BpeMerges)
+      } else {
+        // distributed loop: each round's rewrite is a LAZY truncation
+        // ([[graft.util.Lineage.truncateLazy]]) over the previous round
+        // — the plan cuts to a flat LogicalRDD immediately (per-round
+        // caches instead nest the cached plan per level and the
+        // AQE/listener plan strings grow geometrically — measured OOM at
+        // 32 rounds), but nothing schedules: round k's stats pass
+        // materializes round k's blocks inside its own job. The rewrite
+        // MUST read a materialized attribute: folding the collected
+        // rules into one nested expression instead re-evaluates the
+        // whole fold inside every element_at (interpreted higher-order
+        // functions have no common-subexpression elimination —
+        // O(len²·K) per row, measured minutes per pass at sf0.1).
+        var docs = graft.util.Lineage.truncateLazy(words)
+        // pass over corpus state j: ONE action returning round j's
+        // accounting (n_tokens = Σc over all positions, vocab = distinct
+        // first-tokens = |g2 groups|) and round j+1's rule (the argmax
+        // over b-non-null A ≠ B pairs, min(struct(-c, a, b)) = count
+        // desc then pair asc — the same tie-break as before)
+        def stats(): org.apache.spark.sql.Row = docs
+          .select(explode(bpePosPairs(col("w"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("a").agg(sum("c").as("ca"),
+            min(when(col("b").isNotNull && col("a") =!= col("b"),
+              struct((-col("c")).as("nc"), col("a"), col("b")))).as("pm"))
+          .agg(min("pm").as("m"), sum("ca").as("n_tokens"),
+            count(lit(1)).as("vocab"))
+          .head()
+        val rules = new Array[Option[(String, String, Long)]](BpeMerges + 1)
+        val acct = new Array[(Long, Long)](BpeMerges + 1)
+        for (k <- 1 to BpeMerges) {
+          val r = stats()
+          acct(k - 1) = (r.getLong(1), r.getLong(2))
+          rules(k) =
+            if (r.isNullAt(0)) None
+            else {
+              val m = r.getStruct(0)
+              Some((m.getString(1), m.getString(2), -m.getLong(0)))
+            }
+          rules(k).foreach { case (pa, pb, _) =>
+            docs = graft.util.Lineage.truncateLazy(docs.select(col("doc_id"),
+              bpeRewriteCol(col("w"), pa, pb).as("w")))
+          }
+        }
+        val last = stats()
+        acct(BpeMerges) = (last.getLong(1), last.getLong(2))
+        (1 to BpeMerges).map(k => (rules(k), acct(k)._1, acct(k)._2))
+      }
+    steps.zipWithIndex.map { case ((rule, nt, vc), i) =>
+      (i + 1, rule.map(_._1).orNull, rule.map(_._2).orNull,
+        rule.map(r => java.lang.Long.valueOf(r._3)).orNull, nt, vc)
+    }.toDF("step", "pa", "pb", "pair_count", "n_tokens_after",
+      "vocab_after").orderBy("step")
   }
 
   private val q322Sql: String = {

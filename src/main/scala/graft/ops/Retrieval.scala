@@ -224,41 +224,57 @@ object Retrieval {
             .as("sim_q")))
 
   /** Greedy MMR rounds shared by q276 (dense candidates, k=5) and q295
-    * (fused candidates, k=3): per round one bounded penalty equi-join +
-    * anti-join + struct-max argmax per query, every query advancing in
-    * the same round concurrently; the selected set is referenced twice
-    * per round so lineage truncates eagerly ([[graft.util.Lineage]]).
-    * Returns (query_id, doc_id, score_q, r) with score_q = 7·rel − 3·pen
-    * in integer quanta.
+    * (fused candidates, k=3). r14 (guide §2.4): the rounds run on the
+    * DRIVER over the collected candidate/pair relations — both are
+    * bounded BY CONSTRUCTION (≤5 literal queries × per-query top-k
+    * candidates, and that squared for the pairs), the same boundedness
+    * class PlanSpec's cartesian sweep admits, so this is a ≤2000-row
+    * collect at ANY corpus scale — replacing k eager truncation actions
+    * plus a penalty join + anti-join + argmax aggregation per round
+    * (the r13 doc records that deferring those truncations lazily
+    * regressed 7.9 → 138 s; removing the distributed rounds outright is
+    * the structural answer). The greedy replay is value-identical: per
+    * round, eligible candidates are the unselected ones having at least
+    * one sim pair into the selected set (the dataflow form's INNER
+    * penalty join), score_q = 7·rel_q − 3·max(sim_q) in the same BIGINT
+    * quanta, argmax tie-break (score, −doc_id) = the former struct-max.
+    * Returns (query_id, doc_id, score_q, r).
     */
   private def mmrGreedy(cand: DataFrame, sims: DataFrame, k: Int): DataFrame = {
-    def argmax(df: DataFrame, scoreQ: Column, r: Int): DataFrame =
-      df.groupBy("query_id")
-        .agg(max(struct(scoreQ.as("sq"), (-col("doc_id")).as("nd"),
-          col("doc_id").as("doc_id"))).as("m"))
-        .select(col("query_id"), col("m.doc_id").as("doc_id"),
-          col("m.sq").as("score_q"), lit(r).as("r"))
-    // Per-round EAGER truncation is load-bearing here (re-measured r13:
-    // a lazy union of tracked rounds regressed q295 7.9 s → 138 s — the
-    // un-materialized caches re-expand through the double reference and
-    // the tree recomputes exponentially). Keep the q233 discipline.
-    var sel = graft.util.Lineage.truncate(
-      argmax(cand, col("rel_q") * 7, 1))
-    for (i <- 2 to k) {
-      val pen = sims
-        .join(sel.select(col("query_id"), col("doc_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca")).agg(max("sim_q").as("ms"))
-      val next = argmax(
-        cand
-          .join(sel.select(col("query_id"), col("doc_id")),
-            Seq("query_id", "doc_id"), "left_anti")
-          .join(pen.select(col("query_id"), col("ca").as("doc_id"), col("ms")),
-            Seq("query_id", "doc_id")),
-        col("rel_q") * 7 - col("ms") * 3, i)
-      sel = graft.util.Lineage.truncate(sel.unionByName(next))
+    val s = cand.sparkSession
+    import s.implicits._
+    val cd = cand.select(col("query_id").cast("long"),
+        col("doc_id").cast("long"), col("rel_q").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val sm = sims.select(col("query_id").cast("long"), col("ca").cast("long"),
+        col("cb").cast("long"), col("sim_q").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = cd.groupBy(_._1)
+    val simIdx = sm.groupBy(t => (t._1, t._2))
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Int)]
+    val selected = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
+    byQ.foreach { case (q, rows) =>
+      val best = rows.maxBy(t => (t._3 * 7, -t._2))
+      picks += ((q, best._2, best._3 * 7, 1))
+      selected(q) = scala.collection.mutable.Set(best._2)
     }
-    sel
+    for (r <- 2 to k) byQ.foreach { case (q, rows) =>
+      val sel = selected(q)
+      val elig = rows.iterator.filter(t => !sel.contains(t._2)).flatMap { t =>
+        val pens = simIdx.getOrElse((q, t._2), Array.empty)
+          .iterator.filter(p => sel.contains(p._3)).map(_._4)
+        if (pens.isEmpty) None
+        else Some((t._2, t._3 * 7 - pens.max * 3))
+      }.toSeq
+      if (elig.nonEmpty) {
+        val (doc, sc) = elig.maxBy(e => (e._2, -e._1))
+        picks += ((q, doc, sc, r))
+        sel += doc
+      }
+    }
+    picks.toSeq.toDF("query_id", "doc_id", "score_q", "r")
   }
 
   private val q276: Q = (s, dir) => {
@@ -360,17 +376,33 @@ object Retrieval {
       .select(col("vec_id"), col("is_seed"), expr(
         s"CAST(CASE WHEN is_seed = 1 THEN ${S}L div ns ELSE 0L END AS BIGINT)")
         .as("r"))
-    for (_ <- 1 to 5) {
-      val inc = ed.join(ranks.select(col("vec_id").as("src"), col("r")), "src")
-        .select(col("dst").as("vec_id"),
-          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"))
-        .groupBy("vec_id").agg(sum("c").as("inc"))
-      ranks = nodes.crossJoin(broadcast(ns))
-        .join(inc, Seq("vec_id"), "left")
+    // r14 (guide §2.4): the per-iteration `nodes LEFT JOIN inc` folds INTO
+    // the increment aggregation — each node contributes its (constant
+    // across iterations, so hoisted and tracked) teleport row and each
+    // edge its damped mass share, and ONE groupBy(vec_id) sums both.
+    // Equivalence is exact without any dst ⊆ src assumption: node rows
+    // carry is_node = 1, edge rows 0, and the post-agg filter keeps
+    // exactly the groups the left join's probe side produced; r =
+    // teleport + Σ contrib = the old CASE + coalesce(inc, 0); is_seed =
+    // max over the group = the node row's flag (edge rows contribute 0).
+    val nodesT = graft.util.QueryCaches.tracked(
+      nodes.crossJoin(broadcast(ns))
         .select(col("vec_id"), col("is_seed"), expr(
           s"""CAST(CASE WHEN is_seed = 1 THEN (15L * ${S}L) div (100L * ns)
-             |ELSE 0L END + coalesce(inc, 0L) AS BIGINT)""".stripMargin)
-          .as("r"))
+             |ELSE 0L END AS BIGINT)""".stripMargin).as("c"),
+          lit(1).as("is_node")))
+    for (_ <- 1 to 5) {
+      val contrib = ed
+        .join(ranks.select(col("vec_id").as("src"), col("r")), "src")
+        .select(col("dst").as("vec_id"), lit(0).as("is_seed"),
+          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"),
+          lit(0).as("is_node"))
+      ranks = nodesT.unionByName(contrib)
+        .groupBy("vec_id")
+        .agg(sum("c").as("r"), max("is_seed").as("is_seed"),
+          max("is_node").as("is_node"))
+        .filter(col("is_node") === 1)
+        .select(col("vec_id"), col("is_seed"), col("r"))
     }
     ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
       .select(col("vec_id"), (col("is_seed") === 1).as("is_pick"),

@@ -320,17 +320,32 @@ object Similarity {
   private def seedCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("v").as("cv"))
 
-  /** Nearest-cell assignment under a broadcast quantizer: map-side argmax
-    * (`max_by` over a (cos, -cell) struct — partial-aggregated, the shuffle
-    * carries one row per vector). Shared by q53/q124/q126.
+  /** Nearest-cell assignment under a broadcast quantizer, wholly MAP-SIDE
+    * (r14, guide §2.4 remove shuffles outright): the quantizer collapses
+    * to a ONE-row broadcast array of (cell, cv) structs and each vector
+    * picks its cell with `array_max` over (cs, -cell, cell) structs — the
+    * same lexicographic (cos desc, cell asc) order the former
+    * `max_by(cell, struct(cs, -cell))` used, and the winner's `cs` IS
+    * `max(cs)`. The former broadcast-join + groupBy(vec_id) re-shuffled
+    * every vector (with its 64-double payload) purely to reunite rows the
+    * broadcast join itself had fanned out; now nothing about assignment
+    * crosses the network. Shared by q53/q124/q126/q128/q161/q174/q202.
     */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cell"),
-        round(expr(cosExpr("v", "cv")), 6).as("cs"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
-        first(col("v")).as("v"), max(col("cs")).as("cs"))
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cents = cent.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("cents"), c =>
+          struct(round(call_function("cosine_sim", col("v"),
+            c.getField("cv")), 6).as("cs"),
+            (-c.getField("cell")).as("nc"),
+            c.getField("cell").as("cell")))).as("m"))
+      // empty-quantizer guard: the old inner join yielded zero rows there
+      .filter(col("m").isNotNull)
+      .select(col("vec_id"), col("m.cell").as("cell"), col("v"),
+        col("m.cs").as("cs"))
+  }
 
   /** One Lloyd step from the seed quantizer: per-(cell,dim) exact integer
     * means (q115's determinism discipline), re-assembled into centroid
@@ -1099,6 +1114,15 @@ object Similarity {
     val nn = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("vec_id"), expr(s"CAST(${S}L div n AS BIGINT)").as("r"))
+    // r14 measured the q295/q280 teleport-fold rewrite here (union the
+    // hoisted per-node teleport rows into the increment aggregation,
+    // post-agg is_node filter) and REVERTED it: this loop's left join
+    // already reuses both sides' vec_id partitioning, so the plan was at
+    // 13 jobs — the union broke the exchange reuse (the cached teleport
+    // relation re-shuffled every iteration) and regressed 2.0 → 4.2 s /
+    // 13 → 32 jobs. The fold only pays where the probe side needs a
+    // fresh exchange + broadcast per iteration (q280/q295's seed-filter
+    // teleport), not here.
     for (_ <- 1 to 5) {
       val inc = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst").as("vec_id"),
@@ -1170,17 +1194,29 @@ object Similarity {
       .select(col("vec_id"), expr(
         s"CAST(CASE WHEN vec_id < 5 THEN ${S}L div ns ELSE 0L END AS BIGINT)")
         .as("r"))
-    for (_ <- 1 to 5) {
-      val inc = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
-        .select(col("dst").as("vec_id"),
-          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"))
-        .groupBy("vec_id").agg(sum("c").as("inc"))
-      ranks = nodes.crossJoin(broadcast(ns))
-        .join(inc, Seq("vec_id"), "left")
+    // r14 (guide §2.4): the per-iteration `nodes LEFT JOIN inc` folds into
+    // the increment aggregation — same exact-fold rewrite as q295 (see
+    // Retrieval): each node's (iteration-constant, hoisted) teleport row
+    // and each edge's damped share sum in ONE groupBy(vec_id); node rows
+    // carry is_node = 1 so the post-agg filter keeps exactly the left
+    // join's probe-side groups. One exchange per iteration, no per-round
+    // broadcast rebuild.
+    val nodesT = graft.util.QueryCaches.tracked(
+      nodes.crossJoin(broadcast(ns))
         .select(col("vec_id"), expr(
           s"""CAST(CASE WHEN vec_id < 5 THEN (15L * ${S}L) div (100L * ns)
-             |ELSE 0L END + coalesce(inc, 0L) AS BIGINT)""".stripMargin)
-          .as("r"))
+             |ELSE 0L END AS BIGINT)""".stripMargin).as("c"),
+          lit(1).as("is_node")))
+    for (_ <- 1 to 5) {
+      val contrib = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst").as("vec_id"),
+          expr("CAST((85L * r) div (100L * outdeg) AS BIGINT)").as("c"),
+          lit(0).as("is_node"))
+      ranks = nodesT.unionByName(contrib)
+        .groupBy("vec_id")
+        .agg(sum("c").as("r"), max("is_node").as("is_node"))
+        .filter(col("is_node") === 1)
+        .select(col("vec_id"), col("r"))
     }
     ranks.orderBy(col("r").desc, col("vec_id")).limit(20)
       .select(col("vec_id"), (col("vec_id") < 5).as("is_seed"),
@@ -4264,7 +4300,12 @@ object Similarity {
       // it is the relation BOTH the next union and the frontier read —
       // and leave the frontier as a lazy anti-join of two truncated
       // relations (consumed once, depth bounded; a second eager
-      // checkpoint per hop bought nothing but a scheduling action)
+      // checkpoint per hop bought nothing but a scheduling action).
+      // r14 re-measured the 2-hops-per-checkpoint deferral (odd hops as
+      // tracked lazy caches, boruvkaMsf's pattern): jobs 68 → 67 and
+      // 4.9 → 5.3 s probe median — the cost here is the ~5 tiny
+      // exchanges per hop, not the checkpoint actions, and the lazy
+      // caches only added cache-write overhead and plan bloat. Reverted.
       val prevBeam = beam
       beam = graft.util.Lineage.truncate(newBeam)
       frontier = beam

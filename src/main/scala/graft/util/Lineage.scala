@@ -49,6 +49,36 @@ object Lineage {
   def truncateEvery2(df: DataFrame, round: Int): DataFrame =
     if (round % 2 == 0) truncate(df) else df
 
+  /** LAZY truncation: the plan is cut to a `LogicalRDD` immediately (so
+    * per-round plans in a driver loop never nest — with AQE an
+    * InMemoryRelation chain renders its child plan per level and the
+    * listener-event plan strings grow geometrically), but nothing runs
+    * until the NEXT action over the result materializes it — a driver
+    * loop whose every round is anyway consumed by the next round's
+    * single action gets lineage truncation with zero extra scheduling
+    * actions (r14, q322). Same storage decision as [[truncate]]: local
+    * blocks by default, reliable checkpoint when
+    * `spark.graft.checkpointDir` is set (there the materializing action
+    * pays the write-through re-computation, as eager truncation does).
+    */
+  def truncateLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        Lineage.synchronized {
+          if (!lastCheckpointDir.contains(dir)) {
+            spark.sparkContext.setCheckpointDir(dir)
+            lastCheckpointDir = Some(dir)
+          }
+        }
+        lastWasReliable = true
+        df.checkpoint(eager = false)
+      case None =>
+        lastWasReliable = false
+        df.localCheckpoint(eager = false)
+    }
+  }
+
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
