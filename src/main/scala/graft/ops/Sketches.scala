@@ -362,9 +362,12 @@ object Sketches {
         .as("rank_lt"),
         sum(when(col("v") <= col("est"), col("c")).otherwise(0L))
           .as("rank_le"))
-    tg.join(est, Seq("source", "pct"))
-      .join(exact, Seq("source", "pct"))
-      .join(rk, Seq("source", "pct"))
+    // r14 (guide §3.1): est/exact/rk are ≤ |sources|·9-row aggregates —
+    // broadcast them so the audit tail is hash joins, not three
+    // sort-merge exchange pairs of 9-row relations
+    tg.join(broadcast(est), Seq("source", "pct"))
+      .join(broadcast(exact), Seq("source", "pct"))
+      .join(broadcast(rk), Seq("source", "pct"))
       .join(broadcast(dn), "source")
       .select(col("source"), col("pct"), col("n"), col("sigma"),
         col("dig_nodes"), col("est"), col("exact"), col("target_rank"),
@@ -535,7 +538,9 @@ object Sketches {
         .as("rank_lt"),
         sum(when(col("v") <= col("est"), col("c")).otherwise(0L))
           .as("rank_le"))
-    tg.join(est, "pct").join(exact, "pct").join(rk, "pct")
+    // r14 (guide §3.1): the ≤9-row audit relations broadcast — see q320
+    tg.join(broadcast(est), "pct").join(broadcast(exact), "pct")
+      .join(broadcast(rk), "pct")
       .crossJoin(broadcast(dn))
       .select(col("pct"), col("n"), col("sig_sum"), col("sigma_m"),
         col("dig_nodes"), col("est"), col("exact"), col("target_rank"),

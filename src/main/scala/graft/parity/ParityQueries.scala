@@ -307,7 +307,13 @@ object ParityQueries {
       val c = cls.groupBy("action").agg(count(lit(1)).as("n"))
         .withColumn("batch", lit(k))
       counts = if (counts == null) c else counts.unionByName(c)
-      state = graft.util.Lineage.truncate(
+      // r14: LAZY truncation — the plan still cuts per batch (never
+      // nests with B) but the per-batch scheduling action is gone; the
+      // final counts action materializes the state chain, each batch's
+      // RDD persisted at block level so its two consumers (the next
+      // batch's classify and this batch's aggregate via the cls cache)
+      // read it once-computed.
+      state = graft.util.Lineage.truncateLazy(
         state.join(cls.filter(col("action").isin(Reconcile.Update,
             Reconcile.Delete)).select(col("resource_id").as("rid")),
             col("resource_id") === col("rid"), "left_anti")
