@@ -1395,8 +1395,15 @@ object CorpusPrep {
         // first-tokens = |g2 groups|) and round j+1's rule (the argmax
         // over b-non-null A ≠ B pairs, min(struct(-c, a, b)) = count
         // desc then pair asc — the same tie-break as before)
+        // explode_OUTER: InferFiltersFromGenerate skips outer generates,
+        // so the position array is built ONCE per row instead of twice
+        // (the inferred size()>0 filter re-evaluates the generator
+        // expression — the r13 lexicalTop pathology in miniature);
+        // equivalent because `w` is never empty (split yields ≥1 token
+        // and a rewrite always keeps the merged token), so the outer
+        // null-row branch never fires.
         def stats(): org.apache.spark.sql.Row = docs
-          .select(explode(bpePosPairs(col("w"))).as("p"))
+          .select(explode_outer(bpePosPairs(col("w"))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("c"))
           .groupBy("a").agg(sum("c").as("ca"),
