@@ -124,10 +124,11 @@ class SharedRelationSpec extends AnyFunSuite {
       "q295 must reuse the primed fused relation")
     assert(knn eq Similarity.knnNeighbors(spark, dir),
       "q295 must reuse the primed kNN relation")
-    // q295's own caches: candidates, pair sims, PPR edges + nodes — but
-    // never a rebuild of the primed dense/rrf/kNN pipelines (each build
+    // q295's own caches: candidates, pair sims, PPR edges + nodes + the
+    // hoisted iteration-constant teleport relation (r14) — but never a
+    // rebuild of the primed dense/rrf/kNN pipelines (each build
     // registers its own tracked caches and would blow this bound).
-    assert(QueryCaches.pending <= before + 4,
+    assert(QueryCaches.pending <= before + 5,
       s"q295 registered ${QueryCaches.pending - before} new caches — " +
       "did it rebuild a primed relation?")
     QueryCaches.drain()
